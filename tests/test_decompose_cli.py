@@ -1,0 +1,92 @@
+"""End-to-end test of the decompose CLI against a host-side numpy oracle.
+
+The oracle replays the reference pipeline (decompose_with_trained_CNN.py:
+98-130) in numpy directly from the caffemodel blobs: imread -> /255 ->
+BGR->RGB -> srgb_to_rgb -> per-pixel MLP -> imwrite quirks.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from reflectance_filtering_tpu.models.caffe_io import parse_caffemodel
+from reflectance_filtering_tpu.cli.decompose import (
+    ReflectanceCNN, decompose_image)
+from reflectance_filtering_tpu.utils import image as iu
+
+CAFFEMODEL = "/root/reference/learned_weights.caffemodel"
+
+
+def _oracle_reflectance(img_bgr_u8):
+    raw = parse_caffemodel(CAFFEMODEL)
+    x = img_bgr_u8[:, :, ::-1].astype(np.float64) / 255.0
+    x = np.where(x <= 0.04045, x / 12.92,
+                 np.power((x + 0.055) / 1.055, 2.4))
+    skips = []
+    for i in range(5):
+        w = raw["conv%d" % i][0][:, :, 0, 0]
+        b = raw["conv%d" % i][1].reshape(-1)
+        x = np.maximum(x @ w.T + b, 0.0)
+        skips.append(x)
+    cat = np.concatenate(skips, axis=-1)
+    wf = raw["fuse_skip_layers"][0][:, :, 0, 0]
+    bf = raw["fuse_skip_layers"][1].reshape(-1)
+    return (1.0 / (1.0 + np.exp(-(cat @ wf.T + bf))))[..., 0]
+
+
+@pytest.fixture(scope="module")
+def test_image(tmp_path_factory):
+    import cv2
+    rng = np.random.RandomState(42)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    path = str(tmp_path_factory.mktemp("imgs") / "sample.png")
+    cv2.imwrite(path, img)
+    return path, img
+
+
+def test_reflectance_matches_oracle(test_image):
+    path, img = test_image
+    net = ReflectanceCNN()
+    got = net.reflectance_intensity(img)
+    expected = _oracle_reflectance(img)
+    assert got.shape == expected.shape == img.shape[:2]
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_decompose_image_outputs(test_image, tmp_path):
+    path, img = test_image
+    refl = decompose_image(path, str(tmp_path))
+    for suffix in ["-r.png", "-r_colorized.png", "-s_colorized.png"]:
+        assert os.path.isfile(str(tmp_path / ("sample" + suffix))), suffix
+    # -r.png content must equal imwrite(reflectance) byte-for-byte
+    import cv2
+    written = cv2.imread(str(tmp_path / "sample-r.png"),
+                         cv2.IMREAD_UNCHANGED)
+    expected_u8 = (iu.normalize(refl) * 255).astype(np.uint8)
+    if written.ndim == 3:
+        written = written[..., 0]
+    np.testing.assert_array_equal(written, expected_u8)
+
+
+def test_colorized_outputs_match_reference_pipeline(test_image, tmp_path):
+    import cv2
+    path, img = test_image
+    net = ReflectanceCNN()
+    refl_gray = net.reflectance_intensity(img)
+    decompose_image(path, str(tmp_path), net=net)
+    reflectance, shading = iu.colorize(refl_gray, img)  # RAW uint8 input
+    exp_r = (iu.rgb_to_srgb(iu.normalize(reflectance)) * 255).astype(np.uint8)
+    got_r = cv2.imread(str(tmp_path / "sample-r_colorized.png"))
+    np.testing.assert_array_equal(got_r, exp_r)
+    exp_s = (iu.rgb_to_srgb(iu.normalize(shading)) * 255).astype(np.uint8)
+    got_s = cv2.imread(str(tmp_path / "sample-s_colorized.png"))
+    if got_s.ndim == 3 and exp_s.ndim == 2:
+        exp_s = np.stack([exp_s] * 3, axis=-1)
+    np.testing.assert_array_equal(got_s, exp_s)
+
+
+def test_cli_main_smoke(test_image, tmp_path):
+    from reflectance_filtering_tpu.cli.decompose import main
+    path, _ = test_image
+    main(["--filename_in", path, "--path_out", str(tmp_path)])
+    assert os.path.isfile(str(tmp_path / "sample-r.png"))
