@@ -1,0 +1,138 @@
+"""Guided filter (He et al. 2013) with OpenCV ximgproc-compatible semantics.
+
+Replaces native component N4 (cv2.ximgproc.guidedFilter, SURVEY.md §2.3),
+invoked by the reference as
+``guidedFilter(guide=joint, src=image, radius=int(sigma_spatial),
+eps=sigma_color)`` on uint8 0-255 images (filter_reflectance.py:67-70) —
+eps is therefore in (0-255)^2 units and NOT rescaled, matching OpenCV.
+
+Algorithm (color guide I, per-channel src p):
+    mean_I   = box(I)                  (3)
+    mean_p   = box(p)
+    cov_Ip   = box(I*p)   - mean_I*mean_p          (3)
+    var_I    = box(I⊗I)   - mean_I⊗mean_I + eps·Id (3x3 symmetric)
+    a        = var_I^{-1} cov_Ip                    (3)
+    b        = mean_p - a·mean_I
+    q        = box(a)·I + box(b)
+
+Gray guide degenerates to the scalar formulas.  The 3x3 solve is an
+explicit symmetric cofactor inverse — branch-free elementwise math, ideal
+VPU work; the whole filter is ~15 box filters, all O(1)/pixel.
+
+OpenCV's implementation box-filters with BORDER_REFLECT; uint8 output is
+rounded with saturate_cast (round-half-away like cvRound on .5 at these
+value scales — we use rint; validated against the float64 numpy oracle in
+tests, and WHDR-level parity is gated in the pipeline tests).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boxfilter import box_filter
+
+_BORDER = "reflect"
+
+
+def _box(x, radius):
+    return box_filter(x, radius, border=_BORDER)
+
+
+def _guided_filter_color(I, p, radius: int, eps: float):
+    """Color (3-channel) guide; p is [..., H, W, C_src]."""
+    mean_I = _box(I, radius)                               # [...,H,W,3]
+    mean_p = _box(p, radius)                               # [...,H,W,Cs]
+
+    # covariance of guide with src, per src channel: [...,H,W,3,Cs]
+    Ip = I[..., :, None] * p[..., None, :]
+    cov_Ip = _box(Ip.reshape(Ip.shape[:-2] + (-1,)), radius).reshape(Ip.shape)
+    cov_Ip = cov_Ip - mean_I[..., :, None] * mean_p[..., None, :]
+
+    # symmetric 3x3 variance of the guide (+ eps on the diagonal)
+    II = I[..., :, None] * I[..., None, :]                  # [...,H,W,3,3]
+    var_I = _box(II.reshape(II.shape[:-2] + (-1,)), radius).reshape(II.shape)
+    var_I = var_I - mean_I[..., :, None] * mean_I[..., None, :]
+
+    rr = var_I[..., 0, 0] + eps
+    rg = var_I[..., 0, 1]
+    rb = var_I[..., 0, 2]
+    gg = var_I[..., 1, 1] + eps
+    gb = var_I[..., 1, 2]
+    bb = var_I[..., 2, 2] + eps
+
+    # cofactors of the symmetric matrix
+    c00 = gg * bb - gb * gb
+    c01 = gb * rb - rg * bb
+    c02 = rg * gb - gg * rb
+    c11 = rr * bb - rb * rb
+    c12 = rb * rg - rr * gb
+    c22 = rr * gg - rg * rg
+    det = rr * c00 + rg * c01 + rb * c02
+    inv_det = 1.0 / det
+
+    # a = var^{-1} cov, per src channel
+    a0 = (c00[..., None] * cov_Ip[..., 0, :] +
+          c01[..., None] * cov_Ip[..., 1, :] +
+          c02[..., None] * cov_Ip[..., 2, :]) * inv_det[..., None]
+    a1 = (c01[..., None] * cov_Ip[..., 0, :] +
+          c11[..., None] * cov_Ip[..., 1, :] +
+          c12[..., None] * cov_Ip[..., 2, :]) * inv_det[..., None]
+    a2 = (c02[..., None] * cov_Ip[..., 0, :] +
+          c12[..., None] * cov_Ip[..., 1, :] +
+          c22[..., None] * cov_Ip[..., 2, :]) * inv_det[..., None]
+    a = jnp.stack([a0, a1, a2], axis=-2)                    # [...,H,W,3,Cs]
+
+    b = mean_p - jnp.sum(a * mean_I[..., :, None], axis=-2)  # [...,H,W,Cs]
+
+    mean_a = _box(a.reshape(a.shape[:-2] + (-1,)), radius).reshape(a.shape)
+    mean_b = _box(b, radius)
+    q = jnp.sum(mean_a * I[..., :, None], axis=-2) + mean_b
+    return q
+
+
+def _guided_filter_gray(I, p, radius: int, eps: float):
+    """Scalar guide; I is [..., H, W], p is [..., H, W, C_src]."""
+    mean_I = _box(I, radius)
+    mean_p = _box(p, radius)
+    corr_Ip = _box(I[..., None] * p, radius)
+    corr_II = _box(I * I, radius)
+    var_I = corr_II - mean_I * mean_I
+    cov_Ip = corr_Ip - mean_I[..., None] * mean_p
+    a = cov_Ip / (var_I + eps)[..., None]
+    b = mean_p - a * mean_I[..., None]
+    return _box(a, radius) * I[..., None] + _box(b, radius)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def guided_filter(guide, src, radius: int, eps):
+    """Guided filter on float arrays in guide-value units (0-255 for the
+    reference pipeline).
+
+    Unbatched API: guide is [H,W,3] (color) or [H,W] (gray); src is [H,W,C]
+    or [H,W].  Batch with jax.vmap.
+    """
+    eps = jnp.asarray(eps, jnp.float32)
+    squeeze = src.ndim == 2
+    if squeeze:
+        src = src[..., None]
+    guide = guide.astype(jnp.float32)
+    src = src.astype(jnp.float32)
+    if guide.ndim == 3 and guide.shape[-1] == 3:
+        q = _guided_filter_color(guide, src, radius, eps)
+    elif guide.ndim == 2:
+        q = _guided_filter_gray(guide, src, radius, eps)
+    else:
+        raise ValueError("guide must be [H,W,3] or [H,W], got {}".format(
+            guide.shape))
+    return q[..., 0] if squeeze else q
+
+
+def guided_filter_u8(guide_u8, src_u8, radius: int, eps) -> np.ndarray:
+    """uint8 wrapper with OpenCV rounding: float math, rint, clip to 0-255."""
+    q = guided_filter(jnp.asarray(guide_u8), jnp.asarray(src_u8),
+                      radius, eps)
+    q = np.asarray(q)
+    return np.clip(np.rint(q), 0, 255).astype(np.uint8)
