@@ -1,0 +1,206 @@
+"""WHDR metric and WHDR hinge loss as vectorized, padded jnp ops.
+
+Reference semantics (file:line into /root/reference/training/layers/):
+
+  * whdr_layer.py:253-287 — exact Bell-2014 WHDR: per comparison classify
+    l2/l1 > 1+delta -> darker 1, l1/l2 > 1+delta -> darker 2, else E(0);
+    error = sum of weights where the human label disagrees; whdr =
+    error_sum / weight_sum (0 if weight_sum == 0).
+  * whdr_layer.py:182-198 — lightness L = max(float32_eps, mean(RGB)) for
+    3 channels, max(eps, r) for 1 channel.
+  * whdr_layer.py:239-250 — normalized coords scaled by width/height and
+    *truncated* to int.
+  * whdr_hinge_loss_layer.py:126-230 — hinge relaxation: y = L1/L2;
+    darker 1: max(0, y - 1/(1+d+m)); darker 2: max(0, (1+d+m) - y);
+    darker E, m<=d: two-sided hinge outside [1/(1+d-m), 1+d-m];
+    m>d: max(1/border - y, y - border).  Per-image normalization by the
+    evaluated weight sum, then batch mean.
+  * whdr_hinge_loss_layer.py:136-148 — dense-skip (eval_dense=0 and
+    n>300 -> evaluate 1), ratio subsampling (n = ceil(ratio*n)), cap at
+    MAX_EVALUATED_COMPARISONS=1500 by uniform choice without replacement.
+
+The comparisons blob layout is the reference's packed format
+(createNumpyArrayWithComparisonsForIIW.py:616-649): [K+1, 1, 6] rows
+[x1, y1, x2, y2, darker, weight] (normalized coords, NaN padded), last row
+metadata [num_comparisons, file_name, 0].  Here the trailing singleton axis
+is dropped: [K+1, 6].
+
+TPU design: everything is fixed-shape gather + masked segment math — one
+XLA program, no per-comparison Python.  JAX autodiff through the hinge
+reproduces the reference's hand-derived gradients
+(whdr_hinge_loss_layer.py:164-230) exactly (verified in tests against
+finite differences and the reference formulas).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = np.float32(np.finfo(np.float32).eps)
+MAX_EVALUATED_COMPARISONS = 1500  # whdr_hinge_loss_layer.py:36
+DENSE_SKIP_THRESHOLD = 300        # whdr_hinge_loss_layer.py:136-138
+
+
+def comparisons_to_pixel_indices(comparisons, height: int, width: int):
+    """Split a [K+1, 6] padded comparisons blob into gather-ready pieces.
+
+    Returns (x1, y1, x2, y2, darker, weight, valid_mask, num_comparisons)
+    where coordinates are int32 pixel indices (truncation semantics of
+    whdr_layer.py:239-250) clamped into bounds for the padded rows.
+    """
+    num = comparisons[-1, 0].astype(jnp.int32)
+    rows = comparisons[:-1]
+    k = rows.shape[0]
+    idx = jnp.arange(k)
+    valid = idx < num
+
+    safe = jnp.where(valid[:, None], rows, 0.0)
+    x1 = jnp.clip((safe[:, 0] * width).astype(jnp.int32), 0, width - 1)
+    y1 = jnp.clip((safe[:, 1] * height).astype(jnp.int32), 0, height - 1)
+    x2 = jnp.clip((safe[:, 2] * width).astype(jnp.int32), 0, width - 1)
+    y2 = jnp.clip((safe[:, 3] * height).astype(jnp.int32), 0, height - 1)
+    darker = safe[:, 4].astype(jnp.int32)
+    weight = safe[:, 5]
+    return x1, y1, x2, y2, darker, weight, valid, num
+
+
+def _lightness_at(reflectance, ys, xs):
+    """Gather L = max(eps, channel-mean) at pixel coords.
+
+    reflectance: [H, W, C] (C in {1, 3}); ys/xs: [K] int32 -> [K] float32.
+    """
+    vals = reflectance[ys, xs]              # [K, C]
+    return jnp.maximum(jnp.mean(vals, axis=-1), EPS)
+
+
+def whdr(reflectance, comparisons, delta: float = 0.1):
+    """Exact Bell-2014 WHDR for one image.
+
+    reflectance: [H, W, C] linear; comparisons: [K+1, 6] padded blob.
+    Returns a float32 scalar in [0, 1].
+    """
+    h, w = reflectance.shape[:2]
+    x1, y1, x2, y2, darker, weight, valid, _ = comparisons_to_pixel_indices(
+        comparisons, h, w)
+    l1 = _lightness_at(reflectance, y1, x1)
+    l2 = _lightness_at(reflectance, y2, x2)
+
+    alg = jnp.where(l2 / l1 > 1 + delta, 1,
+                    jnp.where(l1 / l2 > 1 + delta, 2, 0))
+    err = jnp.where(valid & (alg != darker), weight, 0.0)
+    wsum = jnp.where(valid, weight, 0.0).sum()
+    return jnp.where(wsum > 0, err.sum() / wsum, 0.0)
+
+
+def whdr_batch(reflectance, comparisons, delta: float = 0.1):
+    """Batch mean WHDR (the reference's whdr_layer forward over a batch,
+    whdr_layer.py:70-86).  reflectance [B,H,W,C], comparisons [B,K+1,6]."""
+    return jnp.mean(jax.vmap(lambda r, c: whdr(r, c, delta))(
+        reflectance, comparisons))
+
+
+def _hinge_per_comparison(y, darker, delta: float, margin: float):
+    """Hinge loss for one ratio y given the human label
+    (whdr_hinge_loss_layer.py:183-221)."""
+    b12 = 1.0 + delta + margin
+    loss1 = jax.nn.relu(y - 1.0 / b12)           # darker == 1
+    loss2 = jax.nn.relu(b12 - y)                 # darker == 2
+    if margin <= delta:
+        br = 1.0 + delta - margin
+        loss0 = jax.nn.relu(y - br) + jax.nn.relu(1.0 / br - y)
+    else:
+        border = 1.0 + delta - margin
+        loss0 = jnp.maximum(1.0 / border - y, y - border)
+    return jnp.where(darker == 1, loss1,
+                     jnp.where(darker == 2, loss2, loss0))
+
+
+def _eval_selection_mask(valid, num, ratio: float, eval_dense: bool,
+                         key: Optional[jax.Array], k: int):
+    """Which comparisons get evaluated (whdr_hinge_loss_layer.py:136-148).
+
+    Selection is by *prefix*: the reference evaluates comparisons
+    range(num_eval) (not random) unless num_eval > MAX_EVALUATED_COMPARISONS,
+    in which case it uniformly samples MAX without replacement.
+    """
+    num_eval = num
+    if not eval_dense:
+        num_eval = jnp.where(num > DENSE_SKIP_THRESHOLD, 1, num_eval)
+    if ratio < 1.0:
+        num_eval = jnp.ceil(ratio * num_eval.astype(jnp.float32)
+                            ).astype(jnp.int32)
+    idx = jnp.arange(k)
+    mask = idx < num_eval
+    if k > MAX_EVALUATED_COMPARISONS:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        # rank the first num_eval rows by random keys; keep the MAX smallest
+        r = jax.random.uniform(key, (k,))
+        r = jnp.where(mask, r, 2.0)  # invalid rows rank last
+        order = jnp.argsort(r)
+        rank = jnp.zeros((k,), jnp.int32).at[order].set(jnp.arange(k))
+        cap_mask = rank < MAX_EVALUATED_COMPARISONS
+        mask = jnp.where(num_eval > MAX_EVALUATED_COMPARISONS,
+                         mask & cap_mask, mask)
+    return mask & valid
+
+
+def whdr_hinge(reflectance, comparisons, delta: float = 0.1,
+               margin: float = 0.05, ratio: float = 1.0,
+               eval_dense: bool = True,
+               key: Optional[jax.Array] = None):
+    """Differentiable WHDR hinge loss for one image
+    (whdr_hinge_loss_layer.py:93-162).  Returns scalar float32."""
+    h, w = reflectance.shape[:2]
+    x1, y1, x2, y2, darker, weight, valid, num = comparisons_to_pixel_indices(
+        comparisons, h, w)
+    mask = _eval_selection_mask(valid, num, ratio, eval_dense, key,
+                                valid.shape[0])
+
+    l1 = _lightness_at(reflectance, y1, x1)
+    l2 = _lightness_at(reflectance, y2, x2)
+    y = l1 / l2
+    loss = _hinge_per_comparison(y, darker, delta, margin)
+
+    err = jnp.where(mask, weight * loss, 0.0).sum()
+    wsum = jnp.where(mask, weight, 0.0).sum()
+    return jnp.where(wsum > 0, err / wsum, 0.0)
+
+
+def whdr_hinge_batch(reflectance, comparisons, delta: float = 0.1,
+                     margin: float = 0.05, ratio: float = 1.0,
+                     eval_dense: bool = True,
+                     key: Optional[jax.Array] = None):
+    """Batch-mean hinge loss (whdr_hinge_loss_layer.py:102-110).
+    reflectance [B,H,W,C], comparisons [B,K+1,6]."""
+    b = reflectance.shape[0]
+    keys = (jax.random.split(key, b) if key is not None
+            else [None] * b)
+    if key is not None:
+        f = lambda r, c, k: whdr_hinge(r, c, delta, margin, ratio,
+                                       eval_dense, k)
+        per_img = jax.vmap(f)(reflectance, comparisons, keys)
+    else:
+        f = lambda r, c: whdr_hinge(r, c, delta, margin, ratio, eval_dense)
+        per_img = jax.vmap(f)(reflectance, comparisons)
+    return jnp.mean(per_img)
+
+
+def parse_wdm_string(wdm: str):
+    """Parse the reference's underscore-packed '0.1_0.05_1.0_1' flag
+    (whdr_hinge_loss_layer.py:58-80)."""
+    if wdm == "":
+        return 0.1, 0.0, 1.0, True
+    parts = wdm.split("_")
+    if len(parts) != 4:
+        raise ValueError(
+            "parameters to WhdrHingeLoss were not as expected: {} — need "
+            "delta_margin_ratio_dense".format(wdm))
+    delta, margin, ratio = float(parts[0]), float(parts[1]), float(parts[2])
+    eval_dense = bool(int(parts[3]))
+    assert delta >= 0 and margin >= 0 and 0 < ratio <= 1
+    return delta, margin, ratio, eval_dense
