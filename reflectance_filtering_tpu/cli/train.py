@@ -1,0 +1,300 @@
+"""Training / prediction CLI — rebuild of training/train_with_barrista.py +
+the fit/predict orchestration of train_with_barrista_helper.py.
+
+Same flag set (train_with_barrista.py:124-314), same results tree
+(images logs networks progressions scores framerates snapshots
+decompositions_linear decompositions_sRGB, :319-331), same 0command.txt
+audit log (:333-346), same experiment lifecycle: fit -> final + per
+checkpoint validation WHDR -> progressions/*.json (helper:300-364);
+predict -> hyperparameters recovered from the checkpoint filename
+(helper:369-392) -> batch scoring or per-file decompose (helper:396-436).
+
+New flag (documented deviation): --data_root points at the dataset folder
+(the reference hardcodes ~/LMDBs, data_handling.py:40-42; default is the
+same, so reference-style setups work unchanged), and --results_root
+replaces the hardcoded ~/Results (train_with_barrista.py:319-321).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import timeit
+
+import numpy as np
+
+from ..data.loader import get_data
+from ..models.networks import NetworkConfig
+from ..train.checkpoint import Checkpointer, load_checkpoint
+from ..train.description import get_description, parse_description
+from ..train.loop import LossConfig, fit
+from ..train.monitors import CombineLosses, ProgressPrinter, RunningAverage
+from ..train.predict import decompose_files, make_predict_fn, predict_and_score
+from ..models.networks import init_network
+import jax
+
+FLAGS_FIT = ["fit", "f", "train"]
+FLAGS_PREDICT = ["predict", "p", "test", "val"]
+
+RESULT_SUBDIRS = ["images", "logs", "networks", "progressions", "scores",
+                  "framerates", "snapshots", "decompositions_linear",
+                  "decompositions_sRGB"]
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Parses the arguments and then runs the appropriate mode.")
+    add = parser.add_argument
+    add("--stage", "-s", dest="stage", help="fit or predict")
+    add("--iterations", "-i", type=int,
+        help="number of iterations to train or with which trained iteration "
+             "to predict")
+    add("--solver", dest="solverType", default="ADAM", help="ADAM or SGD")
+    add("--base_lr", "-lr", dest="base_lr", type=float, default=0.001)
+    add("--comparisonsType", "-comp", dest="comparisonsType",
+        default="comparisons", choices=["comparisons", "augmented"])
+    add("--networkType", "-net", dest="networkType",
+        default="convStaticWithSigmoid",
+        choices=["uNet", "simpleConvolutionsRelu", "convStatic",
+                 "convIncreasing", "convStaticWithSigmoid",
+                 "convStaticSkipLayers", "cascadeSkipLayers"])
+    add("--loss_scale_whdr", type=float, default=10)
+    add("--loss_scale_lambert", type=float, default=0.0)
+    add("--shading_unary_type", default="L1_0.5")
+    add("--loss_scale_boundaries01", type=float, default=0.1)
+    add("--batch_size", "-b", dest="batch_size", type=int, default=20)
+    add("--predictCaffemodel", "-pcm", dest="predictCaffemodel", default=None,
+        help="to directly predict for a certain checkpoint")
+    add("--height", type=int, default=256)
+    add("--width", type=int, default=256)
+    add("--startOver", type=int, default=1)
+    add("--alwaysComputeShadingLosses", type=int, default=0)
+    add("--numLayers", dest="numLayers", type=int, default=2)
+    add("--RS_est_mode", "-RS", dest="RS_est_mode", default="rRelMax",
+        choices=["sAbs", "S", "rAbs", "R", "RS",
+                 "rRelNorm", "rRelMean", "rRelY", "rRelMax",
+                 "sRelNorm", "sRelMean", "sRelY", "sRelMax", "rDirectly"])
+    add("--kernel_pad", type=int, default=1)
+    add("--num_filters_log", type=int, default=4)
+    add("--use_batch_normalization", type=int, default=0)
+    add("--checkpoint_interval", type=int, default=1000)
+    add("--experiment", "-exp", dest="experiment_name", default="tmp")
+    add("--random_seed", type=int, default=-1)
+    add("--dataset", default="iiw",
+        choices=["iiw", "sintel", "mixed", "nonsense"])
+    add("--sRGB_linear", default="linear", choices=["sRGB", "linear"])
+    add("--whdr_delta_margin_ratio_dense", default="0.1_0.05_1.0_1")
+    add("--test", type=int, default=0)
+    add("--dilation", type=int, default=1)
+    add("--decompose", action="append",
+        help="decompose images in a folder or a video")
+    # framework additions (defaults match the reference's hardcoded paths)
+    add("--data_root", default=os.path.join(os.path.expanduser("~"), "LMDBs"))
+    add("--results_root",
+        default=os.path.join(os.path.expanduser("~"), "Results"))
+    return parser
+
+
+def net_config_from_args(args) -> NetworkConfig:
+    return NetworkConfig(
+        network_type=args.networkType,
+        num_layers=args.numLayers,
+        num_filters_log=args.num_filters_log,
+        kernel_pad=args.kernel_pad,
+        dilation=args.dilation,
+        use_batch_normalization=bool(args.use_batch_normalization),
+        rs_est_mode=args.RS_est_mode,
+    )
+
+
+def loss_config_from_args(args) -> LossConfig:
+    return LossConfig(
+        loss_scale_whdr=args.loss_scale_whdr,
+        loss_scale_lambert=args.loss_scale_lambert,
+        loss_scale_boundaries01=args.loss_scale_boundaries01,
+        shading_unary_type=args.shading_unary_type,
+        whdr_delta_margin_ratio_dense=args.whdr_delta_margin_ratio_dense,
+    )
+
+
+def fit_predict_net(args, results_dir: str):
+    """The experiment lifecycle (helper:141-439)."""
+    net_params, description = get_description(args)
+    snapshot_dir = os.path.join(results_dir, "snapshots")
+    additional_info = "_{}_{}_{}".format(args.height, args.width,
+                                         args.sRGB_linear)
+
+    def getData(desc):
+        return get_data(args.dataset, desc + additional_info,
+                        args.comparisonsType, root=args.data_root)
+
+    if args.stage not in FLAGS_FIT + FLAGS_PREDICT:
+        raise ValueError(
+            "stage '{}' is currently not implemented!".format(args.stage))
+
+    print("Descriptive string:", description)
+    net_cfg = net_config_from_args(args)
+    loss_cfg = loss_config_from_args(args)
+
+    # record the network architecture (the reference draws the caffe graph,
+    # networks.py:148-152; here the config is the graph)
+    os.makedirs(os.path.join(results_dir, "networks"), exist_ok=True)
+    with open(os.path.join(results_dir, "networks",
+                           net_params + ".json"), "w") as f:
+        json.dump({"network_config": net_cfg.__dict__,
+                   "loss_config": loss_cfg.__dict__}, f, indent=2)
+
+    iterations = args.iterations
+    if iterations is None:
+        if args.stage in FLAGS_FIT:
+            raise ValueError("Number of iterations was not set!")
+        iterations = 1
+
+    # data selection (helper:192-217)
+    X = X_val = None
+    if not args.test:
+        if args.stage in FLAGS_FIT:
+            X = getData("trainValTest_train")
+        X_val = getData("trainValTest_val")
+    else:
+        if args.stage in FLAGS_FIT:
+            X = getData("bigTrainMiniValTest_train")
+            X_val = getData("bigTrainMiniValTest_val")
+        elif args.stage in FLAGS_PREDICT:
+            X_val = getData("trainValTest_test")
+
+    if args.stage in FLAGS_FIT:
+        checkpoint_interval = min(args.checkpoint_interval, iterations)
+        print("Checkpointing every", args.checkpoint_interval, "iterations.")
+        checkptr = Checkpointer(snapshot_dir, description,
+                                checkpoint_interval)
+
+        callbacks = [CombineLosses(args.loss_scale_whdr,
+                                   args.loss_scale_lambert),
+                     RunningAverage(X["images"].shape[0], args.batch_size)]
+        progress = ProgressPrinter(iterations, args.loss_scale_whdr,
+                                   args.loss_scale_boundaries01,
+                                   args.loss_scale_lambert)
+
+        init_params = None
+        if args.startOver and args.predictCaffemodel:
+            print("Load initial weights from:", args.predictCaffemodel)
+            init_params = _load_params_any(args.predictCaffemodel, net_cfg)
+
+        start_train = timeit.default_timer()
+        print("Starting the training for", iterations, "iterations.")
+        sys.stdout.flush()
+        fit(net_cfg, loss_cfg, X, iterations, args.batch_size,
+            args.solverType, args.base_lr, args.random_seed,
+            args.comparisonsType, init_params=init_params,
+            callbacks=callbacks, checkpointer=checkptr, progress=progress)
+        training_time = timeit.default_timer() - start_train
+        print("Total training time is", training_time)
+
+        # evaluate final + all intermediate checkpoints (helper:300-364)
+        predict_fn = make_predict_fn(net_cfg)
+        template = init_network(jax.random.PRNGKey(0), net_cfg)
+
+        def eval_checkpoint(samples):
+            cname = "{}_barrista_iter_{}.npz".format(description, samples)
+            cpath = os.path.join(snapshot_dir, cname)
+            params, _, _ = load_checkpoint(cpath, template)
+            return predict_and_score(
+                X_val, params, net_cfg, results_dir,
+                cname[:-4], batch_size=args.batch_size,
+                predict_fn=predict_fn)
+
+        print("Now predict data from val and evaluate the WHDR on it.")
+        score = eval_checkpoint((iterations // args.batch_size)
+                                * args.batch_size)
+
+        print("Test all intermediate caffemodels.")
+        json_val = []
+        scores = []
+        for i in range(checkpoint_interval, iterations + 1,
+                       checkpoint_interval):
+            val_score = eval_checkpoint(i)
+            json_val.append({"NumIters": i, "WHDR": val_score})
+            scores.append(val_score)
+            print("Ran iteration", i, "of", iterations,
+                  "with validation score", val_score)
+            sys.stdout.flush()
+
+        os.makedirs(os.path.join(results_dir, "progressions"), exist_ok=True)
+        with open(os.path.join(results_dir, "progressions",
+                               "barrista_" + description + ".json"),
+                  "w") as f:
+            json.dump({"test": json_val, "train": []}, f)
+        print("Final score in % (the best one):")
+        print(min(scores) if scores else score)
+
+    if args.predictCaffemodel and args.stage in FLAGS_PREDICT:
+        # recover hyperparameters from the checkpoint filename
+        # (helper:369-392)
+        ckpt_abs = args.predictCaffemodel
+        parsed = parse_description(os.path.basename(ckpt_abs))
+        for k, v in parsed.items():
+            setattr(args, k, v)
+        print("Inferred parameters:", parsed)
+        net_cfg = net_config_from_args(args)
+        params = _load_params_any(ckpt_abs, net_cfg)
+
+        if args.decompose:
+            print("Decompose input")
+            files = []
+            for entry in args.decompose:
+                if os.path.isfile(entry):
+                    files.append(entry)
+                elif os.path.isdir(entry):
+                    for f in sorted(os.listdir(entry)):
+                        files.append(os.path.join(entry, f))
+                else:
+                    print(entry, "is neither a file nor folder")
+            decompose_files(files, params, net_cfg, results_dir,
+                            batch_size=args.batch_size)
+        elif X_val is not None:
+            predict_and_score(X_val, params, net_cfg, results_dir,
+                              os.path.basename(ckpt_abs)[:-4],
+                              batch_size=args.batch_size)
+
+
+def _load_params_any(path: str, net_cfg: NetworkConfig):
+    """Load params from a framework .npz checkpoint or a .caffemodel."""
+    if path.endswith(".caffemodel"):
+        from ..models.caffe_io import load_reference_weights
+        from ..models.networks import reference_params_from_caffe
+        return reference_params_from_caffe(load_reference_weights(path))
+    template = init_network(jax.random.PRNGKey(0), net_cfg)
+    params, _, _ = load_checkpoint(path, template)
+    return params
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    print("Arguments:")
+    print(vars(args))
+
+    results_dir = os.path.join(args.results_root, args.experiment_name)
+    for d in RESULT_SUBDIRS:
+        os.makedirs(os.path.join(results_dir, d), exist_ok=True)
+
+    if args.decompose:
+        # 0command.txt audit log (train_with_barrista.py:333-346)
+        filename = os.path.join(results_dir, "decompositions_linear",
+                                "0command.txt")
+        with open(filename, "a") as command:
+            for a in (argv if argv is not None else sys.argv):
+                command.write(a + " ")
+            command.write("\n")
+        shutil.copy(filename, os.path.join(results_dir,
+                                           "decompositions_sRGB",
+                                           "0command.txt"))
+
+    fit_predict_net(args, results_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Training loop: one jitted XLA program per step.
+
+The reference's training step is a C++ solver loop that calls back into
+Python layers per batch (SURVEY.md §3.3 — the structural bottleneck).  Here
+forward (network trunk -> R/S recovery -> losses), backward (autodiff) and
+the optimizer update are a single compiled function; the host only feeds
+batches and observes scalar metrics.
+
+Loss graph wiring mirrors training/networks.py:222-301:
+  * whdr hinge on the configured comparisons type, weight loss_scale_whdr
+  * exact WHDR as a 0-weight 'accuracy' blob
+  * boundary losses on reflectance+shading when loss_scale_boundaries01 != 0
+    and RS_est_mode != rDirectly
+  * lambert (EuclideanLoss of R*S vs I) when RS_est_mode == 'RS'
+  * cascadeSkipLayers adds the level-0 hinge + WHDR
+    (networks.py:995-1024)
+
+Solver semantics follow _get_solver (train_with_barrista_helper.py:447-460):
+ADAM (caffe defaults b1=.9 b2=.999 eps=1e-8) or plain SGD, base_lr flag.
+Batches cycle through the training set in order (barrista's cycling data
+monitor behavior); ``iterations`` counts samples, like the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.networks import NetworkConfig, apply_network, init_network
+from ..models.recover import recover_reflectance_shading
+from ..losses.whdr import whdr_batch, whdr_hinge_batch, parse_wdm_string
+from ..losses.losses import boundary_loss, lambert_loss
+
+
+@dataclasses.dataclass
+class LossConfig:
+    """Loss-shaping flags (train_with_barrista.py:172-295)."""
+    loss_scale_whdr: float = 10.0
+    loss_scale_lambert: float = 0.0
+    loss_scale_boundaries01: float = 0.1
+    shading_unary_type: str = "L1_0.5"      # first two chars pick the norm
+    whdr_delta_margin_ratio_dense: str = "0.1_0.05_1.0_1"
+
+    @property
+    def boundary_norm(self) -> str:
+        return self.shading_unary_type[:2]
+
+    @property
+    def wdm(self):
+        return parse_wdm_string(self.whdr_delta_margin_ratio_dense)
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0          # optimizer steps taken
+    samples: int = 0       # samples processed (the reference's 'iter')
+
+
+def make_optimizer(solver_type: str = "ADAM", base_lr: float = 0.001):
+    """helper:447-460."""
+    if solver_type in ("SGD", "sgd"):
+        return optax.sgd(base_lr)
+    if solver_type in ("ADAM", "Adam", "adam"):
+        return optax.adam(base_lr, b1=0.9, b2=0.999, eps=1e-8)
+    raise ValueError("solverType not known: {}".format(solver_type))
+
+
+def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
+                   loss_cfg: LossConfig, key=None, train: bool = True
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Forward + full loss graph.  images NHWC, comparisons [B,K+1,6]."""
+    delta, margin, ratio, eval_dense = loss_cfg.wdm
+    blobs = apply_network(params, images, net_cfg, train=train)
+    mode = net_cfg.rs_est_mode.split("-")[0]
+    if mode == "rDirectly":
+        reflectance = jax.nn.relu(blobs["RS_est"])
+        shading = reflectance
+    else:
+        reflectance, shading = recover_reflectance_shading(
+            blobs["RS_est"], images, net_cfg.rs_est_mode)
+
+    metrics: Dict[str, jnp.ndarray] = {}
+    total = jnp.float32(0.0)
+
+    hinge = whdr_hinge_batch(reflectance, comparisons, delta, margin,
+                             ratio, eval_dense, key)
+    metrics["loss_whdr_hinge"] = hinge
+    total = total + loss_cfg.loss_scale_whdr * hinge
+
+    metrics["whdr_original"] = jax.lax.stop_gradient(
+        whdr_batch(reflectance, comparisons, delta))
+
+    if loss_cfg.loss_scale_boundaries01 and mode != "rDirectly":
+        br = boundary_loss(reflectance, loss_cfg.boundary_norm)
+        bs = boundary_loss(shading, loss_cfg.boundary_norm)
+        metrics["loss_boundaries_reflectance"] = br
+        metrics["loss_boundaries_shading"] = bs
+        total = total + loss_cfg.loss_scale_boundaries01 * (br + bs)
+
+    if mode == "RS":
+        lam = lambert_loss(reflectance, shading, images)
+        metrics["loss_lambert"] = lam
+        total = total + loss_cfg.loss_scale_lambert * lam
+
+    if net_cfg.network_type == "cascadeSkipLayers":
+        refl0 = blobs["reflectance_level0"]
+        hinge0 = whdr_hinge_batch(refl0, comparisons, delta, margin,
+                                  ratio, eval_dense, key)
+        metrics["loss_whdr_hinge_level0"] = hinge0
+        total = total + loss_cfg.loss_scale_whdr * hinge0
+        metrics["whdr_original_level0"] = jax.lax.stop_gradient(
+            whdr_batch(refl0, comparisons, delta))
+
+    metrics["loss_total"] = total
+    return total, metrics
+
+
+def make_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
+                    optimizer) -> Callable:
+    """Build the jitted (state, images, comparisons, key) -> (state, metrics)
+    step: forward + autodiff backward + optax update, one XLA program."""
+
+    def loss_fn(params, images, comparisons, key):
+        return compute_losses(params, images, comparisons, net_cfg,
+                              loss_cfg, key, train=True)
+
+    @jax.jit
+    def step(params, opt_state, images, comparisons, key):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, images, comparisons, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
+        iterations: int, batch_size: int,
+        solver_type: str = "ADAM", base_lr: float = 0.001,
+        random_seed: int = -1,
+        comparisons_type: str = "comparisons",
+        init_params=None,
+        callbacks=(), checkpointer=None,
+        progress: Optional[Callable] = None) -> TrainState:
+    """Train for ``iterations`` samples (the reference's unit, helper:286).
+
+    X: {'images' [N,H,W,3], 'comparisons' [N,K+1,6][, 'augmented']} — the
+    loader's NHWC layout.  Batches cycle sequentially.  Returns TrainState.
+    """
+    seed = random_seed if random_seed >= 0 else np.random.randint(2 ** 31)
+    key = jax.random.PRNGKey(seed)
+
+    if init_params is None:
+        key, init_key = jax.random.split(key)
+        params = init_network(init_key, net_cfg)
+    else:
+        params = init_params
+
+    optimizer = make_optimizer(solver_type, base_lr)
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(net_cfg, loss_cfg, optimizer)
+
+    images = np.asarray(X["images"], np.float32)
+    comps = np.asarray(X[comparisons_type], np.float32)
+    n = images.shape[0]
+
+    state = TrainState(params, opt_state)
+    num_steps = iterations // batch_size
+    cursor = 0
+    for s in range(num_steps):
+        idx = (cursor + np.arange(batch_size)) % n
+        cursor = (cursor + batch_size) % n
+        key, step_key = jax.random.split(key)
+        params, opt_state, metrics = step_fn(
+            state.params, state.opt_state,
+            jnp.asarray(images[idx]), jnp.asarray(comps[idx]), step_key)
+        state = TrainState(params, opt_state, s + 1,
+                           (s + 1) * batch_size)
+
+        host_metrics = {k: float(v) for k, v in metrics.items()}
+        for cb in callbacks:  # each: (step, metrics) -> metrics | None
+            out = cb(s, host_metrics)
+            if isinstance(out, dict):
+                host_metrics = out
+        if progress is not None:
+            progress(s, state.samples, host_metrics)
+        if checkpointer is not None:
+            checkpointer.maybe_save(state.samples, state.params,
+                                    state.opt_state)
+    if checkpointer is not None and num_steps > 0:
+        checkpointer.maybe_save(state.samples, state.params,
+                                state.opt_state, finalize=True)
+    return state

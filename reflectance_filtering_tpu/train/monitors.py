@@ -1,0 +1,102 @@
+"""Host-side training monitors — the reference's barrista Monitor plug-ins
+(training/extend_monitoring.py) re-expressed around a jitted step.
+
+The monitors observe per-step metric dicts; they never sit inside the
+compiled program (the reference's structural sin of Python callbacks inside
+the C++ solver loop does not exist here — SURVEY.md §1).
+"""
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class CombineLosses:
+    """Weighted combined-loss scalar (extend_monitoring.py:168-194)."""
+
+    def __init__(self, loss_scale_whdr: float, loss_scale_lambert: float):
+        self.scale_whdr = loss_scale_whdr
+        self.scale_lambert = loss_scale_lambert
+
+    def __call__(self, step: int, metrics: Dict[str, float]
+                 ) -> Dict[str, float]:
+        loss = 0.0
+        if self.scale_whdr:
+            loss += self.scale_whdr * metrics.get("loss_whdr_hinge", 0.0)
+        if self.scale_lambert:
+            loss += self.scale_lambert * metrics.get("loss_lambert", 0.0)
+        metrics["loss_combined"] = loss
+        return metrics
+
+
+class RunningAverage:
+    """NaN-aware epoch ring buffer of WHDR (extend_monitoring.py:197-218)."""
+
+    def __init__(self, train_size: int, batch_size: int):
+        self.num_samples = max(int(train_size / batch_size), 1)
+        self.cycle_whdrs = np.full(self.num_samples, np.nan)
+
+    def __call__(self, step: int, metrics: Dict[str, float]
+                 ) -> Dict[str, float]:
+        index = step % self.num_samples
+        self.cycle_whdrs[index] = metrics.get("whdr_original", np.nan)
+        metrics["running_average"] = float(np.nanmean(self.cycle_whdrs))
+        return metrics
+
+
+class ProgressPrinter:
+    """Console progress with the reference's field set
+    (extend_monitoring.py:221-360: Loss/Hinge/BR/BS/Lamb/WHDR/RunAvg)."""
+
+    def __init__(self, max_samples: int,
+                 loss_scale_whdr: float = 1.0,
+                 loss_scale_boundaries01: float = 1.0,
+                 loss_scale_lambert: float = 1.0,
+                 print_every: int = 50,
+                 stream=None):
+        self.max_samples = max_samples
+        self.scale_whdr = loss_scale_whdr
+        self.scale_b = loss_scale_boundaries01
+        self.scale_l = loss_scale_lambert
+        self.print_every = print_every
+        self.stream = stream or sys.stdout
+        self.start = time.time()
+
+    def __call__(self, step: int, samples: int,
+                 metrics: Dict[str, float]):
+        if step % self.print_every:
+            return
+        parts = ["|Iter: {}/{}".format(samples, self.max_samples)]
+        if "loss_combined" in metrics:
+            parts.append("|Loss: {0:.4f}".format(metrics["loss_combined"]))
+        if "loss_whdr_hinge_level0" in metrics:
+            parts.append("|HL0: {0:.2f}".format(
+                self.scale_whdr * metrics["loss_whdr_hinge_level0"]))
+        if "loss_whdr_hinge" in metrics:
+            parts.append("|Hinge: {0:.2f}".format(
+                self.scale_whdr * metrics["loss_whdr_hinge"]))
+        if "loss_boundaries_reflectance" in metrics:
+            parts.append("|BR: {0:.2f}".format(
+                self.scale_b * metrics["loss_boundaries_reflectance"]))
+        if "loss_boundaries_shading" in metrics:
+            parts.append("|BS: {0:.2f}".format(
+                self.scale_b * metrics["loss_boundaries_shading"]))
+        if "loss_lambert" in metrics:
+            parts.append("|Lamb: {0:.4f}".format(
+                self.scale_l * metrics["loss_lambert"]))
+        if "whdr_original_level0" in metrics:
+            parts.append("|WL0: {0:5.2f}".format(
+                metrics["whdr_original_level0"] * 100))
+        if "whdr_original" in metrics:
+            parts.append("|WHDR: {0:5.2f}".format(
+                metrics["whdr_original"] * 100))
+        ra = metrics.get("running_average", np.nan)
+        if not np.isnan(ra):
+            parts.append("|RunAvg: {0:5.2f}".format(ra * 100))
+        elapsed = time.time() - self.start
+        parts.append("|{0:.1f}s".format(elapsed))
+        print("".join(parts), file=self.stream)
+        self.stream.flush()

@@ -1,0 +1,398 @@
+"""Prediction, evaluation and the decompose family.
+
+Rebuild of the predict half of train_with_barrista_helper.py:
+
+  * ``predict_and_score`` (helper:490-583): batched forward over a
+    validation set, WHDR eval, score caching in ``scores/*.txt`` (values
+    < 100 returned without recompute), frame rate persisted to
+    ``framerates/*.txt``, sentinel score 100 on failure.
+  * ``decompose_single_image_in_full_size`` (helper:753-805): full-res
+    decompose of one image, six outputs (linear + sRGB of -r, -s, -RS_est),
+    float*255 truncation write (helper:665-686).
+  * ``decompose_numpy`` (helper:711-750): decompose an .npz twice (input
+    as linear and as sRGB), write ``*_decomposed.npz``.
+  * ``decompose_movie`` (helper:1027-1060) + baselines (helper:998-1024):
+    per-frame sRGB->linear in, batched decomposition, combined triptych and
+    separate -r/-s mp4 outputs, rgbMean/rgbNorm baseline videos.
+
+Unlike the reference (which rebuilds the whole net per image/movie,
+helper:757-759), the jitted forward is reused and only retraces per new
+(H, W).  Batched prediction pads the batch to fixed shapes for one compiled
+program.
+"""
+from __future__ import annotations
+
+import os
+import timeit
+import traceback
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.networks import NetworkConfig, apply_network
+from ..models.recover import recover_reflectance_shading
+from ..losses.whdr import whdr
+from ..utils.image import srgb_to_rgb, rgb_to_srgb
+
+EPS = np.float32(np.finfo(np.float32).eps)
+
+
+def percent(num) -> str:
+    """helper:442-444."""
+    return "{:.2f}%".format(num * 100)
+
+
+# ---------------------------------------------------------------------------
+# forward helpers
+# ---------------------------------------------------------------------------
+
+def make_predict_fn(net_cfg: NetworkConfig):
+    """Jitted (params, images NHWC) -> (RS_est, reflectance, shading)."""
+
+    @jax.jit
+    def predict(params, images):
+        blobs = apply_network(params, images, net_cfg, train=False)
+        mode = net_cfg.rs_est_mode.split("-")[0]
+        if mode == "rDirectly":
+            refl = jax.nn.relu(blobs["RS_est"])
+            shad = refl
+        else:
+            refl, shad = recover_reflectance_shading(
+                blobs["RS_est"], images, net_cfg.rs_est_mode)
+        out = {"RS_est": blobs["RS_est"], "reflectance": refl,
+               "shading": shad}
+        if "reflectance_level0" in blobs:
+            out["reflectance_level0"] = blobs["reflectance_level0"]
+        return out
+
+    return predict
+
+
+def predict_batched(predict_fn, params, images: np.ndarray,
+                    batch_size: int = 32) -> Dict[str, np.ndarray]:
+    """Run prediction over [N,H,W,3] in fixed-size batches (pad the tail)."""
+    n = images.shape[0]
+    outs: Dict[str, List[np.ndarray]] = {}
+    for start in range(0, n, batch_size):
+        chunk = images[start:start + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
+        res = predict_fn(params, jnp.asarray(chunk))
+        take = batch_size - pad
+        for k, v in res.items():
+            outs.setdefault(k, []).append(np.asarray(v[:take]))
+    return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+
+# ---------------------------------------------------------------------------
+# scoring with artifact contract
+# ---------------------------------------------------------------------------
+
+def predict_and_score(X_val: Dict, params, net_cfg: NetworkConfig,
+                      results_dir: str, description: str,
+                      delta: float = 0.1,
+                      batch_size: int = 32,
+                      predict_fn=None) -> float:
+    """Score a checkpoint on a validation set; returns WHDR in percent.
+
+    Artifact contract (helper:498-583): score cache file
+    ``scores/{description}_imgs{N}.txt`` (<100 -> reuse), frame rate to
+    ``framerates/...txt``, sentinel 100 on prediction failure.
+    """
+    num_images = X_val["images"].shape[0]
+    description = description + "_imgs{}".format(num_images)
+    score_filename = os.path.join(results_dir, "scores",
+                                  description + ".txt")
+    if os.path.isfile(score_filename):
+        with open(score_filename) as f:
+            result = float(f.readline())
+        if result < 100:
+            return result
+
+    if predict_fn is None:
+        predict_fn = make_predict_fn(net_cfg)
+
+    start = timeit.default_timer()
+    try:
+        results = predict_batched(predict_fn, params,
+                                  np.asarray(X_val["images"], np.float32),
+                                  batch_size)
+    except Exception:
+        traceback.print_exc()
+        print("Prediction was not possible, returning 100 as default!")
+        return 100
+    prediction_time = timeit.default_timer() - start
+    rate = num_images / prediction_time
+    print("Predicting", num_images, "images took", prediction_time,
+          "seconds, i.e.,", prediction_time / num_images, "per image and",
+          rate, "images per second.")
+
+    os.makedirs(os.path.join(results_dir, "framerates"), exist_ok=True)
+    with open(os.path.join(results_dir, "framerates",
+                           description + ".txt"), "w") as f:
+        f.write(str(rate))
+
+    reflectances = results["reflectance"]
+    comps = np.asarray(X_val["comparisons"], np.float32)
+    whdrs = [float(whdr(jnp.asarray(reflectances[b]),
+                        jnp.asarray(comps[b]), delta))
+             for b in range(num_images)]
+    mean_whdr = float(np.mean(whdrs))
+    score = mean_whdr * 100
+
+    print("WHDR on learned reflectance for:", description)
+    print("WHDRs:",
+          "\t min", percent(min(whdrs)),
+          "\t max", percent(max(whdrs)),
+          "\t median", percent(np.median(whdrs)),
+          "\t mean", percent(mean_whdr))
+
+    os.makedirs(os.path.join(results_dir, "scores"), exist_ok=True)
+    with open(score_filename, "w") as f:
+        f.write(str(score))
+    return score
+
+
+# ---------------------------------------------------------------------------
+# decompose family
+# ---------------------------------------------------------------------------
+
+def is_image(filename):
+    """helper:586-589."""
+    ext = os.path.splitext(filename)[1][1:].strip().lower()
+    return ext in ["jpg", "png", "ppm", "tiff"]
+
+
+def is_movie(filename):
+    """helper:592-595."""
+    ext = os.path.splitext(filename)[1][1:].strip().lower()
+    return ext in ["mp4", "avi"]
+
+
+def is_numpy(filename):
+    """helper:598-601."""
+    ext = os.path.splitext(filename)[1][1:].strip().lower()
+    return ext in ["npz"]
+
+
+def _read_img_linear_hwc(full_path: str) -> np.ndarray:
+    """helper:653-662 (minus the NCHW transpose — NHWC on device)."""
+    import cv2
+
+    img = cv2.imread(full_path)
+    if img is None:
+        raise IOError("Could not read {}".format(full_path))
+    img = img[:, :, ::-1].astype(np.float64) / 255.0
+    return srgb_to_rgb(img).astype(np.float32)
+
+
+def _save_img(full_path: str, img_hwc: np.ndarray,
+              scale2Max: bool = False, convert2sRGB: bool = False):
+    """helper:665-686: RGB->BGR, optional max-scale / sRGB encode, write
+    img*255 as float (OpenCV rounds)."""
+    import cv2
+
+    img = np.array(img_hwc, copy=True)
+    img = img[:, :, ::-1] if img.ndim == 3 else img
+    if scale2Max:
+        img = img / np.max(img)
+    if convert2sRGB:
+        img = rgb_to_srgb(img)
+    cv2.imwrite(full_path, img * 255)
+
+
+def decompose_single_image_in_full_size(img_path: str, params,
+                                        net_cfg: NetworkConfig,
+                                        results_dir: str,
+                                        predict_fn=None):
+    """helper:753-805: full-res decompose, 6 outputs (linear + sRGB)."""
+    img = _read_img_linear_hwc(img_path)
+    if predict_fn is None:
+        predict_fn = make_predict_fn(net_cfg)
+    res = predict_fn(params, jnp.asarray(img[None]))
+    reflectance = np.asarray(res["reflectance"][0])
+    shading = np.asarray(res["shading"][0])
+    rs_est = np.asarray(res["RS_est"][0])
+
+    orig = os.path.basename(img_path)[:-4]
+    fmt = ".png"
+    for sub, srgb in (("decompositions_linear", False),
+                      ("decompositions_sRGB", True)):
+        os.makedirs(os.path.join(results_dir, sub), exist_ok=True)
+        _save_img(os.path.join(results_dir, sub, orig + "-r" + fmt),
+                  reflectance, convert2sRGB=srgb)
+        _save_img(os.path.join(results_dir, sub, orig + "-s" + fmt),
+                  shading, convert2sRGB=srgb)
+        _save_img(os.path.join(results_dir, sub, orig + "-RS_est" + fmt),
+                  rs_est, convert2sRGB=srgb)
+
+
+def decompose_numpy(npz_path: str, params, net_cfg: NetworkConfig,
+                    predict_fn=None, batch_size: int = 16):
+    """helper:711-750: decompose an npz twice (as-linear and as-sRGB)."""
+    with np.load(npz_path) as npz:
+        images = npz["images"]  # [N, H, W, C] uint8-style 0-255
+
+    input_as_is = (images / 255.0).astype(np.float32)
+    if predict_fn is None:
+        predict_fn = make_predict_fn(net_cfg)
+
+    res1 = predict_batched(predict_fn, params, input_as_is, batch_size)
+    linear = srgb_to_rgb(input_as_is).astype(np.float32)
+    res2 = predict_batched(predict_fn, params, linear, batch_size)
+
+    np.savez_compressed(
+        npz_path[:-4] + "_decomposed.npz",
+        images=images,
+        R_back_to_sRGB=rgb_to_srgb(res2["reflectance"]),
+        S_back_to_sRGB=rgb_to_srgb(res2["shading"]),
+        r_back_to_sRGB=rgb_to_srgb(res2["RS_est"]),
+        R_from_input=res1["reflectance"],
+        S_from_input=res1["shading"],
+        r_from_input=res1["RS_est"],
+    )
+    return npz_path[:-4] + "_decomposed.npz"
+
+
+# ---- movies (helper:870-1060) --------------------------------------------
+
+def load_movie(filename: str):
+    """helper:870-904: frames as [N,H,W,3] linear float32 + (w, h, fps)."""
+    import cv2
+
+    cap = cv2.VideoCapture(filename)
+    if not cap.isOpened():
+        raise IOError("Could not open movie {}".format(filename))
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    frames = []
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        srgb = frame[:, :, ::-1] / 255.0
+        frames.append(srgb_to_rgb(srgb).astype(np.float32))
+    cap.release()
+    return np.asarray(frames), [width, height, fps]
+
+
+def _frame_to_bgr_u8(frame_hwc: np.ndarray) -> np.ndarray:
+    """helper:621-632: linear -> sRGB, clip 0-1, *255, uint8, RGB->BGR."""
+    srgb = rgb_to_srgb(frame_hwc)
+    u8 = (np.clip(srgb, 0, 1) * 255).astype("u1")
+    return u8[:, :, ::-1]
+
+
+def _open_writer(name: str, width: int, height: int, fps: float):
+    import cv2
+
+    writer = cv2.VideoWriter(name, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps if fps and fps > 0 else 25.0,
+                             (width, height), True)
+    if not writer.isOpened():
+        raise IOError("Could not open video writer for {}".format(name))
+    return writer
+
+
+def save_movie_combined(filename: str, image, reflectance, shading, stats):
+    """helper:920-951: [img | R | S] triptych video."""
+    width, height, fps = stats
+    name = filename[:-4] + "-combined" + filename[-4:]
+    writer = _open_writer(name, 3 * width, height, fps)
+    for i in range(image.shape[0]):
+        frame = np.concatenate([_frame_to_bgr_u8(image[i]),
+                                _frame_to_bgr_u8(reflectance[i]),
+                                _frame_to_bgr_u8(shading[i])], axis=1)
+        writer.write(frame)
+    writer.release()
+    return name
+
+
+def save_movie_separate(filename: str, image, reflectance, shading, stats):
+    """helper:954-995: separate -r and -s videos."""
+    width, height, fps = stats
+    names = []
+    for suffix, blob in (("-r", reflectance), ("-s", shading)):
+        name = filename[:-4] + suffix + filename[-4:]
+        writer = _open_writer(name, width, height, fps)
+        for i in range(blob.shape[0]):
+            writer.write(_frame_to_bgr_u8(blob[i]))
+        writer.release()
+        names.append(name)
+    return names
+
+
+def save_movie_baseline(filename: str, image, stats):
+    """helper:998-1024: rgbMean and rgbNorm baseline decompositions."""
+    outputs = []
+    for tag, norm in (("rgbMean",
+                       lambda f: np.maximum(f.sum(-1, keepdims=True) / 3,
+                                            EPS)),
+                      ("rgbNorm",
+                       lambda f: np.maximum(
+                           np.linalg.norm(f, axis=-1, keepdims=True), EPS))):
+        refl = []
+        shad = []
+        for i in range(image.shape[0]):
+            inten = norm(image[i])
+            refl.append(image[i] / inten)
+            shad.append(np.broadcast_to(inten, image[i].shape))
+        base = filename[:-4] + "-baseline_" + tag + filename[-4:]
+        outputs.append(save_movie_combined(base, image,
+                                           np.asarray(refl),
+                                           np.asarray(shad), stats))
+    return outputs
+
+
+def decompose_movie(movie_path: str, params, net_cfg: NetworkConfig,
+                    results_dir: str, predict_fn=None,
+                    batch_size: int = 8):
+    """helper:1027-1060: baselines + CNN decomposition videos."""
+    images, stats = load_movie(movie_path)
+    orig = os.path.basename(movie_path)[:-4]
+    out_dir = os.path.join(results_dir, "decompositions_sRGB")
+    os.makedirs(out_dir, exist_ok=True)
+    full_path = os.path.join(out_dir, orig + ".mp4")
+
+    save_movie_baseline(full_path, images, stats)
+
+    if predict_fn is None:
+        predict_fn = make_predict_fn(net_cfg)
+    start = timeit.default_timer()
+    res = predict_batched(predict_fn, params, images, batch_size)
+    dt = timeit.default_timer() - start
+    n = images.shape[0]
+    print("Predicting", n, "frames took", dt, "seconds, i.e.,",
+          dt / n, "per frame and", n / dt, "fps.")
+
+    refl, shad = res["reflectance"], res["shading"]
+    save_movie_combined(full_path, images, refl, shad, stats)
+    save_movie_separate(full_path, images, refl, shad, stats)
+    return full_path
+
+
+def decompose_files(files: Sequence[str], params, net_cfg: NetworkConfig,
+                    results_dir: str, batch_size: int = 16):
+    """Per-file dispatch with per-file error containment
+    (helper:410-435)."""
+    predict_fn = make_predict_fn(net_cfg)
+    for f in files:
+        try:
+            if is_image(f):
+                decompose_single_image_in_full_size(
+                    f, params, net_cfg, results_dir, predict_fn)
+            elif is_movie(f):
+                decompose_movie(f, params, net_cfg, results_dir, predict_fn,
+                                batch_size)
+            elif is_numpy(f):
+                decompose_numpy(f, params, net_cfg, predict_fn, batch_size)
+            else:
+                print("\nFile", f, "neither recognized as image, nor movie")
+        except Exception:
+            print("Decomposing file", f, "was not possible")
+            traceback.print_exc()

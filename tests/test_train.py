@@ -1,0 +1,202 @@
+"""Training subsystem tests: description codec, checkpointing, monitors,
+and a small end-to-end fit + eval on synthetic data."""
+import json
+import os
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reflectance_filtering_tpu.models.networks import (
+    NetworkConfig, init_network)
+from reflectance_filtering_tpu.train.description import (
+    get_description, parse_description)
+from reflectance_filtering_tpu.train.checkpoint import (
+    Checkpointer, load_checkpoint, save_checkpoint)
+from reflectance_filtering_tpu.train.loop import (
+    LossConfig, compute_losses, fit, make_optimizer)
+from reflectance_filtering_tpu.train.monitors import (
+    CombineLosses, RunningAverage)
+from reflectance_filtering_tpu.train.predict import (
+    make_predict_fn, predict_and_score, predict_batched)
+from tests.test_whdr import make_blob, random_comps
+
+
+def _args(**kw):
+    defaults = dict(networkType="convStaticSkipLayers", numLayers=5,
+                    num_filters_log=5, kernel_pad=0, dilation=1,
+                    use_batch_normalization=0, RS_est_mode="rDirectly",
+                    whdr_delta_margin_ratio_dense="0.1_0.05_1.0_1",
+                    loss_scale_whdr=10.0, loss_scale_lambert=0,
+                    height=256, width=256, dataset="iiw",
+                    solverType="ADAM", base_lr=0.001,
+                    comparisonsType="comparisons")
+    defaults.update(kw)
+    return types.SimpleNamespace(**defaults)
+
+
+def test_description_matches_reference_example():
+    """The README/SURVEY example string must reproduce exactly."""
+    net_params, desc = get_description(_args())
+    assert desc == ("convStaticSkipLayers_n5_f32_k1_d1_bn0_rDirectly_"
+                    "wdm0.1_0.05_1.0_1_loss[w1.0E+01,l0]_ADAM0.001_"
+                    "comparisons_h256w256iiw")
+
+
+def test_description_roundtrip():
+    args = _args(numLayers=3, num_filters_log=4, kernel_pad=1,
+                 RS_est_mode="rRelMax")
+    _, desc = get_description(args)
+    parsed = parse_description(desc + "_barrista_iter_2000.npz")
+    assert parsed["networkType"] == "convStaticSkipLayers"
+    assert parsed["numLayers"] == 3
+    assert parsed["num_filters_log"] == 4
+    assert parsed["kernel_pad"] == 1
+    assert parsed["RS_est_mode"] == "rRelMax"
+    assert parsed["whdr_delta_margin_ratio_dense"] == "0.1_0.05_1.0_1"
+    assert parsed["iterations"] == 2000
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = NetworkConfig(network_type="convStatic", num_layers=2,
+                        num_filters_log=3, kernel_pad=1,
+                        rs_est_mode="rRelMax")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer("ADAM", 1e-3)
+    opt_state = opt.init(params)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, opt_state, {"iterations": 42})
+    template = init_network(jax.random.PRNGKey(1), cfg)
+    p2, o2, meta = load_checkpoint(path, template, opt.init(template))
+    assert meta["iterations"] == 42
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(jax.tree_util.tree_leaves(o2)) == len(
+        jax.tree_util.tree_leaves(opt_state))
+
+
+def test_checkpointer_interval_naming(tmp_path):
+    cfg = NetworkConfig(network_type="convStatic", num_layers=1,
+                        num_filters_log=2, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    ck = Checkpointer(str(tmp_path), "desc", interval=40)
+    assert ck.maybe_save(20, params) is None
+    p = ck.maybe_save(40, params)
+    assert p.endswith("desc_barrista_iter_40.npz")
+    assert ck.maybe_save(40, params) is None  # double-save prevented
+    ck.maybe_save(60, params, finalize=True)
+    assert ck.highest_iteration() == 60
+
+
+def test_combine_losses_and_running_average():
+    cl = CombineLosses(10.0, 2.0)
+    m = cl(0, {"loss_whdr_hinge": 0.5, "loss_lambert": 0.25})
+    assert m["loss_combined"] == 10.0 * 0.5 + 2.0 * 0.25
+    ra = RunningAverage(train_size=40, batch_size=10)  # 4 slots
+    for step, v in enumerate([0.4, 0.2, np.nan, 0.6]):
+        m = ra(step, {"whdr_original": v})
+    assert abs(m["running_average"] - np.nanmean([0.4, 0.2, np.nan, 0.6])) \
+        < 1e-9
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    rng = np.random.RandomState(0)
+    n, h, w = 6, 24, 24
+    images = (rng.rand(n, h, w, 3).astype(np.float32) * 0.8 + 0.1)
+    comps = np.stack([make_blob(random_comps(rng, 12)) for _ in range(n)])
+    return {"images": images, "comparisons": comps.astype(np.float32)}
+
+
+def test_compute_losses_flagship(tiny_data):
+    cfg = NetworkConfig()  # flagship: skip layers, rDirectly
+    lcfg = LossConfig()
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    total, metrics = compute_losses(
+        params, jnp.asarray(tiny_data["images"][:2]),
+        jnp.asarray(tiny_data["comparisons"][:2]), cfg, lcfg)
+    assert float(total) >= 0
+    assert "loss_whdr_hinge" in metrics and "whdr_original" in metrics
+    # rDirectly: no boundary losses wired (networks.py:256)
+    assert "loss_boundaries_reflectance" not in metrics
+
+
+def test_compute_losses_rrelmax_has_boundaries(tiny_data):
+    cfg = NetworkConfig(network_type="convStatic", num_layers=2,
+                        num_filters_log=3, kernel_pad=1,
+                        rs_est_mode="rRelMax")
+    lcfg = LossConfig()
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    total, metrics = compute_losses(
+        params, jnp.asarray(tiny_data["images"][:2]),
+        jnp.asarray(tiny_data["comparisons"][:2]), cfg, lcfg)
+    assert "loss_boundaries_reflectance" in metrics
+    assert "loss_boundaries_shading" in metrics
+
+
+def test_compute_losses_rs_has_lambert(tiny_data):
+    cfg = NetworkConfig(network_type="convStatic", num_layers=1,
+                        num_filters_log=3, kernel_pad=1, rs_est_mode="RS")
+    lcfg = LossConfig(loss_scale_lambert=1.0)
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    total, metrics = compute_losses(
+        params, jnp.asarray(tiny_data["images"][:2]),
+        jnp.asarray(tiny_data["comparisons"][:2]), cfg, lcfg)
+    assert "loss_lambert" in metrics
+
+
+def test_fit_end_to_end_reduces_loss(tiny_data, tmp_path):
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    lcfg = LossConfig()
+    losses = []
+
+    def track(step, samples, metrics):
+        losses.append(metrics["loss_whdr_hinge"])
+
+    ck = Checkpointer(str(tmp_path), "d", interval=8)
+    state = fit(cfg, lcfg, tiny_data, iterations=48, batch_size=4,
+                base_lr=0.01, random_seed=0, checkpointer=ck,
+                progress=track)
+    assert state.samples == 48
+    assert len(losses) == 12
+    # training should make progress on average
+    assert np.mean(losses[-3:]) <= np.mean(losses[:3]) + 1e-6
+    assert ck.highest_iteration() == 48
+
+
+def test_predict_and_score_artifacts(tiny_data, tmp_path):
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    results_dir = str(tmp_path)
+    score = predict_and_score(tiny_data, params, cfg, results_dir, "desc",
+                              batch_size=4)
+    assert 0 <= score <= 100
+    n = tiny_data["images"].shape[0]
+    score_file = os.path.join(results_dir, "scores",
+                              "desc_imgs{}.txt".format(n))
+    assert os.path.isfile(score_file)
+    assert os.path.isfile(os.path.join(results_dir, "framerates",
+                                       "desc_imgs{}.txt".format(n)))
+    # score cache: re-reads the file instead of recomputing
+    with open(score_file, "w") as f:
+        f.write("12.5")
+    assert predict_and_score(tiny_data, params, cfg, results_dir,
+                             "desc") == 12.5
+
+
+def test_predict_batched_pads_tail(tiny_data):
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    fn = make_predict_fn(cfg)
+    out = predict_batched(fn, params, tiny_data["images"], batch_size=4)
+    assert out["reflectance"].shape[0] == tiny_data["images"].shape[0]
