@@ -1,0 +1,141 @@
+"""Device-mesh parallelism: data-parallel batched eval and training.
+
+The reference is strictly single-GPU (caffe.set_mode_gpu(), helper:143;
+SURVEY.md §2.4 records zero distributed machinery).  The TPU rebuild makes
+whole-test-set evaluation and training data-parallel over a
+``jax.sharding.Mesh``:
+
+  * batch axis 'data' sharded across devices (ICI), params replicated;
+  * XLA inserts the cross-device collectives (grad psum, metric pmean)
+    from the sharding annotations alone — no hand-written NCCL/MPI
+    analogue, as laid out in SURVEY.md §5.8;
+  * spatial sharding of huge single frames lives in parallel/spatial.py.
+
+Everything works identically on a real TPU pod slice and on the CPU
+simulation mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.networks import NetworkConfig, apply_network
+from ..models.recover import recover_reflectance_shading
+from ..train.loop import LossConfig, compute_losses
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D device mesh over the first n devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (e.g. params) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data"):
+    """Shard the leading (batch) axis across the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(x, sharding)
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int):
+    """Pad the batch axis up to a multiple (repeat last element); returns
+    (padded, original_n)."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        x = np.concatenate([x, np.repeat(x[-1:], rem, axis=0)], axis=0)
+    return x, n
+
+
+def make_sharded_eval(net_cfg: NetworkConfig, mesh: Mesh,
+                      delta: float = 0.1, axis: str = "data"):
+    """Build a jitted data-parallel evaluator.
+
+    Returns eval_fn(params, images [N,H,W,3], comparisons [N,K+1,6]) ->
+    (mean_whdr scalar, per_image_whdr [N]).  N must divide by mesh size
+    (use pad_to_multiple + mask host-side).  The mean reduction rides ICI
+    — the pmean of SURVEY.md §5.8 expressed through shardings.
+    """
+    batch_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def _eval(params, images, comparisons):
+        blobs = apply_network(params, images, net_cfg, train=False)
+        mode = net_cfg.rs_est_mode.split("-")[0]
+        if mode == "rDirectly":
+            refl = jax.nn.relu(blobs["RS_est"])
+        else:
+            refl, _ = recover_reflectance_shading(
+                blobs["RS_est"], images, net_cfg.rs_est_mode)
+        per_image = jax.vmap(
+            lambda r, c: _whdr_one(r, c, delta))(refl, comparisons)
+        return jnp.mean(per_image), per_image
+
+    def _whdr_one(r, c, d):
+        from ..losses.whdr import whdr
+        return whdr(r, c, d)
+
+    return jax.jit(_eval,
+                   in_shardings=(rep, batch_sharding, batch_sharding),
+                   out_shardings=(rep, batch_sharding))
+
+
+def make_sharded_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
+                            optimizer, mesh: Mesh, axis: str = "data"):
+    """Build the data-parallel jitted train step.
+
+    Params/opt-state replicated, batch sharded on 'data'; XLA inserts the
+    gradient all-reduce.  Signature matches train.loop.make_train_step's
+    step: (params, opt_state, images, comparisons, key) ->
+    (params, opt_state, metrics).
+    """
+    import optax
+
+    batch_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def loss_fn(params, images, comparisons, key):
+        return compute_losses(params, images, comparisons, net_cfg,
+                              loss_cfg, key, train=True)
+
+    def step(params, opt_state, images, comparisons, key):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, images, comparisons, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, batch_sharding, batch_sharding, rep),
+        out_shardings=(rep, rep, rep))
+
+
+def eval_dataset_sharded(params, X: Dict, net_cfg: NetworkConfig,
+                         mesh: Mesh, delta: float = 0.1,
+                         batch_size: Optional[int] = None):
+    """Data-parallel WHDR over a whole dataset dict; returns (mean, [N])."""
+    n_dev = len(mesh.devices.flatten())
+    images = np.asarray(X["images"], np.float32)
+    comps = np.asarray(X["comparisons"], np.float32)
+    images_p, n = pad_to_multiple(images, n_dev)
+    comps_p, _ = pad_to_multiple(comps, n_dev)
+
+    eval_fn = make_sharded_eval(net_cfg, mesh, delta)
+    params_r = replicate(params, mesh)
+    _, per_image = eval_fn(params_r,
+                           shard_batch(jnp.asarray(images_p), mesh),
+                           shard_batch(jnp.asarray(comps_p), mesh))
+    per_image = np.asarray(per_image)[:n]
+    return float(np.mean(per_image)), per_image

@@ -1,0 +1,118 @@
+"""Spatial sharding with halo exchange — huge single frames across chips.
+
+The image-domain analogue of context/sequence parallelism (SURVEY.md §5.7):
+a 4K+ frame is sharded along its width across the mesh; windowed filters
+need ``halo`` neighbor columns, exchanged ring-style with
+``jax.lax.ppermute`` over ICI inside ``shard_map``.  Global reflect-101
+borders are synthesized locally on the edge shards (a shard always owns
+more than ``halo`` columns), so results are bit-identical to the
+single-device kernels — verified in tests.
+
+Halo widths: bilateral needs r (one windowed pass); the guided filter's
+two box-filter stages compose to an effective 2r receptive field.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.bilateral import opencv_bilateral_params
+
+
+def _exchange_halos_w(local, halo: int, axis_name: str):
+    """Assemble [left_halo | local | right_halo] along axis 1 (width).
+
+    local: [H, W_shard, C].  Neighbor columns travel via ppermute; the
+    outermost shards synthesize reflect-101 columns from their own data.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+
+    right_edge = local[:, -halo:]   # sent rightward (becomes left halo)
+    left_edge = local[:, :halo]     # sent leftward (becomes right halo)
+
+    # ring permutes (wrap-around values are discarded at the edges)
+    from_left = jax.lax.ppermute(
+        right_edge, axis_name,
+        [(i, (i + 1) % n) for i in range(n)])
+    from_right = jax.lax.ppermute(
+        left_edge, axis_name,
+        [(i, (i - 1) % n) for i in range(n)])
+
+    # reflect-101 synthesis at the global borders: global column -k maps to
+    # column k; shard 0's left halo = its own columns [halo..1]
+    reflect_left = local[:, 1:halo + 1][:, ::-1]
+    reflect_right = local[:, -halo - 1:-1][:, ::-1]
+
+    left = jnp.where(idx == 0, reflect_left, from_left)
+    right = jnp.where(idx == n - 1, reflect_right, from_right)
+    return jnp.concatenate([left, local, right], axis=1)
+
+
+def sharded_apply_overlap(fn: Callable, halo: int, mesh: Mesh,
+                          axis: str = "data"):
+    """Lift a local windowed op into a width-sharded op with halo exchange.
+
+    fn maps ([H, W_shard + 2*halo, C], ...) -> [H, W_shard + 2*halo, C']
+    (shape-preserving along W); the wrapper returns the cropped local
+    region.  All array arguments are sharded on width.
+    """
+
+    def local_fn(*arrays):
+        haloed = [_exchange_halos_w(a, halo, axis) for a in arrays]
+        out = fn(*haloed)
+        return out[:, halo:-halo]
+
+    w_shard = P(None, axis, None)
+    n_in = None
+
+    def wrapper(*arrays):
+        specs = tuple(w_shard for _ in arrays)
+        # check_vma=False: the wrapped kernels create fresh (unvarying)
+        # scan carries internally, which the varying-axis checker rejects
+        return shard_map(local_fn, mesh=mesh, in_specs=specs,
+                         out_specs=w_shard, check_vma=False)(*arrays)
+
+    del n_in
+    return wrapper
+
+
+def sharded_box_filter(x, radius: int, mesh: Mesh, axis: str = "data",
+                       border: str = "reflect101"):
+    """Width-sharded box filter (halo = radius).  x: [H, W, C] with W
+    divisible by the mesh size and W/mesh >= radius+1."""
+    from ..ops.boxfilter import box_filter
+
+    # Run the normal kernel on the haloed block: its own width padding only
+    # influences output columns within `radius` of the block edge, all of
+    # which lie in the cropped halo — interior results are exact.
+    def local_simple(block):
+        return box_filter(block, radius, border=border, normalize=True)
+
+    return sharded_apply_overlap(local_simple, radius, mesh, axis)(x)
+
+
+def sharded_joint_bilateral(joint, src, mesh: Mesh, d: int = -1,
+                            sigma_color: float = 20.0,
+                            sigma_space: float = 22.0,
+                            axis: str = "data"):
+    """Width-sharded joint bilateral filter, bit-compatible with
+    ops.bilateral.joint_bilateral_filter.
+
+    joint/src: [H, W, C]; W divisible by mesh size; W/mesh > radius.
+    """
+    from ..ops.bilateral import joint_bilateral_filter
+
+    radius, _, _, _ = opencv_bilateral_params(d, sigma_color, sigma_space)
+
+    def local(joint_blk, src_blk):
+        return joint_bilateral_filter(joint_blk, src_blk, d,
+                                      sigma_color, sigma_space)
+
+    return sharded_apply_overlap(local, radius, mesh, axis)(joint, src)
