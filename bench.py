@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end reflectance pipeline throughput on one TPU chip.
+
+Headline metric (BASELINE.json config 2/5): the paper's flagship filtered
+result BF(CNN, CNN) as one fused device pipeline —
+  sRGB uint8 batch -> linear -> reflectance CNN -> percentile-normalized
+  uint8-scale reflectance image -> joint bilateral (sigma_color=20,
+  sigma_space=22, OpenCV semantics) -> WHDR against packed IIW-style
+  comparisons —
+measured in megapixels/second/chip.  Reference stack: 0.693 s per 0.37 MP
+image = 0.5 MP/s (README.md:84-85, BASELINE.md).
+
+Also reported inside the same JSON line: the GF(CNN, image) pipeline
+(config 3) and the raw CNN decompose throughput (config 1).
+
+Timing discipline: arrays are device-resident, the work loops run inside
+one jitted fori_loop, and completion is forced by a host readback (the
+axon tunnel's block_until_ready is not a reliable fence).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+BATCH = 32
+H = W = 256
+MP = BATCH * H * W / 1e6
+BASELINE_MPS = 0.5  # reference BF(CNN,CNN): ~0.37 MP / 0.693 s
+
+
+def _timed_loop(fn, x, iters):
+    @jax.jit
+    def loop(x0):
+        def body(i, y):
+            out = fn(y)
+            return y + 1e-12 * out  # chain dependence, keep shape
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
+    float(loop(x))  # compile + warm
+    t0 = time.time()
+    float(loop(x))
+    return (time.time() - t0) / iters
+
+
+def main():
+    from reflectance_filtering_tpu.models.caffe_io import (
+        load_reference_weights)
+    from reflectance_filtering_tpu.models.networks import (
+        reference_params_from_caffe)
+    from reflectance_filtering_tpu.ops.cnn_pallas import (
+        pack_weights, reflectance_cnn_pallas)
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        bilateral_gray_self_batched)
+    from reflectance_filtering_tpu.ops.guided import guided_filter_planar
+    from reflectance_filtering_tpu.losses.whdr import whdr_batch
+
+    params = reference_params_from_caffe(load_reference_weights())
+    packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
+
+    rng = np.random.RandomState(0)
+    imgs = jax.device_put(
+        rng.rand(BATCH, H, W, 3).astype(np.float32))  # sRGB in [0,1]
+    k = 120
+    comps = np.full((BATCH, k + 1, 6), np.nan, np.float32)
+    comps[:, :k, :4] = rng.rand(BATCH, k, 4)
+    comps[:, :k, 4] = rng.randint(0, 3, (BATCH, k))
+    comps[:, :k, 5] = rng.rand(BATCH, k)
+    comps[:, k, 0] = k
+    comps[:, k, 1] = 1.0
+    comps[:, k, 2] = 0
+    comps = jax.device_put(comps)
+
+    def cnn_stage(x):
+        # fused uint8-free path: sRGB [B,H,W,3] -> reflectance [B,H,W]
+        return reflectance_cnn_pallas(packed, x, srgb_input=True)
+
+    def to_u8_scale(refl):
+        # imwrite quirk: normalize by 99.9th percentile ('lower'), clip,
+        # *255, truncate (image_utils.py:60-73) — emulated on device
+        flat = refl.reshape(refl.shape[0], -1)
+        q = jnp.quantile(flat, 0.999, axis=1, method="lower")
+        r = jnp.clip(refl / q[:, None, None], 0.0, 1.0)
+        return jnp.floor(r * 255.0)
+
+    def bf_pipeline(x):
+        refl = cnn_stage(x)
+        r_u8 = to_u8_scale(refl)
+        # -r.png is grayscale; imread replicates channels -> the gray
+        # self-guided kernel is exact for BF(CNN,CNN)
+        filt = bilateral_gray_self_batched(r_u8, -1, 20.0, 22.0)
+        filt_hwc = (filt / 255.0)[..., None]
+        score = whdr_batch(filt_hwc, comps)
+        return x + 1e-12 * (score + jnp.sum(filt) * 0)
+
+    def gf_pipeline(x):
+        refl = cnn_stage(x)
+        r_u8 = to_u8_scale(refl)
+        plan = jnp.stack([r_u8, r_u8, r_u8], axis=1)
+        guide = jnp.moveaxis(jnp.floor(x * 255.0), -1, 1)
+        filt = guided_filter_planar(guide, plan, 45, 3.0)
+        filt_hwc = jnp.moveaxis(filt, 1, -1) / 255.0
+        score = whdr_batch(filt_hwc, comps)
+        return x + 1e-12 * (score + jnp.sum(filt) * 0)
+
+    def cnn_only(x):
+        refl = cnn_stage(x)
+        return x + 1e-12 * jnp.sum(refl)
+
+    t_cnn = _timed_loop(cnn_only, imgs, 50)
+    t_gf = _timed_loop(gf_pipeline, imgs, 20)
+    t_bf = _timed_loop(bf_pipeline, imgs, 8)
+
+    bf_mps = MP / t_bf
+    gf_mps = MP / t_gf
+    cnn_mps = MP / t_cnn
+
+    print(json.dumps({
+        "metric": "BF(CNN,CNN) end-to-end megapixels/sec/chip "
+                  "(CNN+percentile-norm+joint-bilateral c20 s22+WHDR)",
+        "value": round(bf_mps, 2),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(bf_mps / BASELINE_MPS, 1),
+        "gf_pipeline_mps": round(gf_mps, 2),
+        "cnn_decompose_mps": round(cnn_mps, 2),
+        "batch": BATCH, "resolution": [H, W],
+    }))
+
+
+if __name__ == "__main__":
+    main()

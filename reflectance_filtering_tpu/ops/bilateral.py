@@ -126,7 +126,16 @@ def joint_bilateral_filter(joint, src, d: int = -1,
 def joint_bilateral_filter_u8(joint_u8, src_u8, d: int = -1,
                               sigma_color: float = 20.0,
                               sigma_space: float = 22.0) -> np.ndarray:
-    """uint8 wrapper with cvRound (round-half-to-even) output."""
-    out = joint_bilateral_filter(joint_u8, src_u8, d, sigma_color,
-                                 sigma_space)
+    """uint8 wrapper with cvRound (round-half-to-even) output.
+
+    Dispatches to the Pallas kernel on TPU (bilateral_pallas.py), to the
+    XLA scan otherwise; both implement the same OpenCV semantics."""
+    if jax.default_backend() == "tpu":
+        from .bilateral_pallas import joint_bilateral_filter_fast
+
+        out = joint_bilateral_filter_fast(joint_u8, src_u8, d,
+                                          sigma_color, sigma_space)
+    else:
+        out = joint_bilateral_filter(joint_u8, src_u8, d, sigma_color,
+                                     sigma_space)
     return np.clip(np.rint(np.asarray(out)), 0, 255).astype(np.uint8)

@@ -1,0 +1,259 @@
+"""Pallas joint-bilateral kernel — VMEM-tiled, fused tap loop.
+
+Same semantics as ops/bilateral.py (OpenCV jointBilateralFilter, SURVEY.md
+N3): disk window of radius r, range weight on summed-abs channel
+difference of the *joint* image, reflect-101 borders.
+
+Kernel shape:
+  * input padded host-side by r in H and W (reflect-101), channels planar:
+    joint [3, Hp, Wp], src [3, Hp, Wp], lane dim padded to 128, sublane
+    block dims to 8 (Mosaic dynamic-rotate alignment requirements);
+  * grid over H-tiles; each step DMAs an overlapping row block per channel
+    into VMEM scratch (overlapping blocks are not expressible with
+    BlockSpec index maps, hence manual DMA);
+  * nested dy/dx loops over the (2r+1)^2 taps.  The dy (sublane) shift is
+    hoisted out of the inner loop: per dy, all six planes are rotated once;
+    per dx only a lane rotate + the weight/accumulate math runs.  Range and
+    spatial weights fuse into one exp:
+        w = in_disk * exp(diff^2 * gcc + (dy^2+dx^2) * gsc)
+  * accumulators are fori_loop carries in VMEM; one divide at the end.
+
+The XLA scan formulation (ops/bilateral.py) re-materializes HBM-sized
+intermediates per tap; this kernel touches HBM once per tile.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bilateral import opencv_bilateral_params
+
+
+def _kernel(joint_hbm, src_hbm, out_ref, jscr, sscr, sem,
+            *, radius: int, th: int, wout: int, rows: int,
+            gcc: float, gsc: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    d = 2 * radius + 1
+
+    cp = pltpu.make_async_copy(
+        joint_hbm.at[b, :, pl.ds(i * th, rows), :], jscr, sem)
+    cp.start()
+    cp.wait()
+    cp = pltpu.make_async_copy(
+        src_hbm.at[b, :, pl.ds(i * th, rows), :], sscr, sem)
+    cp.start()
+    cp.wait()
+
+    wpad = jscr.shape[2]
+    # centers at full padded width (aligned ops); the valid region is
+    # lanes [radius, radius+wout) and gets cropped at the out write
+    c0 = jscr[0, radius:radius + th, :]
+    c1 = jscr[1, radius:radius + th, :]
+    c2 = jscr[2, radius:radius + th, :]
+
+    def dy_body(dy, carry):
+        # hoist the sublane rotate: planes shifted by dy, cropped to th rows
+        jy = [pltpu.roll(jscr[c], rows - dy, 0)[:th, :] for c in range(3)]
+        sy = [pltpu.roll(sscr[c], rows - dy, 0)[:th, :] for c in range(3)]
+        fy = (dy - radius).astype(jnp.float32)
+        fy2 = fy * fy
+        a0, a1, a2, wsum = carry
+
+        # static dx unroll with incremental roll-by-1.  Tap dx reads
+        # plane[l + dx - radius] at center lane l, so the dx=0 start is the
+        # plane rolled forward by +radius; each step then rolls back by 1.
+        cur = [pltpu.roll(p, radius, 1) for p in jy + sy]
+        for dx in range(d):
+            fx = float(dx - radius)
+            r2 = fy2 + fx * fx
+            diff = (jnp.abs(cur[0] - c0) + jnp.abs(cur[1] - c1) +
+                    jnp.abs(cur[2] - c2))
+            w = jnp.exp(diff * diff * gcc + r2 * gsc)
+            w = jnp.where(r2 > float(radius * radius), 0.0, w)
+            a0 = a0 + w * cur[3]
+            a1 = a1 + w * cur[4]
+            a2 = a2 + w * cur[5]
+            wsum = wsum + w
+            if dx + 1 < d:
+                cur = [pltpu.roll(p, wpad - 1, 1) for p in cur]
+        return a0, a1, a2, wsum
+
+    zero = jnp.zeros((th, wpad), jnp.float32)
+    a0, a1, a2, wsum = jax.lax.fori_loop(
+        0, d, dy_body, (zero, zero, zero, zero))
+    inv = 1.0 / wsum
+    out_ref[0, 0] = (a0 * inv)[:, radius:radius + wout]
+    out_ref[0, 1] = (a1 * inv)[:, radius:radius + wout]
+    out_ref[0, 2] = (a2 * inv)[:, radius:radius + wout]
+
+
+@functools.partial(jax.jit, static_argnames=("d", "sigma_color",
+                                             "sigma_space", "th"))
+def joint_bilateral_planar_batched(joint, src, d: int = -1,
+                                   sigma_color: float = 20.0,
+                                   sigma_space: float = 22.0,
+                                   th: int = 64):
+    """Planar joint bilateral: joint/src [N, 3, H, W] float32 (0-255
+    units) -> [N, 3, H, W] float32.  Batch is a grid dimension (vmap of
+    pallas_call trips a JAX lowering bug and would also re-pad per
+    image)."""
+    radius, gcc, gsc, _taps = opencv_bilateral_params(
+        d, sigma_color, sigma_space)
+    n, _, h, wid = joint.shape
+
+    hp_tiles = -(-h // th)
+    hpad = hp_tiles * th
+    # sublane block dim (rows DMA'd per tile) must be a multiple of 8
+    rows = -(-(th + 2 * radius) // 8) * 8
+    # lane dim must be a multiple of 128 for dynamic rotates
+    wpad = -(-(wid + 2 * radius) // 128) * 128
+
+    jp = jnp.pad(joint, [(0, 0), (0, 0), (radius, radius),
+                         (radius, radius)], mode="reflect")
+    sp = jnp.pad(src, [(0, 0), (0, 0), (radius, radius),
+                       (radius, radius)], mode="reflect")
+    extra_h = (hpad - h) + (rows - (th + 2 * radius))
+    extra_w = wpad - (wid + 2 * radius)
+    if extra_h or extra_w:
+        jp = jnp.pad(jp, [(0, 0), (0, 0), (0, extra_h), (0, extra_w)])
+        sp = jnp.pad(sp, [(0, 0), (0, 0), (0, extra_h), (0, extra_w)])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, radius=radius, th=th, wout=wid,
+                          rows=rows, gcc=float(gcc), gsc=float(gsc)),
+        out_shape=jax.ShapeDtypeStruct((n, 3, hpad, wid), jnp.float32),
+        grid=(n, hp_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 3, th, wid), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, rows, wpad), jnp.float32),
+            pltpu.VMEM((3, rows, wpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(jp, sp)
+    return out[:, :, :h, :]
+
+
+def joint_bilateral_planar(joint, src, d: int = -1,
+                           sigma_color: float = 20.0,
+                           sigma_space: float = 22.0,
+                           th: int = 64):
+    """Unbatched planar wrapper: [3, H, W] -> [3, H, W]."""
+    return joint_bilateral_planar_batched(joint[None], src[None], d,
+                                          sigma_color, sigma_space, th)[0]
+
+
+def _kernel_gray_self(x_hbm, out_ref, xscr, sem,
+                      *, radius: int, th: int, wout: int, rows: int,
+                      gcc: float, gsc: float):
+    """Specialized kernel: joint == src and all channels identical (the
+    BF(CNN,CNN) headline config — the CNN's -r output is grayscale, and
+    cv2.imread replicates it to 3 channels, so diff = 3*|dx| and all
+    output channels are equal).  One plane instead of six."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    d = 2 * radius + 1
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * th, rows), :], xscr, sem)
+    cp.start()
+    cp.wait()
+
+    wpad = xscr.shape[1]
+    center = xscr[radius:radius + th, :]
+    # range weight on 3*|delta| (three identical channels)
+    g9 = gcc * 9.0
+
+    def dy_body(dy, carry):
+        acc, wsum = carry
+        plane = pltpu.roll(xscr[...], rows - dy, 0)[:th, :]
+        fy = (dy - radius).astype(jnp.float32)
+        fy2 = fy * fy
+        cur = pltpu.roll(plane, radius, 1)
+        for dx in range(d):
+            fx = float(dx - radius)
+            r2 = fy2 + fx * fx
+            diff = cur - center
+            w = jnp.exp(diff * diff * g9 + r2 * gsc)
+            w = jnp.where(r2 > float(radius * radius), 0.0, w)
+            acc = acc + w * cur
+            wsum = wsum + w
+            if dx + 1 < d:
+                cur = pltpu.roll(cur, wpad - 1, 1)
+        return acc, wsum
+
+    zero = jnp.zeros((th, wpad), jnp.float32)
+    acc, wsum = jax.lax.fori_loop(0, d, dy_body, (zero, zero))
+    out_ref[0] = (acc / wsum)[:, radius:radius + wout]
+
+
+@functools.partial(jax.jit, static_argnames=("d", "sigma_color",
+                                             "sigma_space", "th"))
+def bilateral_gray_self_batched(x, d: int = -1,
+                                sigma_color: float = 20.0,
+                                sigma_space: float = 22.0,
+                                th: int = 64):
+    """Self-guided grayscale bilateral: x [N, H, W] float32 (0-255 units,
+    interpreted as 3 identical channels) -> [N, H, W].
+
+    Bit-compatible with joint_bilateral_filter(joint=stack([x]*3), src=
+    same) up to f32 rounding; ~3x the throughput of the color kernel."""
+    radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
+                                                  sigma_space)
+    n, h, wid = x.shape
+    hp_tiles = -(-h // th)
+    hpad = hp_tiles * th
+    rows = -(-(th + 2 * radius) // 8) * 8
+    wpad = -(-(wid + 2 * radius) // 128) * 128
+
+    xp = jnp.pad(x, [(0, 0), (radius, radius), (radius, radius)],
+                 mode="reflect")
+    extra_h = (hpad - h) + (rows - (th + 2 * radius))
+    extra_w = wpad - (wid + 2 * radius)
+    if extra_h or extra_w:
+        xp = jnp.pad(xp, [(0, 0), (0, extra_h), (0, extra_w)])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_gray_self, radius=radius, th=th,
+                          wout=wid, rows=rows, gcc=float(gcc),
+                          gsc=float(gsc)),
+        out_shape=jax.ShapeDtypeStruct((n, hpad, wid), jnp.float32),
+        grid=(n, hp_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, th, wid), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, wpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp)
+    return out[:, :h, :]
+
+
+def joint_bilateral_filter_fast(joint, src, d: int = -1,
+                                sigma_color: float = 20.0,
+                                sigma_space: float = 22.0):
+    """HWC adapter over the planar kernel ([H,W,C] or [H,W] in/out)."""
+    joint = jnp.asarray(joint, jnp.float32)
+    src = jnp.asarray(src, jnp.float32)
+    squeeze = src.ndim == 2
+    if joint.ndim == 2:
+        joint = jnp.stack([joint] * 3, axis=0)
+    else:
+        joint = jnp.moveaxis(joint, -1, 0)
+    if src.ndim == 2:
+        srcp = jnp.stack([src] * 3, axis=0)
+    else:
+        srcp = jnp.moveaxis(src, -1, 0)
+    out = joint_bilateral_planar(joint, srcp, d, sigma_color, sigma_space)
+    if squeeze:
+        return out[0]
+    return jnp.moveaxis(out, 0, -1)

@@ -41,6 +41,13 @@ def _box(x, radius):
     return box_filter(x, radius, border=_BORDER)
 
 
+def _box_planar(x, radius):
+    """Box filter on [B, H, W] planar stacks via the Pallas kernel."""
+    from .box_pallas import box_filter_pallas
+
+    return box_filter_pallas(x, radius, border=_BORDER)
+
+
 def _guided_filter_color(I, p, radius: int, eps: float):
     """Color (3-channel) guide; p is [..., H, W, C_src]."""
     mean_I = _box(I, radius)                               # [...,H,W,3]
@@ -93,6 +100,67 @@ def _guided_filter_color(I, p, radius: int, eps: float):
     return q
 
 
+def _guided_filter_color_planar(I, p, radius: int, eps):
+    """Channels-planar color-guide path for TPU (Pallas box filter).
+
+    I: [N, 3, H, W]; p: [N, C, H, W].  All box filters run on [N*K, H, W]
+    stacks (pixels on lanes — full VPU lane utilization); the only layout
+    transposes are at the public entry/exit.  Same math as
+    :func:`_guided_filter_color`.
+    """
+    n, _, h, wid = I.shape
+    c = p.shape[1]
+
+    def boxp(x):  # x: [N, K, H, W] -> box over H,W per plane
+        k = x.shape[1]
+        return _box_planar(x.reshape(n * k, h, wid), radius).reshape(
+            n, k, h, wid)
+
+    mean_I = boxp(I)                                        # [N,3,H,W]
+    mean_p = boxp(p)                                        # [N,C,H,W]
+
+    Ip = I[:, :, None] * p[:, None]                         # [N,3,C,H,W]
+    cov_Ip = boxp(Ip.reshape(n, 3 * c, h, wid)).reshape(n, 3, c, h, wid)
+    cov_Ip = cov_Ip - mean_I[:, :, None] * mean_p[:, None]
+
+    # unique entries of the symmetric 3x3 second-moment matrix
+    pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    II = jnp.stack([I[:, a] * I[:, b] for a, b in pairs], axis=1)
+    m = boxp(II)                                            # [N,6,H,W]
+    rr = m[:, 0] - mean_I[:, 0] * mean_I[:, 0] + eps
+    rg = m[:, 1] - mean_I[:, 0] * mean_I[:, 1]
+    rb = m[:, 2] - mean_I[:, 0] * mean_I[:, 2]
+    gg = m[:, 3] - mean_I[:, 1] * mean_I[:, 1] + eps
+    gb = m[:, 4] - mean_I[:, 1] * mean_I[:, 2]
+    bb = m[:, 5] - mean_I[:, 2] * mean_I[:, 2] + eps
+
+    c00 = gg * bb - gb * gb
+    c01 = gb * rb - rg * bb
+    c02 = rg * gb - gg * rb
+    c11 = rr * bb - rb * rb
+    c12 = rb * rg - rr * gb
+    c22 = rr * gg - rg * rg
+    inv_det = 1.0 / (rr * c00 + rg * c01 + rb * c02)
+
+    cov0, cov1, cov2 = cov_Ip[:, 0], cov_Ip[:, 1], cov_Ip[:, 2]  # [N,C,H,W]
+    a0 = (c00[:, None] * cov0 + c01[:, None] * cov1 +
+          c02[:, None] * cov2) * inv_det[:, None]
+    a1 = (c01[:, None] * cov0 + c11[:, None] * cov1 +
+          c12[:, None] * cov2) * inv_det[:, None]
+    a2 = (c02[:, None] * cov0 + c12[:, None] * cov1 +
+          c22[:, None] * cov2) * inv_det[:, None]
+
+    b = mean_p - (a0 * mean_I[:, 0:1] + a1 * mean_I[:, 1:2] +
+                  a2 * mean_I[:, 2:3])                      # [N,C,H,W]
+
+    stacked = jnp.concatenate([a0, a1, a2, b], axis=1)      # [N,4C,H,W]
+    means = boxp(stacked)
+    ma0, ma1, ma2, mb = (means[:, :c], means[:, c:2 * c],
+                         means[:, 2 * c:3 * c], means[:, 3 * c:])
+    q = (ma0 * I[:, 0:1] + ma1 * I[:, 1:2] + ma2 * I[:, 2:3] + mb)
+    return q                                                # [N,C,H,W]
+
+
 def _guided_filter_gray(I, p, radius: int, eps: float):
     """Scalar guide; I is [..., H, W], p is [..., H, W, C_src].
 
@@ -109,6 +177,15 @@ def _guided_filter_gray(I, p, radius: int, eps: float):
     a = cov_Ip / (var_I + eps)
     b = mean_p - a * mean_I
     return _box(a, radius) * Ic + _box(b, radius)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def guided_filter_planar(guide, src, radius: int, eps):
+    """TPU fast path: guide [N,3,H,W], src [N,C,H,W] channels-planar
+    float32 -> [N,C,H,W].  Uses the Pallas box kernel throughout."""
+    return _guided_filter_color_planar(guide.astype(jnp.float32),
+                                       src.astype(jnp.float32),
+                                       radius, jnp.asarray(eps, jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "batched"))
@@ -139,8 +216,18 @@ def guided_filter(guide, src, radius: int, eps, batched: bool = False):
 
 
 def guided_filter_u8(guide_u8, src_u8, radius: int, eps) -> np.ndarray:
-    """uint8 wrapper with OpenCV rounding: float math, rint, clip to 0-255."""
-    q = guided_filter(jnp.asarray(guide_u8), jnp.asarray(src_u8),
-                      radius, eps)
-    q = np.asarray(q)
+    """uint8 wrapper with OpenCV rounding: float math, rint, clip to 0-255.
+
+    Uses the channels-planar Pallas path on TPU for color guides."""
+    guide_u8 = np.asarray(guide_u8)
+    src_u8 = np.asarray(src_u8)
+    if (jax.default_backend() == "tpu" and guide_u8.ndim == 3
+            and guide_u8.shape[-1] == 3 and src_u8.ndim == 3):
+        gp = jnp.asarray(np.moveaxis(guide_u8, -1, 0)[None])
+        sp = jnp.asarray(np.moveaxis(src_u8, -1, 0)[None])
+        q = np.moveaxis(np.asarray(
+            guided_filter_planar(gp, sp, radius, eps))[0], 0, -1)
+    else:
+        q = np.asarray(guided_filter(jnp.asarray(guide_u8),
+                                     jnp.asarray(src_u8), radius, eps))
     return np.clip(np.rint(q), 0, 255).astype(np.uint8)

@@ -1,0 +1,112 @@
+"""Pallas kernel tests (run in TPU-interpret mode on the CPU test mesh).
+
+Each kernel is validated against the already-tested XLA ops (which are
+themselves validated against numpy/cv2 oracles in test_filters.py and
+test_model.py), closing the chain kernel -> XLA op -> oracle.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from reflectance_filtering_tpu.ops.box_pallas import (
+    box_filter_pallas, box_filter_auto)
+from reflectance_filtering_tpu.ops.boxfilter import box_filter
+from reflectance_filtering_tpu.ops.bilateral import joint_bilateral_filter
+from reflectance_filtering_tpu.ops.bilateral_pallas import (
+    joint_bilateral_planar_batched, bilateral_gray_self_batched,
+    joint_bilateral_filter_fast)
+from reflectance_filtering_tpu.ops.guided import (
+    guided_filter, guided_filter_planar)
+from reflectance_filtering_tpu.models.caffe_io import load_reference_weights
+from reflectance_filtering_tpu.models.networks import (
+    reference_params_from_caffe, reflectance_net_apply)
+from reflectance_filtering_tpu.ops.cnn_pallas import (
+    pack_weights, reflectance_cnn_pallas)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("radius,border", [(1, "reflect"), (4, "reflect"),
+                                           (8, "reflect101")])
+def test_box_pallas_matches_xla(radius, border, rng):
+    x = (rng.rand(3, 40, 50) * 255).astype(np.float32)
+    got = np.asarray(box_filter_pallas(jnp.asarray(x), radius, border))
+    exp = np.moveaxis(np.asarray(box_filter(
+        jnp.asarray(np.moveaxis(x, 0, -1)), radius, border=border)), -1, 0)
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=5e-3)
+
+
+def test_box_auto_layouts(rng):
+    x = (rng.rand(2, 24, 30, 3) * 255).astype(np.float32)
+    got = np.asarray(box_filter_auto(jnp.asarray(x), 3))
+    exp = np.asarray(box_filter(jnp.asarray(x), 3))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=5e-3)
+
+
+def test_bilateral_planar_matches_xla(rng):
+    joint = (rng.rand(30, 40, 3) * 255).astype(np.float32)
+    src = (rng.rand(30, 40, 3) * 255).astype(np.float32)
+    got = np.asarray(joint_bilateral_filter_fast(joint, src, -1, 20.0, 3.0))
+    exp = np.asarray(joint_bilateral_filter(joint, src, -1, 20.0, 3.0))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=2e-3)
+
+
+def test_bilateral_gray_self_matches_xla(rng):
+    g = (rng.rand(30, 40) * 255).astype(np.float32)
+    g3 = np.stack([g] * 3, axis=-1)
+    exp = np.asarray(joint_bilateral_filter(g3, g3, -1, 20.0, 3.0))[..., 0]
+    got = np.asarray(bilateral_gray_self_batched(
+        jnp.asarray(g[None]), -1, 20.0, 3.0))[0]
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=2e-3)
+
+
+def test_bilateral_batched_grid(rng):
+    joint = (rng.rand(2, 3, 24, 32) * 255).astype(np.float32)
+    src = (rng.rand(2, 3, 24, 32) * 255).astype(np.float32)
+    got = np.asarray(joint_bilateral_planar_batched(
+        jnp.asarray(joint), jnp.asarray(src), -1, 15.0, 2.0))
+    for b in range(2):
+        exp = np.asarray(joint_bilateral_filter(
+            np.moveaxis(joint[b], 0, -1), np.moveaxis(src[b], 0, -1),
+            -1, 15.0, 2.0))
+        np.testing.assert_allclose(np.moveaxis(got[b], 0, -1), exp,
+                                   rtol=1e-4, atol=2e-3)
+
+
+def test_guided_planar_matches_nhwc(rng):
+    I = (rng.rand(2, 30, 40, 3) * 255).astype(np.float32)
+    p = (rng.rand(2, 30, 40, 3) * 255).astype(np.float32)
+    exp = np.asarray(guided_filter(jnp.asarray(I), jnp.asarray(p),
+                                   4, 9.0, batched=True))
+    got = np.moveaxis(np.asarray(guided_filter_planar(
+        jnp.asarray(np.moveaxis(I, -1, 1)),
+        jnp.asarray(np.moveaxis(p, -1, 1)), 4, 9.0)), 1, -1)
+    np.testing.assert_allclose(got, exp, rtol=1e-3, atol=0.05)
+
+
+def test_cnn_pallas_matches_reference_forward(rng):
+    params = reference_params_from_caffe(load_reference_weights())
+    packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
+    img = rng.rand(2, 20, 24, 3).astype(np.float32)
+    exp = np.asarray(reflectance_net_apply(params, jnp.asarray(img)))[..., 0]
+    got = np.asarray(reflectance_cnn_pallas(packed, jnp.asarray(img)))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+
+def test_cnn_pallas_srgb_fused(rng):
+    from reflectance_filtering_tpu.utils.image import srgb_to_rgb
+    params = reference_params_from_caffe(load_reference_weights())
+    packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
+    img = rng.rand(1, 16, 16, 3).astype(np.float32)
+    exp = np.asarray(reflectance_net_apply(
+        params, jnp.asarray(srgb_to_rgb(img).astype(np.float32))))[..., 0]
+    got = np.asarray(reflectance_cnn_pallas(packed, jnp.asarray(img),
+                                            srgb_input=True))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
