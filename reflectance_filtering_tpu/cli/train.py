@@ -178,20 +178,25 @@ def fit_predict_net(args, results_dir: str):
                                    args.loss_scale_boundaries01,
                                    args.loss_scale_lambert)
 
-        init_params = None
-        if args.startOver and args.predictCaffemodel:
-            print("Load initial weights from:", args.predictCaffemodel)
-            init_params = _load_params_any(args.predictCaffemodel, net_cfg)
-
-        start_train = timeit.default_timer()
-        print("Starting the training for", iterations, "iterations.")
-        sys.stdout.flush()
-        fit(net_cfg, loss_cfg, X, iterations, args.batch_size,
-            args.solverType, args.base_lr, args.random_seed,
-            args.comparisonsType, init_params=init_params,
-            callbacks=callbacks, checkpointer=checkptr, progress=progress)
-        training_time = timeit.default_timer() - start_train
-        print("Total training time is", training_time)
+        # startOver gates whether training runs at all (helper:281-294);
+        # with startOver=0 only the post-training evaluation executes
+        # against existing snapshots.
+        if args.startOver:
+            init_params = None
+            if args.predictCaffemodel:
+                print("Load initial weights from:", args.predictCaffemodel)
+                init_params = _load_params_any(args.predictCaffemodel,
+                                               net_cfg)
+            start_train = timeit.default_timer()
+            print("Starting the training for", iterations, "iterations.")
+            sys.stdout.flush()
+            fit(net_cfg, loss_cfg, X, iterations, args.batch_size,
+                args.solverType, args.base_lr, args.random_seed,
+                args.comparisonsType, init_params=init_params,
+                callbacks=callbacks, checkpointer=checkptr,
+                progress=progress)
+            training_time = timeit.default_timer() - start_train
+            print("Total training time is", training_time)
 
         # evaluate final + all intermediate checkpoints (helper:300-364)
         predict_fn = make_predict_fn(net_cfg)

@@ -282,7 +282,12 @@ def load_movie(filename: str):
 
 
 def _frame_to_bgr_u8(frame_hwc: np.ndarray) -> np.ndarray:
-    """helper:621-632: linear -> sRGB, clip 0-1, *255, uint8, RGB->BGR."""
+    """helper:621-632: linear -> sRGB, clip 0-1, *255, uint8, RGB->BGR.
+
+    Grayscale (1-channel, e.g. rDirectly reflectance) is replicated to RGB
+    (the reference's _color helper, helper:649-650)."""
+    if frame_hwc.shape[-1] == 1:
+        frame_hwc = np.repeat(frame_hwc, 3, axis=-1)
     srgb = rgb_to_srgb(frame_hwc)
     u8 = (np.clip(srgb, 0, 1) * 255).astype("u1")
     return u8[:, :, ::-1]
