@@ -135,6 +135,68 @@ def box_filter_pallas(x, radius: int, border: str = "reflect",
     return out[:, :, :wid]
 
 
+def _fused_kernel(x_hbm, out_ref, scr, sem, *, w: int, th: int, tw: int,
+                  rows: int, radius: int, scale: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * th, rows), pl.ds(j * tw, scr.shape[1])],
+        scr, sem)
+    cp.start()
+    cp.wait()
+
+    s = _window_sum_tile(scr[...], w, axis=1)   # W pass (lanes)
+    s = _window_sum_tile(s, w, axis=0)          # H pass (sublanes)
+    out_ref[0] = s[:th, :tw] * scale
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "border",
+                                             "normalize", "th", "tw"))
+def box_filter_fused(x, radius: int, border: str = "reflect",
+                     normalize: bool = True, th: int = 128, tw: int = 512):
+    """Single-kernel box filter: overlapping 2-D tiles DMA'd through VMEM,
+    both axis passes fused — ~half the HBM traffic of the two-pass
+    version.  x: [B, H, W] float32."""
+    if radius == 0:
+        return x
+    b, h, wid = x.shape
+    w = 2 * radius + 1
+    th = min(th, -(-h // 8) * 8)
+    tw = min(tw, -(-wid // 128) * 128)
+
+    nh = -(-h // th)
+    nw = -(-wid // tw)
+    rows = -(-(th + 2 * radius) // 8) * 8
+    lanes = -(-(tw + 2 * radius) // 128) * 128
+
+    xp = jnp.pad(x, [(0, 0), (radius, radius), (radius, radius)],
+                 mode=_PAD_MODE[border])
+    # tail padding so every tile's DMA window exists
+    extra_h = (nh * th + rows - th) - (h + 2 * radius)
+    extra_w = (nw * tw + lanes - tw) - (wid + 2 * radius)
+    if extra_h > 0 or extra_w > 0:
+        xp = jnp.pad(xp, [(0, 0), (0, max(extra_h, 0)),
+                          (0, max(extra_w, 0))])
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, w=w, th=th, tw=tw, rows=rows,
+                          radius=radius,
+                          scale=1.0 / (w * w) if normalize else 1.0),
+        out_shape=jax.ShapeDtypeStruct((b, nh * th, nw * tw), jnp.float32),
+        grid=(b, nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, th, tw), lambda bb, i, j: (bb, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp)
+    return out[:, :h, :wid]
+
+
 def box_filter_auto(x, radius: int, border: str = "reflect",
                     normalize: bool = True):
     """[..., H, W, C] / [H, W] adapter: folds leading+channel axes into B

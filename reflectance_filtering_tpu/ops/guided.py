@@ -116,17 +116,18 @@ def _guided_filter_color_planar(I, p, radius: int, eps):
         return _box_planar(x.reshape(n * k, h, wid), radius).reshape(
             n, k, h, wid)
 
-    mean_I = boxp(I)                                        # [N,3,H,W]
-    mean_p = boxp(p)                                        # [N,C,H,W]
-
-    Ip = I[:, :, None] * p[:, None]                         # [N,3,C,H,W]
-    cov_Ip = boxp(Ip.reshape(n, 3 * c, h, wid)).reshape(n, 3, c, h, wid)
-    cov_Ip = cov_Ip - mean_I[:, :, None] * mean_p[:, None]
-
-    # unique entries of the symmetric 3x3 second-moment matrix
+    # one fused box pass over all first/second-moment planes:
+    # [I(3) | p(C) | I*p(3C) | unique(I x I)(6)]
     pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    Ip = (I[:, :, None] * p[:, None]).reshape(n, 3 * c, h, wid)
     II = jnp.stack([I[:, a] * I[:, b] for a, b in pairs], axis=1)
-    m = boxp(II)                                            # [N,6,H,W]
+    moments = boxp(jnp.concatenate([I, p, Ip, II], axis=1))
+    mean_I = moments[:, 0:3]
+    mean_p = moments[:, 3:3 + c]
+    cov_Ip = moments[:, 3 + c:3 + c + 3 * c].reshape(n, 3, c, h, wid)
+    cov_Ip = cov_Ip - mean_I[:, :, None] * mean_p[:, None]
+    m = moments[:, 3 + c + 3 * c:]
+
     rr = m[:, 0] - mean_I[:, 0] * mean_I[:, 0] + eps
     rg = m[:, 1] - mean_I[:, 0] * mean_I[:, 1]
     rb = m[:, 2] - mean_I[:, 0] * mean_I[:, 2]
@@ -213,6 +214,21 @@ def guided_filter(guide, src, radius: int, eps, batched: bool = False):
         raise ValueError("guide shape {} invalid (batched={})".format(
             guide.shape, batched))
     return q[..., 0] if squeeze else q
+
+
+def guided_filter_iterated(guide, src, radius: int, eps,
+                           iterations: int = 3, planar: bool = False):
+    """Repeatedly guided-filter ``src`` against the same guide — the
+    Zoran-style '3x iterated GF' chain of BASELINE.json config 4
+    (reference README.md:88).  planar=True takes/returns [N,C,H,W]."""
+    out = src
+    for _ in range(iterations):
+        if planar:
+            out = guided_filter_planar(guide, out, radius, eps)
+        else:
+            out = guided_filter(guide, out, radius, eps,
+                                batched=(jnp.ndim(src) == 4))
+    return out
 
 
 def guided_filter_u8(guide_u8, src_u8, radius: int, eps) -> np.ndarray:

@@ -36,6 +36,20 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None):
+    """Join a multi-host (DCN) job: jax.distributed.initialize + global
+    mesh over all hosts' devices (SURVEY.md §5.8).  On a pod slice with
+    TPU metadata available, all args auto-detect.  Returns the global
+    mesh; data-parallel eval shards batches across hosts, collectives
+    ride ICI within a slice and DCN across slices."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return make_mesh()
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (e.g. params) across the mesh."""
     sharding = NamedSharding(mesh, P())
