@@ -96,11 +96,47 @@ def whdr(reflectance, comparisons, delta: float = 0.1):
     return jnp.where(wsum > 0, err.sum() / wsum, 0.0)
 
 
+def _batch_lightness_pairs(reflectance, comparisons):
+    """Shared batched gather: (l1, l2, darker, weight, valid, num) with
+    shapes [B, K].
+
+    Uses one flat gather over [B*H*W, C] instead of vmap-ing per-image
+    gathers — the same math, but a far simpler XLA program (the vmapped
+    gather/scatter pattern made the train step's backward pathologically
+    slow to compile on TPU).
+    """
+    b, h, w = reflectance.shape[:3]
+    k = comparisons.shape[1] - 1
+    num = comparisons[:, -1, 0].astype(jnp.int32)            # [B]
+    rows = comparisons[:, :-1, :]                            # [B,K,6]
+    valid = jnp.arange(k)[None, :] < num[:, None]
+
+    safe = jnp.where(valid[..., None], rows, 0.0)
+    x1 = jnp.clip((safe[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip((safe[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    x2 = jnp.clip((safe[..., 2] * w).astype(jnp.int32), 0, w - 1)
+    y2 = jnp.clip((safe[..., 3] * h).astype(jnp.int32), 0, h - 1)
+    darker = safe[..., 4].astype(jnp.int32)
+    weight = safe[..., 5]
+
+    flat = reflectance.reshape(b * h * w, -1)
+    base = (jnp.arange(b) * (h * w))[:, None]
+    l1 = jnp.maximum(jnp.mean(flat[base + y1 * w + x1], axis=-1), EPS)
+    l2 = jnp.maximum(jnp.mean(flat[base + y2 * w + x2], axis=-1), EPS)
+    return l1, l2, darker, weight, valid, num
+
+
 def whdr_batch(reflectance, comparisons, delta: float = 0.1):
     """Batch mean WHDR (the reference's whdr_layer forward over a batch,
     whdr_layer.py:70-86).  reflectance [B,H,W,C], comparisons [B,K+1,6]."""
-    return jnp.mean(jax.vmap(lambda r, c: whdr(r, c, delta))(
-        reflectance, comparisons))
+    l1, l2, darker, weight, valid, _ = _batch_lightness_pairs(
+        reflectance, comparisons)
+    alg = jnp.where(l2 / l1 > 1 + delta, 1,
+                    jnp.where(l1 / l2 > 1 + delta, 2, 0))
+    err = jnp.where(valid & (alg != darker), weight, 0.0).sum(axis=1)
+    wsum = jnp.where(valid, weight, 0.0).sum(axis=1)
+    per_image = jnp.where(wsum > 0, err / wsum, 0.0)
+    return jnp.mean(per_image)
 
 
 def _hinge_per_comparison(y, darker, delta: float, margin: float):
@@ -176,17 +212,44 @@ def whdr_hinge_batch(reflectance, comparisons, delta: float = 0.1,
                      eval_dense: bool = True,
                      key: Optional[jax.Array] = None):
     """Batch-mean hinge loss (whdr_hinge_loss_layer.py:102-110).
-    reflectance [B,H,W,C], comparisons [B,K+1,6]."""
+    reflectance [B,H,W,C], comparisons [B,K+1,6].
+
+    Flat-gather formulation (see _batch_lightness_pairs); autodiff of the
+    single batched gather gives one scatter-add in the backward pass
+    instead of a vmapped scatter per image.
+    """
     b = reflectance.shape[0]
-    keys = (jax.random.split(key, b) if key is not None
-            else [None] * b)
-    if key is not None:
-        f = lambda r, c, k: whdr_hinge(r, c, delta, margin, ratio,
-                                       eval_dense, k)
-        per_img = jax.vmap(f)(reflectance, comparisons, keys)
-    else:
-        f = lambda r, c: whdr_hinge(r, c, delta, margin, ratio, eval_dense)
-        per_img = jax.vmap(f)(reflectance, comparisons)
+    k = comparisons.shape[1] - 1
+    l1, l2, darker, weight, valid, num = _batch_lightness_pairs(
+        reflectance, comparisons)
+
+    # evaluation-selection mask per image (dense-skip / ratio / cap)
+    num_eval = num
+    if not eval_dense:
+        num_eval = jnp.where(num > DENSE_SKIP_THRESHOLD, 1, num_eval)
+    if ratio < 1.0:
+        num_eval = jnp.ceil(ratio * num_eval.astype(jnp.float32)
+                            ).astype(jnp.int32)
+    mask = jnp.arange(k)[None, :] < num_eval[:, None]
+    if k > MAX_EVALUATED_COMPARISONS:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        r = jax.random.uniform(key, (b, k))
+        r = jnp.where(mask, r, 2.0)
+        order = jnp.argsort(r, axis=1)
+        rank = jnp.zeros((b, k), jnp.int32)
+        rank = rank.at[jnp.arange(b)[:, None], order].set(
+            jnp.broadcast_to(jnp.arange(k)[None, :], (b, k)))
+        cap_mask = rank < MAX_EVALUATED_COMPARISONS
+        mask = jnp.where((num_eval > MAX_EVALUATED_COMPARISONS)[:, None],
+                         mask & cap_mask, mask)
+    mask = mask & valid
+
+    y = l1 / l2
+    loss = _hinge_per_comparison(y, darker, delta, margin)
+    err = jnp.where(mask, weight * loss, 0.0).sum(axis=1)
+    wsum = jnp.where(mask, weight, 0.0).sum(axis=1)
+    per_img = jnp.where(wsum > 0, err / wsum, 0.0)
     return jnp.mean(per_img)
 
 
