@@ -178,6 +178,9 @@ def _kernel_gray_self(x_hbm, out_ref, xscr, sem,
         fy = (dy - radius).astype(jnp.float32)
         fy2 = fy * fy
         cur = pltpu.roll(plane, radius, 1)
+        # NOTE: a lax.cond skip of out-of-disk taps (24% of the square)
+        # was tried and made things 2x *slower* — the conditional forces
+        # accumulator copies that cost more than the skipped math.
         for dx in range(d):
             fx = float(dx - radius)
             r2 = fy2 + fx * fx
