@@ -30,7 +30,8 @@ from ..models.networks import NetworkConfig
 from ..train.checkpoint import Checkpointer, load_checkpoint
 from ..train.description import get_description, parse_description
 from ..train.loop import LossConfig, fit
-from ..train.monitors import CombineLosses, ProgressPrinter, RunningAverage
+from ..train.monitors import (CombineLosses, JsonlLogger, ProgressPrinter,
+                              RunningAverage)
 from ..train.predict import decompose_files, make_predict_fn, predict_and_score
 from ..models.networks import init_network
 import jax
@@ -173,7 +174,9 @@ def fit_predict_net(args, results_dir: str):
 
         callbacks = [CombineLosses(args.loss_scale_whdr,
                                    args.loss_scale_lambert),
-                     RunningAverage(X["images"].shape[0], args.batch_size)]
+                     RunningAverage(X["images"].shape[0], args.batch_size),
+                     JsonlLogger(os.path.join(results_dir, "logs"),
+                                 description + "_" + str(iterations))]
         progress = ProgressPrinter(iterations, args.loss_scale_whdr,
                                    args.loss_scale_boundaries01,
                                    args.loss_scale_lambert)

@@ -47,6 +47,54 @@ class RunningAverage:
         return metrics
 
 
+class JsonlLogger:
+    """Training-metric logger writing logs/barrista_<name>.jsonl.
+
+    The reference wired a barrista JSONLogger but shipped it disabled
+    (helper:251-261); this is the working equivalent: one JSON object per
+    step with the extracted blobs (§5.5 log_results set).
+    """
+
+    def __init__(self, log_dir: str, name: str):
+        import os
+
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "barrista_" + name + ".jsonl")
+        self._fh = open(self.path, "a")
+
+    def __call__(self, step: int, metrics: Dict[str, float]):
+        import json
+
+        rec = {"step": step}
+        rec.update({k: v for k, v in metrics.items()
+                    if isinstance(v, (int, float))})
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()
+
+
+def vis_square(data: np.ndarray, padsize: int = 1, padval: float = 0
+               ) -> np.ndarray:
+    """Tile a stack of filters/feature maps into one square image
+    (train_with_barrista.py:105-120, the caffe notebook helper)."""
+    data = np.array(data, dtype=np.float64, copy=True)
+    data -= data.min()
+    if data.max() > 0:
+        data /= data.max()
+    n = int(np.ceil(np.sqrt(data.shape[0])))
+    padding = (((0, n ** 2 - data.shape[0]), (0, padsize), (0, padsize)) +
+               ((0, 0),) * (data.ndim - 3))
+    data = np.pad(data, padding, mode="constant",
+                  constant_values=(padval, padval))
+    data = data.reshape((n, n) + data.shape[1:]).transpose(
+        (0, 2, 1, 3) + tuple(range(4, data.ndim + 1)))
+    data = data.reshape((n * data.shape[1], n * data.shape[3]) +
+                        data.shape[4:])
+    return data
+
+
 class ProgressPrinter:
     """Console progress with the reference's field set
     (extend_monitoring.py:221-360: Loss/Hinge/BR/BS/Lamb/WHDR/RunAvg)."""

@@ -1,0 +1,123 @@
+"""End-to-end test of the train CLI on synthetic data (CPU mesh)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from reflectance_filtering_tpu.data import builder as B
+from reflectance_filtering_tpu.train.monitors import JsonlLogger, vis_square
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    import cv2
+    raw = tmp_path_factory.mktemp("raw")
+    rng = np.random.RandomState(5)
+    for fid in range(100, 120):
+        img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(raw / "{}.png".format(fid)), img)
+        points = [{"id": i, "x": float(rng.rand()), "y": float(rng.rand()),
+                   "opaque": True} for i in range(6)]
+        comps = []
+        for _ in range(6):
+            a, b = rng.choice(6, 2, replace=False)
+            comps.append({"point1": int(a), "point2": int(b),
+                          "darker": str(rng.choice(["1", "2", "E"])),
+                          "darker_score": float(rng.rand())})
+        with open(str(raw / "{}.json".format(fid)), "w") as f:
+            json.dump({"intrinsic_points": points,
+                       "intrinsic_comparisons": comps}, f)
+
+    lmdbs = tmp_path_factory.mktemp("lmdbs")
+    (lmdbs / "iiw").mkdir()
+    names = B.sorted_file_list(str(raw))
+    train, val, test = B.narihira_split_three(names)
+    for split, stem in ((train, "trainValTest_train"),
+                        (val, "trainValTest_val"),
+                        (test, "trainValTest_test")):
+        B.build_dataset(str(raw), split, str(lmdbs / "iiw" / stem),
+                        height=32, width=32, verbose=False)
+    return str(lmdbs)
+
+
+def test_fit_lifecycle(dataset, tmp_path):
+    from reflectance_filtering_tpu.cli.train import main
+    results_root = str(tmp_path / "results")
+    main(["--stage=fit", "--iterations=16", "--batch_size=4",
+          "--checkpoint_interval=8", "--networkType=convStaticSkipLayers",
+          "--numLayers=2", "--num_filters_log=3", "--kernel_pad=0",
+          "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+          "--experiment=t1", "--random_seed=0",
+          "--data_root", dataset, "--results_root", results_root])
+
+    exp = os.path.join(results_root, "t1")
+    snaps = os.listdir(os.path.join(exp, "snapshots"))
+    assert any("_barrista_iter_8.npz" in s for s in snaps)
+    assert any("_barrista_iter_16.npz" in s for s in snaps)
+    progs = os.listdir(os.path.join(exp, "progressions"))
+    assert len(progs) == 1
+    with open(os.path.join(exp, "progressions", progs[0])) as f:
+        data = json.load(f)
+    assert [e["NumIters"] for e in data["test"]] == [8, 16]
+    assert os.listdir(os.path.join(exp, "scores"))
+    assert os.listdir(os.path.join(exp, "framerates"))
+    logs = os.listdir(os.path.join(exp, "logs"))
+    assert len(logs) == 1
+    with open(os.path.join(exp, "logs", logs[0])) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 4  # 16 samples / batch 4
+    assert "loss_whdr_hinge" in lines[0]
+    # networks dir records the architecture config
+    assert os.listdir(os.path.join(exp, "networks"))
+
+
+def test_predict_decompose_from_checkpoint(dataset, tmp_path):
+    import cv2
+    from reflectance_filtering_tpu.cli.train import main
+    results_root = str(tmp_path / "results")
+    main(["--stage=fit", "--iterations=8", "--batch_size=4",
+          "--checkpoint_interval=8", "--networkType=convStaticSkipLayers",
+          "--numLayers=2", "--num_filters_log=3", "--kernel_pad=0",
+          "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+          "--experiment=t2", "--random_seed=0",
+          "--data_root", dataset, "--results_root", results_root])
+    exp = os.path.join(results_root, "t2")
+    snap = [s for s in os.listdir(os.path.join(exp, "snapshots"))
+            if s.endswith("_8.npz")][0]
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    cv2.imwrite(str(img_dir / "a.png"),
+                (rng.rand(20, 20, 3) * 255).astype(np.uint8))
+
+    main(["--stage=predict", "--height=32", "--width=32",
+          "--predictCaffemodel", os.path.join(exp, "snapshots", snap),
+          "--decompose", str(img_dir),
+          "--experiment=t2", "--data_root", dataset,
+          "--results_root", results_root])
+    assert os.path.isfile(os.path.join(exp, "decompositions_linear",
+                                       "a-r.png"))
+    assert os.path.isfile(os.path.join(exp, "decompositions_sRGB",
+                                       "a-s.png"))
+    # 0command.txt audit log
+    assert os.path.isfile(os.path.join(exp, "decompositions_linear",
+                                       "0command.txt"))
+
+
+def test_jsonl_logger(tmp_path):
+    lg = JsonlLogger(str(tmp_path), "x")
+    lg(0, {"loss": 1.5, "name": "skip-me"})
+    lg(1, {"loss": 1.0})
+    lg.close()
+    with open(lg.path) as f:
+        lines = [json.loads(l) for l in f]
+    assert lines == [{"step": 0, "loss": 1.5}, {"step": 1, "loss": 1.0}]
+
+
+def test_vis_square_shape():
+    data = np.random.RandomState(0).rand(10, 5, 5)
+    out = vis_square(data)
+    assert out.shape == (4 * 6, 4 * 6)  # ceil(sqrt(10))=4 tiles + pads
+    assert out.min() >= 0 and out.max() <= 1
