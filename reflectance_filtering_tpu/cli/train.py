@@ -167,8 +167,18 @@ def fit_predict_net(args, results_dir: str):
             X_val = getData("trainValTest_test")
 
     if args.stage in FLAGS_FIT:
+        # snapshots can only happen on batch boundaries: round the interval
+        # down to a batch multiple (the reference asserted this instead,
+        # extend_monitoring.py:84-86)
         checkpoint_interval = min(args.checkpoint_interval, iterations)
-        print("Checkpointing every", args.checkpoint_interval, "iterations.")
+        effective = max(args.batch_size,
+                        (checkpoint_interval // args.batch_size)
+                        * args.batch_size)
+        if effective != checkpoint_interval:
+            print("checkpoint_interval", checkpoint_interval,
+                  "is not a multiple of batch_size; using", effective)
+        checkpoint_interval = effective
+        print("Checkpointing every", checkpoint_interval, "iterations.")
         checkptr = Checkpointer(snapshot_dir, description,
                                 checkpoint_interval)
 

@@ -161,9 +161,17 @@ def bn_init(channels: int) -> Params:
     }
 
 
+BN_MOMENTUM = 0.999  # caffe moving_average_fraction default
+
+
 def batch_norm(params: Params, x, *, train: bool, eps: float = 1e-5):
     """Caffe BatchNorm (no learned scale/shift, matching the reference which
-    never pairs it with a Scale layer). Returns (y, batch_stats)."""
+    never pairs it with a Scale layer).
+
+    Returns (y, batch_stats); training normalizes with batch statistics and
+    the caller folds batch_stats into the running mean/var
+    (update_bn_stats) — eval uses the stored running statistics, as caffe's
+    TEST phase does."""
     if train:
         mean = jnp.mean(x, axis=(0, 1, 2))
         var = jnp.var(x, axis=(0, 1, 2))
@@ -171,6 +179,19 @@ def batch_norm(params: Params, x, *, train: bool, eps: float = 1e-5):
         mean, var = params["mean"], params["var"]
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     return y, {"mean": mean, "var": var}
+
+
+def update_bn_stats(params: Params, bn_stats: Dict[str, Any],
+                    momentum: float = BN_MOMENTUM) -> Params:
+    """EMA-fold a step's batch statistics into the bn* params."""
+    out = dict(params)
+    for name, stats in bn_stats.items():
+        old = out[name]
+        out[name] = {
+            "mean": momentum * old["mean"] + (1 - momentum) * stats["mean"],
+            "var": momentum * old["var"] + (1 - momentum) * stats["var"],
+        }
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -205,14 +226,16 @@ def _init_conv_static_like(key, cfg: NetworkConfig, with_head_1x1: bool) -> Para
 
 def _apply_conv_static(params, images, cfg: NetworkConfig, *,
                        sigmoid: bool, train: bool):
-    blobs: Dict[str, Any] = {}
+    blobs: Dict[str, Any] = {"__bn_stats__": {}}
     x = images
     if cfg.num_layers >= 1:
         for i in range(cfg.num_layers):
             x = conv2d(params["conv{}".format(i)], x,
                        pad=cfg.pad, dilation=cfg.dilation)
             if cfg.use_batch_normalization:
-                x, _ = batch_norm(params["bn{}".format(i)], x, train=train)
+                name = "bn{}".format(i)
+                x, stats = batch_norm(params[name], x, train=train)
+                blobs["__bn_stats__"][name] = stats
             x = jax.nn.relu(x)
         x = conv2d(params["conv{}".format(cfg.num_layers)], x, pad=0)
     else:
@@ -250,7 +273,7 @@ def _init_skip_layers(key, cfg: NetworkConfig, suffix: str = "",
 
 def _apply_skip_layers(params, images, cfg: NetworkConfig, *,
                        suffix: str = "", train: bool):
-    blobs: Dict[str, Any] = {}
+    blobs: Dict[str, Any] = {"__bn_stats__": {}}
     if cfg.num_layers >= 1:
         x = images
         skips = []
@@ -258,8 +281,9 @@ def _apply_skip_layers(params, images, cfg: NetworkConfig, *,
             x = conv2d(params["conv{}{}".format(i, suffix)], x,
                        pad=cfg.pad, dilation=cfg.dilation)
             if cfg.use_batch_normalization:
-                x, _ = batch_norm(params["bn{}{}".format(i, suffix)], x,
-                                  train=train)
+                name = "bn{}{}".format(i, suffix)
+                x, stats = batch_norm(params[name], x, train=train)
+                blobs["__bn_stats__"][name] = stats
             x = jax.nn.relu(x)
             skips.append(x)
         cat = jnp.concatenate(skips, axis=-1)
@@ -492,12 +516,21 @@ def apply_network(params: Params, images, cfg: NetworkConfig, *,
     if t == "cascadeSkipLayers":
         blobs = _apply_skip_layers(params, images, cfg, suffix="_level0",
                                    train=train)
+        # the reference's recover PythonLayer has no 'rDirectly' mode and
+        # falls back to rRelMax with a warning
+        # (recover_reflectance_shading_layer.py:104-109); reproduce that
+        # so the level-1 trunk always receives a 3-channel reflectance
+        recover_mode = cfg.rs_est_mode
+        if recover_mode.split("-")[0] == "rDirectly":
+            recover_mode = "rRelMax"
         refl0, shad0 = recover_reflectance_shading(
-            blobs["RS_est_level0"], images, cfg.rs_est_mode)
+            blobs["RS_est_level0"], images, recover_mode)
         blobs["reflectance_level0"] = refl0
         blobs["shading_level0"] = shad0
+        bn0 = blobs["__bn_stats__"]
         blobs.update(_apply_skip_layers(params, refl0, cfg, suffix="_level1",
                                         train=train))
+        blobs["__bn_stats__"].update(bn0)
         blobs["RS_est"] = blobs.pop("RS_est_level1")
         blobs["RS_est_before_sigmoid"] = blobs.pop(
             "RS_est_before_sigmoid_level1")

@@ -116,6 +116,8 @@ def make_sharded_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
     """
     import optax
 
+    from ..models.networks import update_bn_stats
+
     batch_sharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
@@ -128,6 +130,9 @@ def make_sharded_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
             loss_fn, has_aux=True)(params, images, comparisons, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        bn_stats = metrics.pop("bn_stats", None)
+        if bn_stats:
+            params = update_bn_stats(params, bn_stats)
         return params, opt_state, metrics
 
     return jax.jit(

@@ -73,11 +73,22 @@ def make_optimizer(solver_type: str = "ADAM", base_lr: float = 0.001):
 
 
 def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
-                   loss_cfg: LossConfig, key=None, train: bool = True
+                   loss_cfg: LossConfig, key=None, train: bool = True,
+                   metric_comparisons=None
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Forward + full loss graph.  images NHWC, comparisons [B,K+1,6]."""
+    """Forward + full loss graph.  images NHWC, comparisons [B,K+1,6].
+
+    ``comparisons`` drives the hinge loss (the configured comparisonsType);
+    ``metric_comparisons`` (default: same blob) drives the 0-weight
+    whdr_original accuracy — the reference always wires the metric to the
+    plain 'comparisons' blob even when training on 'augmented'
+    (networks.py:243-254).
+    """
+    if metric_comparisons is None:
+        metric_comparisons = comparisons
     delta, margin, ratio, eval_dense = loss_cfg.wdm
     blobs = apply_network(params, images, net_cfg, train=train)
+    bn_stats = blobs.get("__bn_stats__", {})
     mode = net_cfg.rs_est_mode.split("-")[0]
     if mode == "rDirectly":
         reflectance = jax.nn.relu(blobs["RS_est"])
@@ -87,6 +98,8 @@ def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
             blobs["RS_est"], images, net_cfg.rs_est_mode)
 
     metrics: Dict[str, jnp.ndarray] = {}
+    if bn_stats:
+        metrics["bn_stats"] = jax.lax.stop_gradient(bn_stats)
     total = jnp.float32(0.0)
 
     hinge = whdr_hinge_batch(reflectance, comparisons, delta, margin,
@@ -95,7 +108,7 @@ def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
     total = total + loss_cfg.loss_scale_whdr * hinge
 
     metrics["whdr_original"] = jax.lax.stop_gradient(
-        whdr_batch(reflectance, comparisons, delta))
+        whdr_batch(reflectance, metric_comparisons, delta))
 
     if loss_cfg.loss_scale_boundaries01 and mode != "rDirectly":
         br = boundary_loss(reflectance, loss_cfg.boundary_norm)
@@ -116,7 +129,7 @@ def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
         metrics["loss_whdr_hinge_level0"] = hinge0
         total = total + loss_cfg.loss_scale_whdr * hinge0
         metrics["whdr_original_level0"] = jax.lax.stop_gradient(
-            whdr_batch(refl0, comparisons, delta))
+            whdr_batch(refl0, metric_comparisons, delta))
 
     metrics["loss_total"] = total
     return total, metrics
@@ -124,20 +137,37 @@ def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
 
 def make_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
                     optimizer) -> Callable:
-    """Build the jitted (state, images, comparisons, key) -> (state, metrics)
-    step: forward + autodiff backward + optax update, one XLA program."""
+    """Build the jitted step: forward + autodiff backward + optax update
+    (+ BatchNorm running-stat EMA), one XLA program.
 
-    def loss_fn(params, images, comparisons, key):
+    Signature: (params, opt_state, images, comparisons, key,
+    metric_comparisons=None) -> (params, opt_state, metrics)."""
+    from ..models.networks import update_bn_stats
+
+    def loss_fn(params, images, comparisons, metric_comparisons, key):
         return compute_losses(params, images, comparisons, net_cfg,
-                              loss_cfg, key, train=True)
+                              loss_cfg, key, train=True,
+                              metric_comparisons=metric_comparisons)
 
     @jax.jit
-    def step(params, opt_state, images, comparisons, key):
+    def _step(params, opt_state, images, comparisons, metric_comparisons,
+              key):
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, images, comparisons, key)
+            loss_fn, has_aux=True)(params, images, comparisons,
+                                   metric_comparisons, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        bn_stats = metrics.pop("bn_stats", None)
+        if bn_stats:
+            params = update_bn_stats(params, bn_stats)
         return params, opt_state, metrics
+
+    def step(params, opt_state, images, comparisons, key,
+             metric_comparisons=None):
+        if metric_comparisons is None:
+            metric_comparisons = comparisons
+        return _step(params, opt_state, images, comparisons,
+                     metric_comparisons, key)
 
     return step
 
@@ -170,6 +200,9 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
 
     images = np.asarray(X["images"], np.float32)
     comps = np.asarray(X[comparisons_type], np.float32)
+    # the whdr_original metric always reads the plain comparisons blob
+    # (networks.py:243-254), even when training on 'augmented'
+    metric_comps = np.asarray(X["comparisons"], np.float32)
     n = images.shape[0]
 
     state = TrainState(params, opt_state)
@@ -181,11 +214,13 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         key, step_key = jax.random.split(key)
         params, opt_state, metrics = step_fn(
             state.params, state.opt_state,
-            jnp.asarray(images[idx]), jnp.asarray(comps[idx]), step_key)
+            jnp.asarray(images[idx]), jnp.asarray(comps[idx]), step_key,
+            jnp.asarray(metric_comps[idx]))
         state = TrainState(params, opt_state, s + 1,
                            (s + 1) * batch_size)
 
-        host_metrics = {k: float(v) for k, v in metrics.items()}
+        host_metrics = {k: float(v) for k, v in metrics.items()
+                        if np.ndim(v) == 0}
         for cb in callbacks:  # each: (step, metrics) -> metrics | None
             out = cb(s, host_metrics)
             if isinstance(out, dict):

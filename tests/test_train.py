@@ -192,6 +192,94 @@ def test_predict_and_score_artifacts(tiny_data, tmp_path):
                              "desc") == 12.5
 
 
+def test_bn_train_step_folds_running_stats(tiny_data):
+    """With use_batch_normalization, the train step must EMA-fold the batch
+    statistics into the bn params (caffe BatchNorm moving average,
+    moving_average_fraction=0.999) without letting Adam touch them."""
+    from reflectance_filtering_tpu.models.networks import (
+        BN_MOMENTUM, apply_network)
+    from reflectance_filtering_tpu.train.loop import make_train_step
+
+    cfg = NetworkConfig(network_type="convStatic", num_layers=2,
+                        num_filters_log=3, kernel_pad=1,
+                        rs_est_mode="rRelMax", use_batch_normalization=True)
+    lcfg = LossConfig()
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    assert "bn0" in params
+    opt = make_optimizer("ADAM", 1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, lcfg, opt)
+    images = jnp.asarray(tiny_data["images"][:4])
+    comps = jnp.asarray(tiny_data["comparisons"][:4])
+    p2, _, metrics = step(params, opt_state, images, comps,
+                          jax.random.PRNGKey(1))
+    # scalar-only metrics for the host logger; no pytrees leak out
+    assert all(np.ndim(v) == 0 for v in metrics.values())
+    # the fresh batch stats of layer 0 come from the raw conv0 output
+    blobs = apply_network(params, images, cfg, train=True)
+    batch_mean = blobs["__bn_stats__"]["bn0"]["mean"]
+    expect = BN_MOMENTUM * params["bn0"]["mean"] \
+        + (1 - BN_MOMENTUM) * batch_mean
+    np.testing.assert_allclose(np.asarray(p2["bn0"]["mean"]),
+                               np.asarray(expect), rtol=1e-5)
+    assert not np.allclose(np.asarray(p2["bn0"]["mean"]), 0.0)
+
+
+def test_bn_eval_uses_running_stats(tiny_data):
+    """train=False must normalize with the stored running stats (caffe TEST
+    phase), so different eval batches see the same normalization."""
+    from reflectance_filtering_tpu.models.networks import batch_norm
+    params = {"mean": jnp.asarray([1.0, -2.0]),
+              "var": jnp.asarray([4.0, 0.25])}
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 3, 3, 2), jnp.float32)
+    y, stats = batch_norm(params, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y),
+        np.asarray((x - params["mean"])
+                   / np.sqrt(np.asarray(params["var"]) + 1e-5)),
+        rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(stats["mean"]),
+                                  np.asarray(params["mean"]))
+
+
+def test_whdr_metric_reads_metric_comparisons(tiny_data):
+    """whdr_original is always wired to the plain 'comparisons' blob even
+    when the hinge trains on 'augmented' (reference networks.py:243-254)."""
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    lcfg = LossConfig()
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(tiny_data["images"][:2])
+    comps = jnp.asarray(tiny_data["comparisons"][:2])
+    rng = np.random.RandomState(7)
+    other = jnp.asarray(np.stack(
+        [make_blob(random_comps(rng, 9)) for _ in range(2)]), jnp.float32)
+    _, m_same = compute_losses(params, images, comps, cfg, lcfg)
+    _, m_other = compute_losses(params, images, comps, cfg, lcfg,
+                                metric_comparisons=other)
+    # hinge identical (same training blob), metric follows the metric blob
+    np.testing.assert_allclose(float(m_same["loss_whdr_hinge"]),
+                               float(m_other["loss_whdr_hinge"]), rtol=1e-6)
+    assert float(m_same["whdr_original"]) != float(m_other["whdr_original"])
+
+
+def test_cascade_rdirectly_falls_back_to_rrelmax(tiny_data):
+    """cascadeSkipLayers + rDirectly: the reference recover layer has no
+    rDirectly mode and warns+falls back to rRelMax
+    (recover_reflectance_shading_layer.py:104-109), so level 0 must still
+    emit a 3-channel reflectance for the level-1 trunk."""
+    from reflectance_filtering_tpu.models.networks import apply_network
+    cfg = NetworkConfig(network_type="cascadeSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    blobs = apply_network(params, jnp.asarray(tiny_data["images"][:2]),
+                          cfg, train=True)
+    assert blobs["reflectance_level0"].shape[-1] == 3
+    assert "RS_est" in blobs
+
+
 def test_predict_batched_pads_tail(tiny_data):
     cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
                         num_filters_log=3, kernel_pad=0,

@@ -72,6 +72,23 @@ def test_fit_lifecycle(dataset, tmp_path):
     assert os.listdir(os.path.join(exp, "networks"))
 
 
+def test_checkpoint_interval_rounds_to_batch_multiple(dataset, tmp_path):
+    """Snapshots happen on batch boundaries: an interval of 6 with batch 4
+    must round down to 4 (the reference asserted multiples instead,
+    extend_monitoring.py:84-86)."""
+    from reflectance_filtering_tpu.cli.train import main
+    results_root = str(tmp_path / "results")
+    main(["--stage=fit", "--iterations=8", "--batch_size=4",
+          "--checkpoint_interval=6", "--networkType=convStaticSkipLayers",
+          "--numLayers=1", "--num_filters_log=2", "--kernel_pad=0",
+          "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+          "--experiment=ck", "--random_seed=0",
+          "--data_root", dataset, "--results_root", results_root])
+    snaps = os.listdir(os.path.join(results_root, "ck", "snapshots"))
+    iters = sorted(int(s.rsplit("_", 1)[1].split(".")[0]) for s in snaps)
+    assert iters == [4, 8]
+
+
 def test_predict_decompose_from_checkpoint(dataset, tmp_path):
     import cv2
     from reflectance_filtering_tpu.cli.train import main
