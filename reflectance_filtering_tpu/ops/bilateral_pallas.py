@@ -68,14 +68,20 @@ def _kernel(joint_hbm, src_hbm, out_ref, jscr, sscr, sem,
         # static dx unroll with incremental roll-by-1.  Tap dx reads
         # plane[l + dx - radius] at center lane l, so the dx=0 start is the
         # plane rolled forward by +radius; each step then rolls back by 1.
+        # (Independent per-tap rolls — a 1.76x win on the one-plane gray
+        # kernel — measured SLOWER here: six planes of live shifted
+        # copies overflow the VMEM stack and spill.)  The disk mask folds
+        # into the scalar exp argument (-inf -> weight 0), saving a
+        # full-width select per tap.
         cur = [pltpu.roll(p, radius, 1) for p in jy + sy]
         for dx in range(d):
             fx = float(dx - radius)
             r2 = fy2 + fx * fx
+            cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
+                           r2 * gsc)
             diff = (jnp.abs(cur[0] - c0) + jnp.abs(cur[1] - c1) +
                     jnp.abs(cur[2] - c2))
-            w = jnp.exp(diff * diff * gcc + r2 * gsc)
-            w = jnp.where(r2 > float(radius * radius), 0.0, w)
+            w = jnp.exp(diff * diff * gcc + cc)
             a0 = a0 + w * cur[3]
             a1 = a1 + w * cur[4]
             a2 = a2 + w * cur[5]
@@ -177,20 +183,27 @@ def _kernel_gray_self(x_hbm, out_ref, xscr, sem,
         plane = pltpu.roll(xscr[...], rows - dy, 0)[:th, :]
         fy = (dy - radius).astype(jnp.float32)
         fy2 = fy * fy
-        cur = pltpu.roll(plane, radius, 1)
         # NOTE: a lax.cond skip of out-of-disk taps (24% of the square)
         # was tried and made things 2x *slower* — the conditional forces
         # accumulator copies that cost more than the skipped math.
+        # Each tap's shifted plane is an INDEPENDENT static roll (not an
+        # incremental roll-by-1 chain): the serial chain made the ALUs
+        # wait on the permute unit every tap; independent rolls let the
+        # scheduler overlap tap k's math with tap k+1's permute
+        # (measured 1.76x on v5e, bitwise-identical output).
         for dx in range(d):
             fx = float(dx - radius)
             r2 = fy2 + fx * fx
+            # the disk mask folds into the (scalar) exp argument: -inf
+            # outside the disk makes exp produce an exact 0 weight, saving
+            # a full-width select per tap
+            cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
+                           r2 * gsc)
+            cur = pltpu.roll(plane, (radius - dx) % wpad, 1)
             diff = cur - center
-            w = jnp.exp(diff * diff * g9 + r2 * gsc)
-            w = jnp.where(r2 > float(radius * radius), 0.0, w)
+            w = jnp.exp(diff * diff * g9 + cc)
             acc = acc + w * cur
             wsum = wsum + w
-            if dx + 1 < d:
-                cur = pltpu.roll(cur, wpad - 1, 1)
         return acc, wsum
 
     zero = jnp.zeros((th, wpad), jnp.float32)
