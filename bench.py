@@ -99,9 +99,10 @@ def main():
     def gf_pipeline(x):
         refl = cnn_stage(x)
         r_u8 = to_u8_scale(refl)
-        plan = jnp.stack([r_u8, r_u8, r_u8], axis=1)
+        # -r.png replicates gray to 3 channels; GF treats src channels
+        # independently, so filtering one channel is exact
         guide = jnp.moveaxis(jnp.floor(x * 255.0), -1, 1)
-        filt = guided_filter_planar(guide, plan, 45, 3.0)
+        filt = guided_filter_planar(guide, r_u8[:, None], 45, 3.0)
         filt_hwc = jnp.moveaxis(filt, 1, -1) / 255.0
         score = whdr_batch(filt_hwc, comps)
         return x + 1e-12 * (score + jnp.sum(filt) * 0)

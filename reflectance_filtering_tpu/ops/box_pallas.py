@@ -83,6 +83,20 @@ def _pick_tile(other_axis_len: int, cap: int, align: int = 8) -> int:
     return min(t, cap)
 
 
+def _plane_kernel(x_ref, out_ref, *, w: int, scale: float):
+    """Both passes fused on a whole padded plane resident in VMEM."""
+    s = _window_sum_tile(x_ref[0], w, axis=1)
+    s = _window_sum_tile(s[:, :out_ref.shape[2]], w, axis=0)
+    out_ref[0] = s[:out_ref.shape[1], :] * scale
+
+
+# Padded planes up to this many bytes run as a single whole-plane fused
+# kernel (both passes in VMEM, one HBM read + one write).  ~3x the
+# two-pass version, which pays two extra HBM round trips and a strided
+# column-blocked second pass.
+_PLANE_LIMIT = 4 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "border",
                                              "normalize", "th", "tw"))
 def box_filter_pallas(x, radius: int, border: str = "reflect",
@@ -90,13 +104,33 @@ def box_filter_pallas(x, radius: int, border: str = "reflect",
                       tw: int = None):
     """Box filter on [B, H, W] float32 (see module docstring).
 
-    th/tw: row/column tile sizes for the two passes; auto-sized from a
-    VMEM budget when None.
+    Whole planes that fit VMEM take the fused single-kernel path;
+    bigger ones fall back to the two-pass kernels (th/tw: row/column
+    tile sizes, auto-sized from a VMEM budget when None).
     """
     if radius == 0:
         return x
     b, h, wid = x.shape
     w = 2 * radius + 1
+
+    hp8 = -(-(h + 2 * radius) // 8) * 8
+    wp128 = -(-(wid + 2 * radius) // 128) * 128
+    if (th is None and tw is None and h % 8 == 0 and wid % 128 == 0
+            and hp8 * wp128 * 4 <= _PLANE_LIMIT):
+        xp = jnp.pad(x, [(0, 0), (radius, radius), (radius, radius)],
+                     mode=_PAD_MODE[border])
+        xp = jnp.pad(xp, [(0, 0), (0, hp8 - h - 2 * radius),
+                          (0, wp128 - wid - 2 * radius)])
+        scale = 1.0 / (w * w) if normalize else 1.0
+        return pl.pallas_call(
+            functools.partial(_plane_kernel, w=w, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((b, h, wid), jnp.float32),
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, hp8, wp128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, h, wid), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(xp)
     xp = jnp.pad(x, [(0, 0), (radius, radius), (radius, radius)],
                  mode=_PAD_MODE[border])
     hp, wp = h + 2 * radius, wid + 2 * radius

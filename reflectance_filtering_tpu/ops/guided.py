@@ -181,12 +181,31 @@ def _guided_filter_gray(I, p, radius: int, eps: float):
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
-def guided_filter_planar(guide, src, radius: int, eps):
-    """TPU fast path: guide [N,3,H,W], src [N,C,H,W] channels-planar
-    float32 -> [N,C,H,W].  Uses the Pallas box kernel throughout."""
+def _guided_filter_planar_xla(guide, src, radius: int, eps):
     return _guided_filter_color_planar(guide.astype(jnp.float32),
                                        src.astype(jnp.float32),
                                        radius, jnp.asarray(eps, jnp.float32))
+
+
+def guided_filter_planar(guide, src, radius: int, eps):
+    """TPU fast path: guide [N,3,H,W], src [N,C,H,W] channels-planar
+    float32 -> [N,C,H,W].
+
+    Single-channel src on aligned shapes dispatches to the two-kernel
+    fused Pallas filter (ops/guided_pallas.py); everything else runs the
+    Pallas-box + XLA-elementwise pipeline.  eps must be a concrete float
+    for the fused path (it folds into the kernel)."""
+    from .guided_pallas import fits_fused_guided, guided_filter_fused
+
+    c, h, wid = src.shape[1], src.shape[2], src.shape[3]
+    if (src.shape[0] == guide.shape[0] and c == 1
+            and jax.default_backend() == "tpu"
+            and not isinstance(eps, jax.core.Tracer)
+            and fits_fused_guided(h, wid, radius)):
+        return guided_filter_fused(guide.astype(jnp.float32),
+                                   src.astype(jnp.float32),
+                                   radius, float(eps))
+    return _guided_filter_planar_xla(guide, src, radius, eps)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "batched"))
@@ -240,9 +259,15 @@ def guided_filter_u8(guide_u8, src_u8, radius: int, eps) -> np.ndarray:
     if (jax.default_backend() == "tpu" and guide_u8.ndim == 3
             and guide_u8.shape[-1] == 3 and src_u8.ndim == 3):
         gp = jnp.asarray(np.moveaxis(guide_u8, -1, 0)[None])
-        sp = jnp.asarray(np.moveaxis(src_u8, -1, 0)[None])
-        q = np.moveaxis(np.asarray(
-            guided_filter_planar(gp, sp, radius, eps))[0], 0, -1)
+        sa = np.moveaxis(src_u8, -1, 0)[None]
+        # the CNN's -r.png decodes to three identical channels; the GF of
+        # each src channel is independent, so filter one and replicate
+        mono = bool((sa[:, :1] == sa).all())
+        sp = jnp.asarray(sa[:, :1] if mono else sa)
+        q = np.asarray(guided_filter_planar(gp, sp, radius, eps))
+        if mono:
+            q = np.broadcast_to(q, sa.shape)
+        q = np.moveaxis(q[0], 0, -1)
     else:
         q = np.asarray(guided_filter(jnp.asarray(guide_u8),
                                      jnp.asarray(src_u8), radius, eps))

@@ -91,6 +91,26 @@ def test_guided_planar_matches_nhwc(rng):
     np.testing.assert_allclose(got, exp, rtol=1e-3, atol=0.05)
 
 
+def test_guided_fused_matches_xla(rng):
+    """The two-kernel fused guided filter must match the Pallas-box + XLA
+    pipeline (aligned shapes, single src channel)."""
+    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        fits_fused_guided, guided_filter_fused)
+    I = jnp.asarray((rng.rand(2, 3, 16, 128) * 255).astype(np.float32))
+    p = jnp.asarray((rng.rand(2, 1, 16, 128) * 255).astype(np.float32))
+    assert fits_fused_guided(16, 128, 4)
+    exp = np.asarray(_guided_filter_planar_xla(I, p, 4, 9.0))
+    got = np.asarray(guided_filter_fused(I, p, 4, 9.0))
+    np.testing.assert_allclose(got, exp, rtol=1e-3, atol=0.05)
+
+
+def test_guided_fused_rejects_unaligned():
+    from reflectance_filtering_tpu.ops.guided_pallas import fits_fused_guided
+    assert not fits_fused_guided(30, 40, 4)       # unaligned
+    assert not fits_fused_guided(2048, 2048, 45)  # plane too big for VMEM
+
+
 def test_cnn_pallas_matches_reference_forward(rng):
     params = reference_params_from_caffe(load_reference_weights())
     packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
