@@ -25,11 +25,14 @@ from jax import shard_map
 from ..ops.bilateral import opencv_bilateral_params
 
 
-def _exchange_halos_w(local, halo: int, axis_name: str):
+def _exchange_halos_w(local, halo: int, axis_name: str,
+                      border: str = "reflect101"):
     """Assemble [left_halo | local | right_halo] along axis 1 (width).
 
     local: [H, W_shard, C].  Neighbor columns travel via ppermute; the
-    outermost shards synthesize reflect-101 columns from their own data.
+    outermost shards synthesize global-border columns from their own data
+    (border='reflect101': ...c b | a b c; border='reflect'/symmetric:
+    ...b a | a b c — matching the kernel being lifted).
     """
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
@@ -45,10 +48,16 @@ def _exchange_halos_w(local, halo: int, axis_name: str):
         left_edge, axis_name,
         [(i, (i - 1) % n) for i in range(n)])
 
-    # reflect-101 synthesis at the global borders: global column -k maps to
-    # column k; shard 0's left halo = its own columns [halo..1]
-    reflect_left = local[:, 1:halo + 1][:, ::-1]
-    reflect_right = local[:, -halo - 1:-1][:, ::-1]
+    if border == "reflect101":
+        # global column -k maps to column k
+        reflect_left = local[:, 1:halo + 1][:, ::-1]
+        reflect_right = local[:, -halo - 1:-1][:, ::-1]
+    elif border == "reflect":
+        # symmetric: global column -k maps to column k-1
+        reflect_left = local[:, :halo][:, ::-1]
+        reflect_right = local[:, -halo:][:, ::-1]
+    else:
+        raise ValueError("unknown border {}".format(border))
 
     left = jnp.where(idx == 0, reflect_left, from_left)
     right = jnp.where(idx == n - 1, reflect_right, from_right)
@@ -56,7 +65,7 @@ def _exchange_halos_w(local, halo: int, axis_name: str):
 
 
 def sharded_apply_overlap(fn: Callable, halo: int, mesh: Mesh,
-                          axis: str = "data"):
+                          axis: str = "data", border: str = "reflect101"):
     """Lift a local windowed op into a width-sharded op with halo exchange.
 
     fn maps ([H, W_shard + 2*halo, C], ...) -> [H, W_shard + 2*halo, C']
@@ -65,7 +74,7 @@ def sharded_apply_overlap(fn: Callable, halo: int, mesh: Mesh,
     """
 
     def local_fn(*arrays):
-        haloed = [_exchange_halos_w(a, halo, axis) for a in arrays]
+        haloed = [_exchange_halos_w(a, halo, axis, border) for a in arrays]
         out = fn(*haloed)
         return out[:, halo:-halo]
 
@@ -83,36 +92,90 @@ def sharded_apply_overlap(fn: Callable, halo: int, mesh: Mesh,
     return wrapper
 
 
-def sharded_box_filter(x, radius: int, mesh: Mesh, axis: str = "data",
-                       border: str = "reflect101"):
-    """Width-sharded box filter (halo = radius).  x: [H, W, C] with W
-    divisible by the mesh size and W/mesh >= radius+1."""
-    from ..ops.boxfilter import box_filter
+def _use_pallas(impl: str) -> bool:
+    if impl == "auto":
+        return jax.default_backend() == "tpu"
+    return impl == "pallas"
 
+
+def sharded_box_filter(x, radius: int, mesh: Mesh, axis: str = "data",
+                       border: str = "reflect101", impl: str = "auto"):
+    """Width-sharded box filter (halo = radius).  x: [H, W, C] with W
+    divisible by the mesh size and W/mesh >= radius+1.
+
+    impl: 'xla', 'pallas', or 'auto' (pallas on TPU).  The Pallas kernel
+    runs per shard inside shard_map — collectives move only the halo
+    columns over ICI, the window sums stay in VMEM.
+    """
     # Run the normal kernel on the haloed block: its own width padding only
     # influences output columns within `radius` of the block edge, all of
     # which lie in the cropped halo — interior results are exact.
-    def local_simple(block):
-        return box_filter(block, radius, border=border, normalize=True)
+    if _use_pallas(impl):
+        from ..ops.box_pallas import box_filter_auto
 
-    return sharded_apply_overlap(local_simple, radius, mesh, axis)(x)
+        def local_simple(block):
+            return box_filter_auto(block, radius, border=border,
+                                   normalize=True)
+    else:
+        from ..ops.boxfilter import box_filter
+
+        def local_simple(block):
+            return box_filter(block, radius, border=border, normalize=True)
+
+    return sharded_apply_overlap(local_simple, radius, mesh, axis,
+                                 border)(x)
 
 
 def sharded_joint_bilateral(joint, src, mesh: Mesh, d: int = -1,
                             sigma_color: float = 20.0,
                             sigma_space: float = 22.0,
-                            axis: str = "data"):
+                            axis: str = "data", impl: str = "auto"):
     """Width-sharded joint bilateral filter, bit-compatible with
     ops.bilateral.joint_bilateral_filter.
 
     joint/src: [H, W, C]; W divisible by mesh size; W/mesh > radius.
+    impl: 'xla', 'pallas', or 'auto' (Pallas tap-loop kernel per shard).
+    OpenCV bilateral borders are reflect-101.
     """
-    from ..ops.bilateral import joint_bilateral_filter
-
     radius, _, _, _ = opencv_bilateral_params(d, sigma_color, sigma_space)
 
-    def local(joint_blk, src_blk):
-        return joint_bilateral_filter(joint_blk, src_blk, d,
-                                      sigma_color, sigma_space)
+    if _use_pallas(impl):
+        from ..ops.bilateral_pallas import joint_bilateral_filter_fast
 
-    return sharded_apply_overlap(local, radius, mesh, axis)(joint, src)
+        def local(joint_blk, src_blk):
+            return joint_bilateral_filter_fast(joint_blk, src_blk, d,
+                                               sigma_color, sigma_space)
+    else:
+        from ..ops.bilateral import joint_bilateral_filter
+
+        def local(joint_blk, src_blk):
+            return joint_bilateral_filter(joint_blk, src_blk, d,
+                                          sigma_color, sigma_space)
+
+    return sharded_apply_overlap(local, radius, mesh, axis,
+                                 "reflect101")(joint, src)
+
+
+def sharded_guided_filter(guide, src, radius: int, eps, mesh: Mesh,
+                          axis: str = "data"):
+    """Width-sharded guided filter, matching ops.guided.guided_filter.
+
+    guide [H, W, 3] or [H, W]; src [H, W, C] or [H, W].  Halo is 2*radius
+    (means of a,b compose two box passes); OpenCV guidedFilter borders are
+    BORDER_REFLECT (symmetric).  W divisible by mesh size and
+    W/mesh >= 2*radius + 1.
+    """
+    from ..ops.guided import guided_filter
+
+    gray_guide = guide.ndim == 2
+    squeeze = src.ndim == 2
+    guide3 = guide[..., None] if gray_guide else guide
+    src3 = src[..., None] if squeeze else src
+
+    def local(guide_blk, src_blk):
+        g = guide_blk[..., 0] if gray_guide else guide_blk
+        return guided_filter(g, src_blk, radius, eps)
+
+    out = sharded_apply_overlap(local, 2 * radius, mesh, axis,
+                                "reflect")(guide3, src3)
+    return out[..., 0] if squeeze else out

@@ -117,3 +117,33 @@ def test_sharded_bilateral_matches_local(mesh8):
         sigma_color=20.0, sigma_space=2.0))
     exp = np.asarray(joint_bilateral_filter(joint, src, -1, 20.0, 2.0))
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_pallas_box_through_halo(mesh8):
+    """The Pallas kernels compose with the ppermute halo exchange: per
+    shard the kernel runs in VMEM, only halo columns cross ICI.  (Kept
+    tiny: interpret-mode Pallas inside an 8-way shard_map is slow on the
+    CPU mesh; the full-size variant runs on the chip — see CLAUDE.md.)"""
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.RandomState(3)
+    x = (rng.rand(8, 32, 3) * 255).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got_box = np.asarray(sharded_box_filter(
+            jnp.asarray(x), 2, mesh8, impl="pallas"))
+    exp_box = np.asarray(box_filter(jnp.asarray(x), 2, border="reflect101"))
+    np.testing.assert_allclose(got_box, exp_box, rtol=1e-5, atol=1e-3)
+
+
+def test_sharded_guided_filter_matches_local(mesh8):
+    from reflectance_filtering_tpu.ops.guided import guided_filter
+    from reflectance_filtering_tpu.parallel.spatial import (
+        sharded_guided_filter)
+    rng = np.random.RandomState(4)
+    guide = (rng.rand(24, 64, 3) * 255).astype(np.float32)
+    src = (rng.rand(24, 64) * 255).astype(np.float32)
+    # halo 2r = 6 < 8 columns/shard
+    got = np.asarray(sharded_guided_filter(
+        jnp.asarray(guide), jnp.asarray(src), 3, 9.0, mesh8))
+    exp = np.asarray(guided_filter(jnp.asarray(guide), jnp.asarray(src),
+                                   3, 9.0))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=5e-3)
