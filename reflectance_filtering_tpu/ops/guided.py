@@ -195,16 +195,18 @@ def guided_filter_planar(guide, src, radius: int, eps):
     fused Pallas filter (ops/guided_pallas.py); everything else runs the
     Pallas-box + XLA-elementwise pipeline.  eps must be a concrete float
     for the fused path (it folds into the kernel)."""
-    from .guided_pallas import fits_fused_guided, guided_filter_fused
+    from .guided_pallas import (fits_fused_guided, guided_filter_fused,
+                                guided_filter_fused_banded)
 
     c, h, wid = src.shape[1], src.shape[2], src.shape[3]
     if (src.shape[0] == guide.shape[0] and c == 1
             and jax.default_backend() == "tpu"
-            and not isinstance(eps, jax.core.Tracer)
-            and fits_fused_guided(h, wid, radius)):
-        return guided_filter_fused(guide.astype(jnp.float32),
-                                   src.astype(jnp.float32),
-                                   radius, float(eps))
+            and not isinstance(eps, jax.core.Tracer)):
+        g32 = guide.astype(jnp.float32)
+        s32 = src.astype(jnp.float32)
+        if fits_fused_guided(h, wid, radius):
+            return guided_filter_fused(g32, s32, radius, float(eps))
+        return guided_filter_fused_banded(g32, s32, radius, float(eps))
     return _guided_filter_planar_xla(guide, src, radius, eps)
 
 
@@ -239,7 +241,17 @@ def guided_filter_iterated(guide, src, radius: int, eps,
                            iterations: int = 3, planar: bool = False):
     """Repeatedly guided-filter ``src`` against the same guide — the
     Zoran-style '3x iterated GF' chain of BASELINE.json config 4
-    (reference README.md:88).  planar=True takes/returns [N,C,H,W]."""
+    (reference README.md:88).  planar=True takes/returns [N,C,H,W].
+
+    On TPU the planar single-channel case computes the guide statistics
+    (means, covariance cofactors, 1/det) ONCE and reuses them every
+    iteration — they depend only on the guide."""
+    if (planar and src.shape[1] == 1 and jax.default_backend() == "tpu"
+            and not isinstance(eps, jax.core.Tracer)):
+        from .guided_pallas import guided_filter_fused_iterated
+        return guided_filter_fused_iterated(
+            guide.astype(jnp.float32), src.astype(jnp.float32),
+            radius, float(eps), iterations)
     out = src
     for _ in range(iterations):
         if planar:

@@ -111,6 +111,33 @@ def test_guided_fused_rejects_unaligned():
     assert not fits_fused_guided(2048, 2048, 45)  # plane too big for VMEM
 
 
+def test_guided_banded_matches_xla(rng):
+    """The band-tiled (big-frame) fused path, including odd H/W needing
+    band and lane padding, must match the XLA pipeline."""
+    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        guided_filter_fused_banded)
+    I = jnp.asarray((rng.rand(1, 3, 21, 50) * 255).astype(np.float32))
+    p = jnp.asarray((rng.rand(1, 1, 21, 50) * 255).astype(np.float32))
+    exp = np.asarray(_guided_filter_planar_xla(I, p, 3, 9.0))
+    got = np.asarray(guided_filter_fused_banded(I, p, 3, 9.0, th=8))
+    np.testing.assert_allclose(got, exp, rtol=1e-3, atol=0.05)
+
+
+def test_guided_iterated_stat_cache_matches_naive(rng):
+    """Cached guide stats across iterations == recomputing them."""
+    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        guided_filter_fused_iterated)
+    I = jnp.asarray((rng.rand(1, 3, 16, 128) * 255).astype(np.float32))
+    p = jnp.asarray((rng.rand(1, 1, 16, 128) * 255).astype(np.float32))
+    exp = p
+    for _ in range(3):
+        exp = _guided_filter_planar_xla(I, exp, 4, 9.0)
+    got = np.asarray(guided_filter_fused_iterated(I, p, 4, 9.0, 3, th=16))
+    np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-3, atol=0.05)
+
+
 def test_cnn_pallas_matches_reference_forward(rng):
     params = reference_params_from_caffe(load_reference_weights())
     packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
