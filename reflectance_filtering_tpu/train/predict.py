@@ -205,20 +205,9 @@ def _save_img(full_path: str, img_hwc: np.ndarray,
     cv2.imwrite(full_path, img * 255)
 
 
-def decompose_single_image_in_full_size(img_path: str, params,
-                                        net_cfg: NetworkConfig,
-                                        results_dir: str,
-                                        predict_fn=None):
-    """helper:753-805: full-res decompose, 6 outputs (linear + sRGB)."""
-    img = _read_img_linear_hwc(img_path)
-    if predict_fn is None:
-        predict_fn = make_predict_fn(net_cfg)
-    res = predict_fn(params, jnp.asarray(img[None]))
-    reflectance = np.asarray(res["reflectance"][0])
-    shading = np.asarray(res["shading"][0])
-    rs_est = np.asarray(res["RS_est"][0])
-
-    orig = os.path.basename(img_path)[:-4]
+def _write_decomposition(results_dir: str, orig: str, reflectance,
+                         shading, rs_est):
+    """helper:776-805: 6 outputs (linear + sRGB) under results_dir."""
     fmt = ".png"
     for sub, srgb in (("decompositions_linear", False),
                       ("decompositions_sRGB", True)):
@@ -229,6 +218,58 @@ def decompose_single_image_in_full_size(img_path: str, params,
                   shading, convert2sRGB=srgb)
         _save_img(os.path.join(results_dir, sub, orig + "-RS_est" + fmt),
                   rs_est, convert2sRGB=srgb)
+
+
+def decompose_single_image_in_full_size(img_path: str, params,
+                                        net_cfg: NetworkConfig,
+                                        results_dir: str,
+                                        predict_fn=None):
+    """helper:753-805: full-res decompose, 6 outputs (linear + sRGB)."""
+    img = _read_img_linear_hwc(img_path)
+    if predict_fn is None:
+        predict_fn = make_predict_fn(net_cfg)
+    res = predict_fn(params, jnp.asarray(img[None]))
+    _write_decomposition(results_dir, os.path.basename(img_path)[:-4],
+                         np.asarray(res["reflectance"][0]),
+                         np.asarray(res["shading"][0]),
+                         np.asarray(res["RS_est"][0]))
+
+
+def decompose_images_batched(paths: Sequence[str], params,
+                             net_cfg: NetworkConfig, results_dir: str,
+                             predict_fn=None, batch_size: int = 16):
+    """Batched multi-image decompose — the rebuild's replacement for the
+    reference's per-file loop that rebuilt the whole net per image
+    (helper:757-760, SURVEY.md §3.4).  Images are grouped by (H, W) so
+    each group runs through one jitted program in device batches; reads
+    keep per-file error containment.  Returns the list of successfully
+    decomposed paths."""
+    groups: Dict = {}
+    for p in paths:
+        try:
+            img = _read_img_linear_hwc(p)
+        except Exception:
+            print("Decomposing file", p, "was not possible")
+            traceback.print_exc()
+            continue
+        groups.setdefault(img.shape[:2], []).append((p, img))
+    if predict_fn is None:
+        predict_fn = make_predict_fn(net_cfg)
+    done = []
+    for items in groups.values():
+        for s in range(0, len(items), batch_size):
+            chunk = items[s:s + batch_size]
+            batch = np.stack([im for _, im in chunk])
+            res = predict_fn(params, jnp.asarray(batch))
+            refl = np.asarray(res["reflectance"])
+            shad = np.asarray(res["shading"])
+            rs = np.asarray(res["RS_est"])
+            for i, (p, _) in enumerate(chunk):
+                _write_decomposition(results_dir,
+                                     os.path.basename(p)[:-4],
+                                     refl[i], shad[i], rs[i])
+                done.append(p)
+    return done
 
 
 def decompose_numpy(npz_path: str, params, net_cfg: NetworkConfig,
@@ -383,14 +424,19 @@ def decompose_movie(movie_path: str, params, net_cfg: NetworkConfig,
 
 def decompose_files(files: Sequence[str], params, net_cfg: NetworkConfig,
                     results_dir: str, batch_size: int = 16):
-    """Per-file dispatch with per-file error containment
-    (helper:410-435)."""
+    """File dispatch with per-file error containment (helper:410-435).
+
+    Images go through the shape-grouped batched path; movies and npz
+    archives are handled per file."""
     predict_fn = make_predict_fn(net_cfg)
+    images = [f for f in files if is_image(f)]
+    if images:
+        decompose_images_batched(images, params, net_cfg, results_dir,
+                                 predict_fn, batch_size)
     for f in files:
         try:
             if is_image(f):
-                decompose_single_image_in_full_size(
-                    f, params, net_cfg, results_dir, predict_fn)
+                pass  # handled by the batched path above
             elif is_movie(f):
                 decompose_movie(f, params, net_cfg, results_dir, predict_fn,
                                 batch_size)

@@ -127,6 +127,35 @@ def test_load_movie_linearizes(net, tmp_path, rng):
     assert loaded.max() <= 1.0  # linearized 0-1
 
 
+def test_decompose_images_batched_matches_single(net, tmp_path, rng):
+    """Shape-grouped batching == the per-image path, byte for byte,
+    including mixed sizes and a bad file (containment)."""
+    import cv2
+    cfg, params = net
+    paths = []
+    for i, (h, w) in enumerate([(24, 32), (24, 32), (16, 40)]):
+        p = str(tmp_path / "img{}.png".format(i))
+        cv2.imwrite(p, (rng.rand(h, w, 3) * 255).astype(np.uint8))
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.png"))
+
+    bdir = str(tmp_path / "batched")
+    done = P.decompose_images_batched(paths, params, cfg, bdir,
+                                      batch_size=2)
+    assert sorted(done) == sorted(paths[:3])
+
+    sdir = str(tmp_path / "single")
+    for p in paths[:3]:
+        P.decompose_single_image_in_full_size(p, params, cfg, sdir)
+    for sub in ("decompositions_linear", "decompositions_sRGB"):
+        for i in range(3):
+            for suffix in ("-r", "-s", "-RS_est"):
+                fn = "img{}{}.png".format(i, suffix)
+                a = cv2.imread(os.path.join(bdir, sub, fn))
+                b = cv2.imread(os.path.join(sdir, sub, fn))
+                np.testing.assert_array_equal(a, b, err_msg=(sub, fn))
+
+
 def test_decompose_files_error_containment(net, tmp_path, capsys):
     cfg, params = net
     P.decompose_files([str(tmp_path / "missing.png"),
