@@ -24,6 +24,7 @@ the graph (networks.py:982-994); that recovery is imported from
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
@@ -127,6 +128,32 @@ def conv_init(key, kh, kw, ci, co) -> Params:
     }
 
 
+# Module-wide matmul/conv precision.  Default HIGHEST (full f32 MXU
+# passes): the TPU default (1x bf16) costs ~1e-2 absolute error through
+# this stack, far outside the parity gate.  Training from scratch has no
+# bitwise-parity contract, so the train CLI can relax it
+# (--matmul_precision) for a large step-time win; inference/parity paths
+# never touch this.
+_PRECISION = {"default": jax.lax.Precision.DEFAULT,
+              "high": jax.lax.Precision.HIGH,
+              "highest": jax.lax.Precision.HIGHEST}
+_matmul_precision = jax.lax.Precision.HIGHEST
+
+
+@contextlib.contextmanager
+def matmul_precision(name: str):
+    """Context manager scoping conv2d/deconv2d precision ('default',
+    'high', 'highest').  Applies at trace time — wrap the call that
+    first executes the jitted function."""
+    global _matmul_precision
+    prev = _matmul_precision
+    _matmul_precision = _PRECISION[name.lower()]
+    try:
+        yield
+    finally:
+        _matmul_precision = prev
+
+
 def conv2d(params: Params, x, *, pad: int = 0, stride: int = 1,
            dilation: int = 1):
     """NHWC conv with HWIO kernel, zero padding — caffe Convolution semantics."""
@@ -137,9 +164,7 @@ def conv2d(params: Params, x, *, pad: int = 0, stride: int = 1,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        # full f32 MXU passes: the TPU default (1x bf16) costs ~1e-2 absolute
-        # error through this stack, far outside the parity gate.
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_matmul_precision,
     )
     return y + params["bias"]
 
@@ -151,6 +176,7 @@ def deconv2d(params: Params, x, *, stride: int = 2):
         strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_matmul_precision,
     ) + params["bias"]
 
 
