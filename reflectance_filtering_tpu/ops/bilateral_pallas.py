@@ -178,36 +178,58 @@ def _kernel_gray_self(x_hbm, out_ref, xscr, sem,
     # range weight on 3*|delta| (three identical channels)
     g9 = gcc * 9.0
 
-    def dy_body(dy, carry):
-        acc, wsum = carry
-        plane = pltpu.roll(xscr[...], rows - dy, 0)[:th, :]
-        fy = (dy - radius).astype(jnp.float32)
-        fy2 = fy * fy
-        # NOTE: a lax.cond skip of out-of-disk taps (24% of the square)
-        # was tried and made things 2x *slower* — the conditional forces
-        # accumulator copies that cost more than the skipped math.
-        # Each tap's shifted plane is an INDEPENDENT static roll (not an
-        # incremental roll-by-1 chain): the serial chain made the ALUs
-        # wait on the permute unit every tap; independent rolls let the
-        # scheduler overlap tap k's math with tap k+1's permute
-        # (measured 1.76x on v5e, bitwise-identical output).
-        for dx in range(d):
-            fx = float(dx - radius)
-            r2 = fy2 + fx * fx
-            # the disk mask folds into the (scalar) exp argument: -inf
-            # outside the disk makes exp produce an exact 0 weight, saving
-            # a full-width select per tap
-            cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
-                           r2 * gsc)
-            cur = pltpu.roll(plane, (radius - dx) % wpad, 1)
-            diff = cur - center
-            w = jnp.exp(diff * diff * g9 + cc)
-            acc = acc + w * cur
-            wsum = wsum + w
-        return acc, wsum
+    def make_dy_body(dxmax: int):
+        def dy_body(dy, carry):
+            acc, wsum = carry
+            plane = pltpu.roll(xscr[...], rows - dy, 0)[:th, :]
+            fy = (dy - radius).astype(jnp.float32)
+            fy2 = fy * fy
+            # NOTE: a lax.cond skip of out-of-disk taps (24% of the
+            # square) was tried and made things 2x *slower* — the
+            # conditional forces accumulator copies that cost more than
+            # the skipped math.  Each tap's shifted plane is an
+            # INDEPENDENT static roll (not an incremental roll-by-1
+            # chain): the serial chain made the ALUs wait on the permute
+            # unit every tap; independent rolls let the scheduler overlap
+            # tap k's math with tap k+1's permute (measured 1.76x on
+            # v5e, bitwise-identical output).
+            for dx in range(radius - dxmax, radius + dxmax + 1):
+                fx = float(dx - radius)
+                r2 = fy2 + fx * fx
+                # the disk mask folds into the (scalar) exp argument:
+                # -inf outside the disk makes exp produce an exact 0
+                # weight, saving a full-width select per tap
+                cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
+                               r2 * gsc)
+                cur = pltpu.roll(plane, (radius - dx) % wpad, 1)
+                diff = cur - center
+                w = jnp.exp(diff * diff * g9 + cc)
+                acc = acc + w * cur
+                wsum = wsum + w
+            return acc, wsum
+        return dy_body
 
+    # Band the dy loop by |fy| so columns that are statically outside the
+    # disk for the WHOLE band are never emitted (~17% of the square at
+    # r=33); the per-tap -inf mask still zeroes the residual corners, so
+    # results stay bitwise identical to the full-square loop.
     zero = jnp.zeros((th, wpad), jnp.float32)
-    acc, wsum = jax.lax.fori_loop(0, d, dy_body, (zero, zero))
+    carry = (zero, zero)
+    nbands = 5 if radius >= 10 else 1
+    step = -(-(radius + 1) // nbands)
+    for lo in range(0, radius + 1, step):
+        hi = min(lo + step - 1, radius)
+        dxmax = int(np.floor(np.sqrt(float(radius * radius - lo * lo))))
+        body = make_dy_body(dxmax)
+        if lo == 0:
+            carry = jax.lax.fori_loop(radius - hi, radius + hi + 1,
+                                      body, carry)
+        else:
+            carry = jax.lax.fori_loop(radius - hi, radius - lo + 1,
+                                      body, carry)
+            carry = jax.lax.fori_loop(radius + lo, radius + hi + 1,
+                                      body, carry)
+    acc, wsum = carry
     out_ref[0] = (acc / wsum)[:, radius:radius + wout]
 
 
