@@ -135,6 +135,43 @@ def main():
         float(jnp.sum(chain(g4k, s4k)))
     t_4k = (time.time() - t0) / reps
 
+    # training: one fused fwd+autodiff-bwd+adam step, reference batch 20
+    from reflectance_filtering_tpu.models.networks import (
+        NetworkConfig, init_network)
+    from reflectance_filtering_tpu.train.loop import (
+        LossConfig, compute_losses, make_optimizer)
+    import optax
+    tcfg = NetworkConfig()
+    tl = LossConfig()
+    tparams = init_network(jax.random.PRNGKey(0), tcfg)
+    topt = make_optimizer("ADAM", 1e-3)
+    tstate = topt.init(tparams)
+    tb = 20
+    timgs = jax.device_put(rng.rand(tb, H, W, 3).astype(np.float32))
+    tcomps = jax.device_put(np.broadcast_to(
+        np.asarray(comps)[:1], (tb,) + comps.shape[1:]).copy())
+    titers = 10
+
+    @jax.jit
+    def train_many(p0, o0, im, c):
+        def body(i, carry):
+            p, o = carry
+            (_, m), g = jax.value_and_grad(
+                lambda pp: compute_losses(pp, im, c, tcfg, tl,
+                                          jax.random.PRNGKey(0),
+                                          train=True),
+                has_aux=True)(p)
+            up, o = topt.update(g, o, p)
+            return optax.apply_updates(p, up), o
+        return jax.lax.fori_loop(0, titers, body, (p0, o0))
+
+    tp, to = train_many(tparams, tstate, timgs, tcomps)
+    float(jnp.sum(jax.tree_util.tree_leaves(tp)[0]))
+    t0 = time.time()
+    tp, to = train_many(tparams, tstate, timgs, tcomps)
+    float(jnp.sum(jax.tree_util.tree_leaves(tp)[0]))
+    t_train = (time.time() - t0) / titers
+
     bf_mps = MP / t_bf
     gf_mps = MP / t_gf
     cnn_mps = MP / t_cnn
@@ -148,6 +185,7 @@ def main():
         "gf_pipeline_mps": round(gf_mps, 2),
         "cnn_decompose_mps": round(cnn_mps, 2),
         "gf_3x_4k_mps": round(h4k * w4k / t_4k / 1e6, 2),
+        "train_imgs_per_s": round(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],
     }))
 
