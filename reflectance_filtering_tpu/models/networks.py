@@ -156,9 +156,20 @@ def matmul_precision(name: str):
 
 def conv2d(params: Params, x, *, pad: int = 0, stride: int = 1,
            dilation: int = 1):
-    """NHWC conv with HWIO kernel, zero padding — caffe Convolution semantics."""
+    """NHWC conv with HWIO kernel, zero padding — caffe Convolution semantics.
+
+    1x1 convolutions (the flagship family) lower to a per-pixel matmul:
+    XLA's conv path is ~4.6x slower than the equivalent dot on TPU for
+    these channel counts (measured fwd+bwd on v5e)."""
+    k = params["kernel"]
+    if (k.shape[0] == 1 and k.shape[1] == 1 and stride == 1 and pad == 0):
+        sh = x.shape
+        y = jnp.dot(x.reshape(-1, sh[-1]), k[0, 0],
+                    preferred_element_type=jnp.float32,
+                    precision=_matmul_precision)
+        return y.reshape(sh[:-1] + (k.shape[3],)) + params["bias"]
     y = jax.lax.conv_general_dilated(
-        x, params["kernel"],
+        x, k,
         window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         rhs_dilation=(dilation, dilation),
