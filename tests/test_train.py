@@ -280,6 +280,60 @@ def test_cascade_rdirectly_falls_back_to_rrelmax(tiny_data):
     assert "RS_est" in blobs
 
 
+def test_matmul_precision_context_restores():
+    from reflectance_filtering_tpu.models import networks as N
+    assert N._matmul_precision == jax.lax.Precision.HIGHEST
+    with N.matmul_precision("default"):
+        assert N._matmul_precision == jax.lax.Precision.DEFAULT
+        with N.matmul_precision("high"):
+            assert N._matmul_precision == jax.lax.Precision.HIGH
+        assert N._matmul_precision == jax.lax.Precision.DEFAULT
+    assert N._matmul_precision == jax.lax.Precision.HIGHEST
+
+
+def test_conv2d_1x1_dot_matches_conv_path(rng):
+    """The 1x1-as-dot lowering must agree with the general conv path."""
+    from reflectance_filtering_tpu.models.networks import conv2d
+    k = rng.randn(1, 1, 5, 7).astype(np.float32)
+    b = rng.randn(7).astype(np.float32)
+    x = jnp.asarray(rng.rand(2, 6, 9, 5).astype(np.float32))
+    got = conv2d({"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}, x,
+                 pad=0)
+    exp = jax.lax.conv_general_dilated(
+        x, jnp.asarray(k), window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST) + jnp.asarray(b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["rRelMax", "sRelNorm", "rAbs", "RS"])
+def test_recover_gradients_match_finite_difference(mode, rng):
+    """JAX autodiff through the R/S recovery interpreters vs numeric
+    gradients — the check the reference's hand-derived backward never had
+    (recover_reflectance_shading_layer.py:206-244)."""
+    from reflectance_filtering_tpu.models.networks import head_channels
+    from reflectance_filtering_tpu.models.recover import (
+        recover_reflectance_shading)
+    c = head_channels(mode)
+    est = rng.rand(1, 4, 4, c).astype(np.float32) + 0.5
+    img = jnp.asarray(rng.rand(1, 4, 4, 3).astype(np.float32) + 0.2)
+
+    def f(e):
+        r, s = recover_reflectance_shading(e, img, mode)
+        return jnp.sum(r * r) + jnp.sum(s)
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(est)))
+    eps = 1e-3
+    for idx in [(0, 0, 0, 0), (0, 2, 3, c - 1), (0, 3, 1, c // 2)]:
+        ep = est.copy(); ep[idx] += eps
+        em = est.copy(); em[idx] -= eps
+        num = (float(f(jnp.asarray(ep))) - float(f(jnp.asarray(em)))) \
+            / (2 * eps)
+        np.testing.assert_allclose(g[idx], num, rtol=2e-2, atol=2e-3,
+                                   err_msg="{} {}".format(mode, idx))
+
+
 def test_predict_batched_pads_tail(tiny_data):
     cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
                         num_filters_log=3, kernel_pad=0,
