@@ -262,6 +262,71 @@ def guided_filter_iterated(guide, src, radius: int, eps,
     return out
 
 
+def fast_guided_filter(guide, src, radius: int, eps, subsample: int = 4):
+    """Fast Guided Filter (He & Sun 2015, arXiv:1505.00996): compute the
+    a,b coefficient fields at 1/s resolution and joint-upsample them —
+    O(1/s^2) of the exact filter's cost with near-identical output on
+    natural images.
+
+    OPTIONAL speed mode beyond the reference's capability surface (the
+    exact filter is the parity path).  guide [N,3,H,W], src [N,C,H,W]
+    planar float32; subsample=1 degenerates to the exact filter.
+    """
+    if subsample <= 1:
+        return guided_filter_planar(guide, src, radius, eps)
+    n, _, h, wid = guide.shape
+    c = src.shape[1]
+    hs, ws = max(1, h // subsample), max(1, wid // subsample)
+    rs = max(1, int(round(radius / subsample)))
+
+    def down(x):
+        return jax.image.resize(x, x.shape[:2] + (hs, ws), "bilinear")
+
+    gs = down(guide.astype(jnp.float32))
+    ps = down(src.astype(jnp.float32))
+
+    # low-res exact filter, but capture mean_a/mean_b instead of q
+    mean_I = _box_planar(gs.reshape(n * 3, hs, ws), rs).reshape(gs.shape)
+    mean_p = _box_planar(ps.reshape(n * c, hs, ws), rs).reshape(ps.shape)
+    Ip = (gs[:, :, None] * ps[:, None]).reshape(n, 3 * c, hs, ws)
+    cov = _box_planar(Ip.reshape(n * 3 * c, hs, ws), rs).reshape(
+        n, 3, c, hs, ws) - mean_I[:, :, None] * mean_p[:, None]
+    pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    II = jnp.stack([gs[:, a] * gs[:, b] for a, b in pairs], axis=1)
+    m = _box_planar(II.reshape(n * 6, hs, ws), rs).reshape(n, 6, hs, ws)
+    rr = m[:, 0] - mean_I[:, 0] ** 2 + eps
+    rg = m[:, 1] - mean_I[:, 0] * mean_I[:, 1]
+    rb = m[:, 2] - mean_I[:, 0] * mean_I[:, 2]
+    gg = m[:, 3] - mean_I[:, 1] ** 2 + eps
+    gb = m[:, 4] - mean_I[:, 1] * mean_I[:, 2]
+    bb = m[:, 5] - mean_I[:, 2] ** 2 + eps
+    c00 = gg * bb - gb * gb
+    c01 = gb * rb - rg * bb
+    c02 = rg * gb - gg * rb
+    c11 = rr * bb - rb * rb
+    c12 = rb * rg - rr * gb
+    c22 = rr * gg - rg * rg
+    inv_det = 1.0 / (rr * c00 + rg * c01 + rb * c02)
+    cov0, cov1, cov2 = cov[:, 0], cov[:, 1], cov[:, 2]
+    a0 = (c00[:, None] * cov0 + c01[:, None] * cov1 +
+          c02[:, None] * cov2) * inv_det[:, None]
+    a1 = (c01[:, None] * cov0 + c11[:, None] * cov1 +
+          c12[:, None] * cov2) * inv_det[:, None]
+    a2 = (c02[:, None] * cov0 + c12[:, None] * cov1 +
+          c22[:, None] * cov2) * inv_det[:, None]
+    b = mean_p - (a0 * mean_I[:, 0:1] + a1 * mean_I[:, 1:2] +
+                  a2 * mean_I[:, 2:3])
+    stacked = jnp.concatenate([a0, a1, a2, b], axis=1)
+    means = _box_planar(stacked.reshape(n * 4 * c, hs, ws), rs).reshape(
+        n, 4 * c, hs, ws)
+
+    up = jax.image.resize(means, (n, 4 * c, h, wid), "bilinear")
+    ma0, ma1, ma2, mb = (up[:, :c], up[:, c:2 * c], up[:, 2 * c:3 * c],
+                         up[:, 3 * c:])
+    g32 = guide.astype(jnp.float32)
+    return (ma0 * g32[:, 0:1] + ma1 * g32[:, 1:2] + ma2 * g32[:, 2:3] + mb)
+
+
 def guided_filter_u8(guide_u8, src_u8, radius: int, eps) -> np.ndarray:
     """uint8 wrapper with OpenCV rounding: float math, rint, clip to 0-255.
 

@@ -231,3 +231,27 @@ def test_jbf_gray_inputs(rng):
     out = joint_bilateral_filter_u8(joint, src, -1, 15.0, 3.0)
     assert out.shape == (32, 32)
     assert out.dtype == np.uint8
+
+
+def test_fast_guided_filter_close_to_exact(rng):
+    """Fast Guided Filter (He 2015) with subsampling should track the
+    exact filter on smooth natural-ish images; subsample=1 is exact."""
+    from reflectance_filtering_tpu.ops.guided import (
+        _guided_filter_planar_xla, fast_guided_filter)
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    guide = np.stack([120 + 60 * np.sin(xx / 9.0),
+                      100 + 50 * np.cos(yy / 7.0),
+                      90 + 40 * np.sin((xx + yy) / 11.0)])[None]
+    src = (guide[:, :1] * 0.7 +
+           10 * rng.rand(1, 1, 64, 64).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        exact = np.asarray(_guided_filter_planar_xla(
+            jnp.asarray(guide), jnp.asarray(src), 8, 9.0))
+        fast = np.asarray(fast_guided_filter(
+            jnp.asarray(guide), jnp.asarray(src), 8, 9.0, subsample=2))
+        same = np.asarray(fast_guided_filter(
+            jnp.asarray(guide), jnp.asarray(src), 8, 9.0, subsample=1))
+    assert np.abs(fast - exact).mean() < 1.0     # < 1 uint8 level on avg
+    np.testing.assert_allclose(same, exact, rtol=1e-4, atol=1e-2)
