@@ -143,8 +143,14 @@ def test_cnn_pallas_matches_reference_forward(rng):
     packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
     img = rng.rand(2, 20, 24, 3).astype(np.float32)
     exp = np.asarray(reflectance_net_apply(params, jnp.asarray(img)))[..., 0]
-    got = np.asarray(reflectance_cnn_pallas(packed, jnp.asarray(img)))
+    got = np.asarray(reflectance_cnn_pallas(packed, jnp.asarray(img),
+                                            precise=True))
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+    # default bf16x3 dots: within the golden uint8 gate by a wide margin
+    fast = np.asarray(reflectance_cnn_pallas(packed, jnp.asarray(img)))
+    np.testing.assert_allclose(fast, exp, atol=5e-4)
+    flips = (np.floor(fast * 255) != np.floor(exp * 255)).mean()
+    assert flips < 0.005
 
 
 def test_cnn_pallas_srgb_fused(rng):
