@@ -57,42 +57,63 @@ def _kernel(joint_hbm, src_hbm, out_ref, jscr, sscr, sem,
     c1 = jscr[1, radius:radius + th, :]
     c2 = jscr[2, radius:radius + th, :]
 
-    def dy_body(dy, carry):
-        # hoist the sublane rotate: planes shifted by dy, cropped to th rows
-        jy = [pltpu.roll(jscr[c], rows - dy, 0)[:th, :] for c in range(3)]
-        sy = [pltpu.roll(sscr[c], rows - dy, 0)[:th, :] for c in range(3)]
-        fy = (dy - radius).astype(jnp.float32)
-        fy2 = fy * fy
-        a0, a1, a2, wsum = carry
+    def make_dy_body(dxmax: int):
+        def dy_body(dy, carry):
+            # hoist the sublane rotate: planes shifted by dy, cropped to
+            # th rows
+            jy = [pltpu.roll(jscr[c], rows - dy, 0)[:th, :]
+                  for c in range(3)]
+            sy = [pltpu.roll(sscr[c], rows - dy, 0)[:th, :]
+                  for c in range(3)]
+            fy = (dy - radius).astype(jnp.float32)
+            fy2 = fy * fy
+            a0, a1, a2, wsum = carry
 
-        # static dx unroll with incremental roll-by-1.  Tap dx reads
-        # plane[l + dx - radius] at center lane l, so the dx=0 start is the
-        # plane rolled forward by +radius; each step then rolls back by 1.
-        # (Independent per-tap rolls — a 1.76x win on the one-plane gray
-        # kernel — measured SLOWER here: six planes of live shifted
-        # copies overflow the VMEM stack and spill.)  The disk mask folds
-        # into the scalar exp argument (-inf -> weight 0), saving a
-        # full-width select per tap.
-        cur = [pltpu.roll(p, radius, 1) for p in jy + sy]
-        for dx in range(d):
-            fx = float(dx - radius)
-            r2 = fy2 + fx * fx
-            cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
-                           r2 * gsc)
-            diff = (jnp.abs(cur[0] - c0) + jnp.abs(cur[1] - c1) +
-                    jnp.abs(cur[2] - c2))
-            w = jnp.exp(diff * diff * gcc + cc)
-            a0 = a0 + w * cur[3]
-            a1 = a1 + w * cur[4]
-            a2 = a2 + w * cur[5]
-            wsum = wsum + w
-            if dx + 1 < d:
-                cur = [pltpu.roll(p, wpad - 1, 1) for p in cur]
-        return a0, a1, a2, wsum
+            # static dx unroll with incremental roll-by-1.  Tap dx reads
+            # plane[l + dx - radius] at center lane l.  (Independent
+            # per-tap rolls — a 1.76x win on the one-plane gray kernel —
+            # measured SLOWER here: six planes of live shifted copies
+            # overflow the VMEM stack and spill.)  The disk mask folds
+            # into the scalar exp argument (-inf -> weight 0), saving a
+            # full-width select per tap.
+            start = radius - dxmax
+            cur = [pltpu.roll(p, dxmax, 1) for p in jy + sy]
+            for dx in range(start, radius + dxmax + 1):
+                fx = float(dx - radius)
+                r2 = fy2 + fx * fx
+                cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
+                               r2 * gsc)
+                diff = (jnp.abs(cur[0] - c0) + jnp.abs(cur[1] - c1) +
+                        jnp.abs(cur[2] - c2))
+                w = jnp.exp(diff * diff * gcc + cc)
+                a0 = a0 + w * cur[3]
+                a1 = a1 + w * cur[4]
+                a2 = a2 + w * cur[5]
+                wsum = wsum + w
+                if dx + 1 < radius + dxmax + 1:
+                    cur = [pltpu.roll(p, wpad - 1, 1) for p in cur]
+            return a0, a1, a2, wsum
+        return dy_body
 
+    # band dy by |fy| to skip statically-out-of-disk columns (the same
+    # ~17% tap/roll saving as the gray kernel; bitwise identical)
     zero = jnp.zeros((th, wpad), jnp.float32)
-    a0, a1, a2, wsum = jax.lax.fori_loop(
-        0, d, dy_body, (zero, zero, zero, zero))
+    carry = (zero, zero, zero, zero)
+    nbands = 5 if radius >= 10 else 1
+    step = -(-(radius + 1) // nbands)
+    for lo in range(0, radius + 1, step):
+        hi = min(lo + step - 1, radius)
+        dxmax = int(np.floor(np.sqrt(float(radius * radius - lo * lo))))
+        body = make_dy_body(dxmax)
+        if lo == 0:
+            carry = jax.lax.fori_loop(radius - hi, radius + hi + 1,
+                                      body, carry)
+        else:
+            carry = jax.lax.fori_loop(radius - hi, radius - lo + 1,
+                                      body, carry)
+            carry = jax.lax.fori_loop(radius + lo, radius + hi + 1,
+                                      body, carry)
+    a0, a1, a2, wsum = carry
     inv = 1.0 / wsum
     out_ref[0, 0] = (a0 * inv)[:, radius:radius + wout]
     out_ref[0, 1] = (a1 * inv)[:, radius:radius + wout]
