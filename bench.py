@@ -126,13 +126,19 @@ def main():
     h4k, w4k = 2160, 3840
     g4k = jax.device_put(rng.rand(1, 3, h4k, w4k).astype(np.float32) * 255)
     s4k = jax.device_put(rng.rand(1, 1, h4k, w4k).astype(np.float32) * 255)
-    chain = jax.jit(lambda g, s: guided_filter_iterated(
-        g, s, 45, 3.0, 3, planar=True))
-    float(jnp.sum(chain(g4k, s4k)))  # compile+warm
+    reps = 5
+
+    @jax.jit
+    def chain_many(g, s):
+        def body(i, acc):
+            out = guided_filter_iterated(g * (1.0 + 1e-12 * acc), s,
+                                         45, 3.0, 3, planar=True)
+            return acc + out[0, 0, 0, 0] * 1e-9
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(chain_many(g4k, s4k))  # compile+warm
     t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        float(jnp.sum(chain(g4k, s4k)))
+    float(chain_many(g4k, s4k))
     t_4k = (time.time() - t0) / reps
 
     # training: one fused fwd+autodiff-bwd+adam step, reference batch 20
