@@ -83,14 +83,35 @@ def decompose_image(filename_in: str, path_out: str,
 
 
 def decompose_images(filenames: Sequence[str], path_out: str,
-                     net: Optional[ReflectanceCNN] = None
-                     ) -> Dict[str, np.ndarray]:
-    """Batched multi-image mode replacing the reference's per-file loop."""
+                     net: Optional[ReflectanceCNN] = None,
+                     batch_size: int = 16) -> Dict[str, np.ndarray]:
+    """Batched multi-image mode replacing the reference's per-file loop:
+    images are grouped by (H, W) and each group runs through the jitted
+    forward in device batches (one compile per shape, not per file)."""
     if net is None:
         net = ReflectanceCNN()
-    out = {}
+    groups: Dict = {}
     for fn in filenames:
-        out[fn] = decompose_image(fn, path_out, net=net)
+        img = iu.imread(fn)
+        groups.setdefault(img.shape, []).append((fn, img))
+    out = {}
+    for items in groups.values():
+        for s in range(0, len(items), batch_size):
+            chunk = items[s:s + batch_size]
+            batch = jnp.asarray(np.stack([im for _, im in chunk]))
+            grays = np.asarray(_decompose_device(net.params, batch))
+            for (fn, img), gray in zip(chunk, grays):
+                basename = os.path.splitext(os.path.basename(fn))[0]
+                iu.imwrite(os.path.join(path_out, basename + "-r.png"),
+                           gray)
+                refl, shad = iu.colorize(gray, img)
+                iu.imwrite(os.path.join(
+                    path_out, basename + "-r_colorized.png"),
+                    refl, sRGB=True)
+                iu.imwrite(os.path.join(
+                    path_out, basename + "-s_colorized.png"),
+                    shad, sRGB=True)
+                out[fn] = gray
     return out
 
 

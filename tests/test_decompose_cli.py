@@ -90,3 +90,27 @@ def test_cli_main_smoke(test_image, tmp_path):
     path, _ = test_image
     main(["--filename_in", path, "--path_out", str(tmp_path)])
     assert os.path.isfile(str(tmp_path / "sample-r.png"))
+
+
+def test_decompose_images_batched_matches_single(tmp_path, rng):
+    """Shape-grouped batched CLI decompose == per-image decompose."""
+    import cv2
+    from reflectance_filtering_tpu.cli.decompose import (
+        ReflectanceCNN, decompose_image, decompose_images)
+    net = ReflectanceCNN()
+    paths = []
+    for i, (h, w) in enumerate([(20, 24), (20, 24), (16, 28)]):
+        p = str(tmp_path / "m{}.png".format(i))
+        cv2.imwrite(p, (rng.rand(h, w, 3) * 255).astype(np.uint8))
+        paths.append(p)
+    bdir = tmp_path / "b"; bdir.mkdir()
+    sdir = tmp_path / "s"; sdir.mkdir()
+    decompose_images(paths, str(bdir), net=net, batch_size=2)
+    for p in paths:
+        decompose_image(p, str(sdir), net=net)
+    for i in range(3):
+        for suffix in ("-r.png", "-r_colorized.png", "-s_colorized.png"):
+            fn = "m{}{}".format(i, suffix)
+            a = cv2.imread(str(bdir / fn))
+            b = cv2.imread(str(sdir / fn))
+            np.testing.assert_array_equal(a, b, err_msg=fn)
