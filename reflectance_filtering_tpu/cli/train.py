@@ -208,12 +208,15 @@ def fit_predict_net(args, results_dir: str):
             print("Starting the training for", iterations, "iterations.")
             sys.stdout.flush()
             from ..models.networks import matmul_precision
+            from ..train.monitors import FilterVisualizer
             with matmul_precision(args.matmul_precision):
                 fit(net_cfg, loss_cfg, X, iterations, args.batch_size,
                     args.solverType, args.base_lr, args.random_seed,
                     args.comparisonsType, init_params=init_params,
                     callbacks=callbacks, checkpointer=checkptr,
-                    progress=progress)
+                    progress=progress,
+                    on_checkpoint=FilterVisualizer(results_dir,
+                                                   checkpoint_interval))
             training_time = timeit.default_timer() - start_train
             print("Total training time is", training_time)
 

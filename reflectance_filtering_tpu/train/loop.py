@@ -179,7 +179,8 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         comparisons_type: str = "comparisons",
         init_params=None,
         callbacks=(), checkpointer=None,
-        progress: Optional[Callable] = None) -> TrainState:
+        progress: Optional[Callable] = None,
+        on_checkpoint: Optional[Callable] = None) -> TrainState:
     """Train for ``iterations`` samples (the reference's unit, helper:286).
 
     X: {'images' [N,H,W,3], 'comparisons' [N,K+1,6][, 'augmented']} — the
@@ -228,9 +229,13 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         if progress is not None:
             progress(s, state.samples, host_metrics)
         if checkpointer is not None:
-            checkpointer.maybe_save(state.samples, state.params,
-                                    state.opt_state)
+            saved = checkpointer.maybe_save(state.samples, state.params,
+                                            state.opt_state)
+            if saved and on_checkpoint is not None:
+                on_checkpoint(state.samples, state.params)
     if checkpointer is not None and num_steps > 0:
-        checkpointer.maybe_save(state.samples, state.params,
-                                state.opt_state, finalize=True)
+        saved = checkpointer.maybe_save(state.samples, state.params,
+                                        state.opt_state, finalize=True)
+        if saved and on_checkpoint is not None:
+            on_checkpoint(state.samples, state.params)
     return state

@@ -7,6 +7,7 @@ the C++ solver loop does not exist here — SURVEY.md §1).
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import Dict, Optional
@@ -93,6 +94,44 @@ def vis_square(data: np.ndarray, padsize: int = 1, padval: float = 0
     data = data.reshape((n * data.shape[1], n * data.shape[3]) +
                         data.shape[4:])
     return data
+
+
+class FilterVisualizer:
+    """Writes a vis_square grid of the first conv layer's filters to the
+    results tree's ``images/`` dir whenever a checkpoint lands — realizes
+    the intent of the reference's (never-wired) _vis_square helper
+    (train_with_barrista.py:105-120) and populates the ``images``
+    artifact dir it creates (train_with_barrista.py:319-331).
+
+    Call with (samples, params); writes images/filters_iter_{N}.png for
+    conv kernels spatially larger than 1x1, or a weight-matrix heatmap
+    for 1x1 stacks."""
+
+    def __init__(self, results_dir: str, interval: int):
+        self.dir = os.path.join(results_dir, "images")
+        self.interval = max(1, interval)
+        self._last = -1
+
+    def __call__(self, samples: int, params) -> None:
+        if samples // self.interval <= self._last // self.interval \
+                and self._last >= 0:
+            return
+        self._last = samples
+        conv0 = params.get("conv0") or params.get("conv0_level0")
+        if conv0 is None:
+            return
+        k = np.asarray(conv0["kernel"])          # [kh, kw, ci, co]
+        kh, kw, ci, co = k.shape
+        if kh == 1 and kw == 1:
+            grid = vis_square(np.moveaxis(k[0, 0], -1, 0)[:, :, None])
+        else:
+            grid = vis_square(np.transpose(k, (3, 0, 1, 2))[..., 0])
+        os.makedirs(self.dir, exist_ok=True)
+        import cv2
+
+        cv2.imwrite(os.path.join(
+            self.dir, "filters_iter_{}.png".format(samples)),
+            (grid * 255).astype(np.uint8))
 
 
 class ProgressPrinter:

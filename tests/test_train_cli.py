@@ -138,3 +138,19 @@ def test_vis_square_shape():
     out = vis_square(data)
     assert out.shape == (4 * 6, 4 * 6)  # ceil(sqrt(10))=4 tiles + pads
     assert out.min() >= 0 and out.max() <= 1
+
+
+def test_filter_visualizations_written(dataset, tmp_path):
+    """The images/ artifact dir gets a vis_square filter grid per
+    checkpoint (the reference created the dir but left its _vis_square
+    helper unwired)."""
+    from reflectance_filtering_tpu.cli.train import main
+    results_root = str(tmp_path / "results")
+    main(["--stage=fit", "--iterations=8", "--batch_size=4",
+          "--checkpoint_interval=4", "--networkType=convStaticSkipLayers",
+          "--numLayers=1", "--num_filters_log=2", "--kernel_pad=0",
+          "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+          "--experiment=viz", "--random_seed=0",
+          "--data_root", dataset, "--results_root", results_root])
+    imgs = os.listdir(os.path.join(results_root, "viz", "images"))
+    assert any(i.startswith("filters_iter_") for i in imgs)
