@@ -28,9 +28,13 @@ from ..models.recover import recover_reflectance_shading
 from ..train.loop import LossConfig, compute_losses
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D device mesh over the first n devices (default: all)."""
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
+              devices=None) -> Mesh:
+    """1-D device mesh over the first n devices (default: all).  An
+    explicit device list overrides jax.devices() (used by the dryrun
+    bootstrap, which may have forced the CPU platform)."""
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
