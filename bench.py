@@ -3,8 +3,9 @@
 
 Headline metric (BASELINE.json config 2/5): the paper's flagship filtered
 result BF(CNN, CNN) as one fused device pipeline —
-  sRGB uint8 batch -> linear -> reflectance CNN -> percentile-normalized
-  uint8-scale reflectance image -> joint bilateral (sigma_color=20,
+  sRGB uint8 batch -> linear -> reflectance CNN -> imwrite byte path
+  (floor(r*255); sigmoid output never triggers the percentile normalize)
+  -> joint bilateral (sigma_color=20,
   sigma_space=22, OpenCV semantics) -> WHDR against packed IIW-style
   comparisons —
 measured in megapixels/second/chip.  Reference stack: 0.693 s per 0.37 MP
@@ -78,35 +79,12 @@ def main():
         # fused uint8-free path: sRGB [B,H,W,3] -> reflectance [B,H,W]
         return reflectance_cnn_pallas(packed, x, srgb_input=True)
 
-    def kth_largest(flat, k):
-        # exact k-th largest per row by bisecting the positive-float bit
-        # pattern (monotonic for non-negative f32) against a >=-count;
-        # bitwise equal to sort/top_k and 3x faster than top_k on v5e
-        bits = jax.lax.bitcast_convert_type(flat, jnp.int32)
-        lo = jnp.zeros((flat.shape[0],), jnp.int32)
-        hi = jnp.max(bits, axis=1)
-
-        def body(_, carry):
-            l, h = carry
-            mid = l + (h - l + 1) // 2
-            t = jax.lax.bitcast_convert_type(mid, jnp.float32)
-            cnt = jnp.sum((flat >= t[:, None]).astype(jnp.int32), axis=1)
-            ok = cnt >= k
-            return jnp.where(ok, mid, l), jnp.where(ok, h, mid - 1)
-
-        lo, _ = jax.lax.fori_loop(0, 31, body, (lo, hi))
-        return jax.lax.bitcast_convert_type(lo, jnp.float32)
-
     def to_u8_scale(refl):
-        # imwrite quirk: normalize by 99.9th percentile ('lower'), clip,
-        # *255, truncate (image_utils.py:60-73) — emulated on device;
-        # 'lower' picks the exact k-th order statistic
-        flat = refl.reshape(refl.shape[0], -1)
-        n = flat.shape[1]
-        idx = int(np.floor(0.999 * (n - 1)))   # numpy 'lower' index
-        q = kth_largest(flat, n - idx)
-        r = jnp.clip(refl / q[:, None, None], 0.0, 1.0)
-        return jnp.floor(r * 255.0)
+        # imwrite byte path (image_utils.py:60-73 + normalize :84-92):
+        # normalize only divides by the 99.9th percentile when max > 1 —
+        # sigmoid reflectance is always < 1, so the shipped CLI writes
+        # floor(r*255) unnormalized.  Mirror that exactly.
+        return jnp.floor(refl * 255.0)
 
     def bf_pipeline(x):
         refl = cnn_stage(x)
@@ -200,7 +178,7 @@ def main():
 
     print(json.dumps({
         "metric": "BF(CNN,CNN) end-to-end megapixels/sec/chip "
-                  "(CNN+percentile-norm+joint-bilateral c20 s22+WHDR)",
+                  "(CNN+u8-write+joint-bilateral c20 s22+WHDR)",
         "value": round(bf_mps, 2),
         "unit": "MP/s/chip",
         "vs_baseline": round(bf_mps / BASELINE_MPS, 1),

@@ -139,6 +139,23 @@ def fit_predict_net(args, results_dir: str):
         raise ValueError(
             "stage '{}' is currently not implemented!".format(args.stage))
 
+    if args.dataset in ("sintel", "mixed"):
+        # The reference's sintel path is vestigial: it loads 'albedos'
+        # (data_handling.py:68-69) and wires them as a third bottom into
+        # both WHDR layers (networks.py:227-245), but the layers never
+        # read bottom[2] — _get_comparisons_from_bottom uses only the
+        # comparisons blob and get_comparisons_from_blob's
+        # ground_truth_albedo parameter is accepted and ignored
+        # (whdr_layer.py:201-242).  With sintel's empty comparisons the
+        # hinge returns 0 with zero gradient, i.e. the reference silently
+        # trains on nothing.  Fail loudly instead of mis-training.
+        raise NotImplementedError(
+            "--dataset={} is not supported: the reference never shipped "
+            "the albedo-to-comparisons generation its sintel mode needs "
+            "(its WHDR layers ignore the albedos bottom), so training "
+            "would silently optimize nothing. Use --dataset=iiw.".format(
+                args.dataset))
+
     print("Descriptive string:", description)
     net_cfg = net_config_from_args(args)
     loss_cfg = loss_config_from_args(args)
@@ -171,6 +188,11 @@ def fit_predict_net(args, results_dir: str):
             X_val = getData("trainValTest_test")
 
     if args.stage in FLAGS_FIT:
+        if iterations < args.batch_size:
+            raise ValueError(
+                "iterations ({}) < batch_size ({}): zero training steps "
+                "would run and no checkpoint would exist to evaluate".format(
+                    iterations, args.batch_size))
         # snapshots can only happen on batch boundaries: round the interval
         # down to a batch multiple (the reference asserted this instead,
         # extend_monitoring.py:84-86)
@@ -195,15 +217,48 @@ def fit_predict_net(args, results_dir: str):
                                    args.loss_scale_boundaries01,
                                    args.loss_scale_lambert)
 
-        # startOver gates whether training runs at all (helper:281-294);
-        # with startOver=0 only the post-training evaluation executes
-        # against existing snapshots.
+        # startOver=1: train from scratch (optionally warm-started from
+        # --predictCaffemodel weights, helper:281-284).  startOver=0:
+        # resume from the highest existing snapshot — params, optimizer
+        # state, data cursor, and RNG stream all continue (the realized
+        # version of the reference's dead _load_highest_iteration,
+        # helper:463-487); if the snapshot already covers the requested
+        # iterations, training is skipped and only the evaluation runs.
+        init_params = None
+        init_opt_state = None
+        base_samples = 0
+        run_training = True
         if args.startOver:
-            init_params = None
             if args.predictCaffemodel:
                 print("Load initial weights from:", args.predictCaffemodel)
                 init_params = _load_params_any(args.predictCaffemodel,
                                                net_cfg)
+        else:
+            base_samples = checkptr.highest_iteration()
+            if base_samples == 0:
+                print("No previously trained net found, "
+                      "starting from scratch.")
+            elif base_samples >= iterations:
+                print("Found checkpoint at iteration", base_samples,
+                      ">= requested", iterations, "- skipping training.")
+                run_training = False
+            else:
+                cpath = checkptr.path(base_samples)
+                template = init_network(jax.random.PRNGKey(0), net_cfg)
+                from ..train.loop import make_optimizer
+                opt_template = make_optimizer(
+                    args.solverType, args.base_lr).init(template)
+                init_params, init_opt_state, _ = load_checkpoint(
+                    cpath, template, opt_template)
+                if init_opt_state is None:
+                    raise ValueError(
+                        "checkpoint {} has no optimizer state; cannot "
+                        "resume (was it written by an old version?)".format(
+                            cpath))
+                print("Continuing from iteration", base_samples,
+                      "with file", cpath)
+
+        if run_training:
             start_train = timeit.default_timer()
             print("Starting the training for", iterations, "iterations.")
             sys.stdout.flush()
@@ -213,6 +268,8 @@ def fit_predict_net(args, results_dir: str):
                 fit(net_cfg, loss_cfg, X, iterations, args.batch_size,
                     args.solverType, args.base_lr, args.random_seed,
                     args.comparisonsType, init_params=init_params,
+                    init_opt_state=init_opt_state,
+                    base_samples=base_samples,
                     callbacks=callbacks, checkpointer=checkptr,
                     progress=progress,
                     on_checkpoint=FilterVisualizer(results_dir,

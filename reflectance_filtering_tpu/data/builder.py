@@ -108,50 +108,38 @@ def parse_iiw_json(json_path: str) -> Tuple[List, Dict]:
 # ---------------------------------------------------------------------------
 
 def unify(comparisons, weights: str = "actual", threshold: float = 0.5):
-    """One-way comparisons: a=b -> both directions, a>b -> b<a
-    (createNumpy...:412-458). 0 means '=', 2 means '<' (second darker)."""
-    unified = []
-    if weights == "actual":
-        for c in comparisons:
-            if c[2] == 0:
-                unified.append((c[0], c[1], 0, c[3]))
-                unified.append((c[1], c[0], 0, c[3]))
-            elif c[2] == 1:
-                unified.append((c[1], c[0], 2, c[3]))
-            elif c[2] == 2:
-                unified.append((c[0], c[1], 2, c[3]))
-            else:
-                raise ValueError("Expecting 0,1,2 as comparison, got {}"
-                                 .format(c[2]))
-    elif weights == "thresholded":
-        for c in comparisons:
-            if c[3] > threshold:
-                if c[2] == 0:
-                    unified.append((c[0], c[1], 0, 1))
-                    unified.append((c[1], c[0], 0, 1))
-                elif c[2] == 1:
-                    unified.append((c[1], c[0], 2, 1))
-                elif c[2] == 2:
-                    unified.append((c[0], c[1], 2, 1))
-                else:
-                    raise ValueError("Expecting 0,1,2 as comparison, got {}"
-                                     .format(c[2]))
-    else:
+    """Normalize judgments to directed edges, vectorized like
+    :func:`warshall`.  Semantics per createNumpy...:412-458: relation 0 is
+    '=' (emitted in both directions), 1/'first darker' flips into the
+    canonical 2/'second darker' form.  weights='thresholded' keeps only
+    rows with weight > threshold and pins their weight to 1."""
+    if weights not in ("actual", "thresholded"):
         raise ValueError("weights method {} not known".format(weights))
-    return unified
+    arr = np.asarray(list(comparisons), np.float64).reshape(-1, 4)
+    bad = ~np.isin(arr[:, 2], (0.0, 1.0, 2.0))
+    if bad.any():
+        raise ValueError("Expecting 0,1,2 as comparison, got {}".format(
+            arr[bad, 2][0]))
+    if weights == "thresholded":
+        arr = arr[arr[:, 3] > threshold]
+        arr[:, 3] = 1.0
+
+    # '=' rows expand to two directed edges, kept adjacent (downstream
+    # node numbering follows first-appearance order)
+    d = arr[:, 2]
+    row = np.repeat(np.arange(arr.shape[0]), np.where(d == 0, 2, 1))
+    is_mirror = np.r_[False, row[1:] == row[:-1]]
+    p1, p2, dd, w = arr[row].T
+    swap = (dd == 1.0) ^ is_mirror
+    out = np.stack([np.where(swap, p2, p1), np.where(swap, p1, p2),
+                    np.where(dd == 0.0, 0.0, 2.0), w], axis=1)
+    return [tuple(r) for r in out]
 
 
 def consolidate(wik, wkj, method: str = "min"):
-    """Mix two path weights; NaN-propagating (createNumpy...:511-533)."""
-    if method == "min":
-        if np.isnan(wik) or np.isnan(wkj):
-            return np.nan
-        return min(wik, wkj)
-    if method == "arithmeticMean":
-        return (wik + wkj) / 2
-    if method == "geometricMean":
-        return (wik * wkj) ** 0.5
-    raise ValueError("Method {} is not known.".format(method))
+    """Mix two path weights along a transitive chain; NaN-propagating
+    (createNumpy...:511-533).  Scalar view of :func:`_consolidate_vec`."""
+    return float(_consolidate_vec(np.float64(wik), np.float64(wkj), method))
 
 
 def _consolidate_vec(wik, wkj, method: str):

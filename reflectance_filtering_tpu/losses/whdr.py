@@ -151,6 +151,15 @@ def _hinge_per_comparison(y, darker, delta: float, margin: float):
     else:
         border = 1.0 + delta - margin
         loss0 = jnp.maximum(1.0 / border - y, y - border)
+        # Documented gradient deviation (loss VALUES match the reference):
+        # for margin > delta the reference hand-codes dl/dy = sign(y - 1)
+        # (whdr_hinge_loss_layer.py:207-214), while autodiff of the max
+        # yields -1 wherever the first arm dominates — i.e. up to
+        # y = (border + 1/border)/2, which exceeds 1.  The autodiff
+        # subgradient is the correct one for the loss as written; the
+        # reference's is inconsistent with its own forward in
+        # (1, (border+1/border)/2).  margin > delta is outside every
+        # shipped config (default margin 0.05 < delta 0.1).
     return jnp.where(darker == 1, loss1,
                      jnp.where(darker == 2, loss2, loss0))
 

@@ -156,8 +156,8 @@ def joint_bilateral_planar_batched(joint, src, d: int = -1,
                           rows=rows, gcc=float(gcc), gsc=float(gsc)),
         out_shape=jax.ShapeDtypeStruct((n, 3, hpad, wid), jnp.float32),
         grid=(n, hp_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 3, th, wid), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -286,7 +286,7 @@ def bilateral_gray_self_batched(x, d: int = -1,
                           gsc=float(gsc)),
         out_shape=jax.ShapeDtypeStruct((n, hpad, wid), jnp.float32),
         grid=(n, hp_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, th, wid), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

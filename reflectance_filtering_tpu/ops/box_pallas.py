@@ -220,7 +220,7 @@ def box_filter_fused(x, radius: int, border: str = "reflect",
                           scale=1.0 / (w * w) if normalize else 1.0),
         out_shape=jax.ShapeDtypeStruct((b, nh * th, nw * tw), jnp.float32),
         grid=(b, nh, nw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, th, tw), lambda bb, i, j: (bb, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

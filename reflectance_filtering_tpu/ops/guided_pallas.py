@@ -249,7 +249,7 @@ def gf_guide_stats(guide, radius: int, eps: float, th: int = None):
         out_shape=jax.ShapeDtypeStruct((n, 10, nh * th, nw * tw),
                                        jnp.float32),
         grid=(n, nh, nw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 10, th, tw),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
@@ -281,8 +281,8 @@ def gf_apply_with_stats(guide, src, stats, radius: int, th: int = None):
         out_shape=jax.ShapeDtypeStruct((n, 4, nh * th, nw * tw),
                                        jnp.float32),
         grid=(n, nh, nw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, 10, th, tw),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM)],
@@ -304,7 +304,7 @@ def gf_apply_with_stats(guide, src, stats, radius: int, th: int = None):
         out_shape=jax.ShapeDtypeStruct((n, 1, nh * th, nw * tw),
                                        jnp.float32),
         grid=(n, nh, nw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, 3, th, tw),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM)],

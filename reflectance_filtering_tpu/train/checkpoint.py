@@ -84,10 +84,12 @@ class Checkpointer:
         self.interval = interval
         self.created = []
 
-    def _path(self, samples: int) -> str:
+    def path(self, samples: int) -> str:
         return os.path.join(
             self.snapshot_dir,
             "{}_barrista_iter_{}.npz".format(self.description, samples))
+
+    _path = path  # backwards-compatible alias
 
     def maybe_save(self, samples: int, params, opt_state=None,
                    metadata=None, finalize: bool = False):

@@ -107,8 +107,11 @@ def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
     metrics["loss_whdr_hinge"] = hinge
     total = total + loss_cfg.loss_scale_whdr * hinge
 
+    # The reference pins the metric layer's delta to 0.1 regardless of the
+    # hinge's wdm string (networks.py wires WhdrLayer with param_str '0.1');
+    # only the hinge uses the configured delta.
     metrics["whdr_original"] = jax.lax.stop_gradient(
-        whdr_batch(reflectance, metric_comparisons, delta))
+        whdr_batch(reflectance, metric_comparisons, 0.1))
 
     if loss_cfg.loss_scale_boundaries01 and mode != "rDirectly":
         br = boundary_loss(reflectance, loss_cfg.boundary_norm)
@@ -129,7 +132,7 @@ def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
         metrics["loss_whdr_hinge_level0"] = hinge0
         total = total + loss_cfg.loss_scale_whdr * hinge0
         metrics["whdr_original_level0"] = jax.lax.stop_gradient(
-            whdr_batch(refl0, metric_comparisons, delta))
+            whdr_batch(refl0, metric_comparisons, 0.1))
 
     metrics["loss_total"] = total
     return total, metrics
@@ -177,7 +180,7 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         solver_type: str = "ADAM", base_lr: float = 0.001,
         random_seed: int = -1,
         comparisons_type: str = "comparisons",
-        init_params=None,
+        init_params=None, init_opt_state=None, base_samples: int = 0,
         callbacks=(), checkpointer=None,
         progress: Optional[Callable] = None,
         on_checkpoint: Optional[Callable] = None) -> TrainState:
@@ -185,18 +188,25 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
 
     X: {'images' [N,H,W,3], 'comparisons' [N,K+1,6][, 'augmented']} — the
     loader's NHWC layout.  Batches cycle sequentially.  Returns TrainState.
+
+    Resume: pass ``init_params``/``init_opt_state`` from a checkpoint plus
+    ``base_samples`` (the checkpoint's sample counter); the data cursor,
+    checkpoint numbering, and per-step RNG continue where the original run
+    left off — per-step keys are ``fold_in(root, global_step)``, so
+    fit(n) == resume-at-k + fit(n-k) exactly for the same seed.
     """
     seed = random_seed if random_seed >= 0 else np.random.randint(2 ** 31)
-    key = jax.random.PRNGKey(seed)
+    root_key = jax.random.PRNGKey(seed)
 
     if init_params is None:
-        key, init_key = jax.random.split(key)
-        params = init_network(init_key, net_cfg)
+        params = init_network(jax.random.fold_in(root_key, 2 ** 31 - 1),
+                              net_cfg)
     else:
         params = init_params
 
     optimizer = make_optimizer(solver_type, base_lr)
-    opt_state = optimizer.init(params)
+    opt_state = (optimizer.init(params) if init_opt_state is None
+                 else init_opt_state)
     step_fn = make_train_step(net_cfg, loss_cfg, optimizer)
 
     images = np.asarray(X["images"], np.float32)
@@ -206,19 +216,20 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
     metric_comps = np.asarray(X["comparisons"], np.float32)
     n = images.shape[0]
 
-    state = TrainState(params, opt_state)
-    num_steps = iterations // batch_size
-    cursor = 0
+    base_steps = base_samples // batch_size
+    state = TrainState(params, opt_state, base_steps, base_samples)
+    num_steps = (iterations - base_samples) // batch_size
+    cursor = base_samples % n
     for s in range(num_steps):
         idx = (cursor + np.arange(batch_size)) % n
         cursor = (cursor + batch_size) % n
-        key, step_key = jax.random.split(key)
+        step_key = jax.random.fold_in(root_key, base_steps + s)
         params, opt_state, metrics = step_fn(
             state.params, state.opt_state,
             jnp.asarray(images[idx]), jnp.asarray(comps[idx]), step_key,
             jnp.asarray(metric_comps[idx]))
-        state = TrainState(params, opt_state, s + 1,
-                           (s + 1) * batch_size)
+        state = TrainState(params, opt_state, base_steps + s + 1,
+                           base_samples + (s + 1) * batch_size)
 
         host_metrics = {k: float(v) for k, v in metrics.items()
                         if np.ndim(v) == 0}

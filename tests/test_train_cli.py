@@ -123,6 +123,97 @@ def test_predict_decompose_from_checkpoint(dataset, tmp_path):
                                        "0command.txt"))
 
 
+def test_resume_matches_uninterrupted(dataset, tmp_path):
+    """startOver=0 resume: train(8)+resume-to-16 must equal train(16) —
+    params, optimizer state, data cursor, and RNG stream all continue."""
+    import jax
+    from reflectance_filtering_tpu.cli.train import main
+    from reflectance_filtering_tpu.cli.train import net_config_from_args
+    from reflectance_filtering_tpu.train.checkpoint import load_checkpoint
+    from reflectance_filtering_tpu.models.networks import init_network
+
+    common = ["--batch_size=4", "--checkpoint_interval=8",
+              "--networkType=convStaticSkipLayers", "--numLayers=1",
+              "--num_filters_log=2", "--kernel_pad=0",
+              "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+              "--random_seed=0", "--data_root", dataset]
+
+    root_a = str(tmp_path / "a")
+    main(["--stage=fit", "--iterations=16", "--experiment=full",
+          "--results_root", root_a] + common)
+
+    root_b = str(tmp_path / "b")
+    main(["--stage=fit", "--iterations=8", "--experiment=res",
+          "--results_root", root_b] + common)
+    main(["--stage=fit", "--iterations=16", "--startOver=0",
+          "--experiment=res", "--results_root", root_b] + common)
+
+    def final_params(root, exp):
+        snapdir = os.path.join(root, exp, "snapshots")
+        snap = [s for s in os.listdir(snapdir) if s.endswith("_16.npz")][0]
+        cfg_args = type("A", (), dict(
+            networkType="convStaticSkipLayers", numLayers=1,
+            num_filters_log=2, kernel_pad=0, dilation=1,
+            use_batch_normalization=0, RS_est_mode="rDirectly"))
+        template = init_network(jax.random.PRNGKey(0),
+                                net_config_from_args(cfg_args))
+        p, _, _ = load_checkpoint(os.path.join(snapdir, snap), template)
+        return p
+
+    pa = final_params(root_a, "full")
+    pb = final_params(root_b, "res")
+    for la, lb in zip(jax.tree_util.tree_leaves(pa),
+                      jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=0, atol=1e-6)
+
+
+def test_resume_skips_when_complete(dataset, tmp_path, capsys):
+    """startOver=0 with a snapshot >= iterations skips training (the old
+    eval-only behavior is preserved)."""
+    from reflectance_filtering_tpu.cli.train import main
+    root = str(tmp_path / "r")
+    common = ["--batch_size=4", "--checkpoint_interval=8",
+              "--networkType=convStaticSkipLayers", "--numLayers=1",
+              "--num_filters_log=2", "--kernel_pad=0",
+              "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+              "--random_seed=0", "--data_root", dataset,
+              "--results_root", root, "--experiment=done"]
+    main(["--stage=fit", "--iterations=8"] + common)
+    main(["--stage=fit", "--iterations=8", "--startOver=0"] + common)
+    assert "skipping training" in capsys.readouterr().out
+
+
+def test_iterations_below_batch_size_raises(dataset, tmp_path):
+    """iterations < batch_size would run zero steps and then crash on a
+    missing checkpoint; it must fail loudly up front instead."""
+    from reflectance_filtering_tpu.cli.train import main
+    with pytest.raises(ValueError, match="batch_size"):
+        main(["--stage=fit", "--iterations=2", "--batch_size=4",
+              "--networkType=convStaticSkipLayers", "--numLayers=1",
+              "--num_filters_log=2", "--kernel_pad=0",
+              "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+              "--experiment=bad", "--random_seed=0",
+              "--data_root", dataset,
+              "--results_root", str(tmp_path / "x")])
+
+
+def test_sintel_dataset_fails_loudly(dataset, tmp_path):
+    """The reference's sintel mode silently trains on nothing (its WHDR
+    layers never read the albedos bottom); we raise instead."""
+    from reflectance_filtering_tpu.cli.train import main
+    for ds in ("sintel", "mixed"):
+        with pytest.raises(NotImplementedError, match="albedo"):
+            main(["--stage=fit", "--iterations=8", "--batch_size=4",
+                  "--dataset={}".format(ds),
+                  "--networkType=convStaticSkipLayers", "--numLayers=1",
+                  "--num_filters_log=2", "--kernel_pad=0",
+                  "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+                  "--experiment=sin", "--random_seed=0",
+                  "--data_root", dataset,
+                  "--results_root", str(tmp_path / "s")])
+
+
 def test_jsonl_logger(tmp_path):
     lg = JsonlLogger(str(tmp_path), "x")
     lg(0, {"loss": 1.5, "name": "skip-me"})
