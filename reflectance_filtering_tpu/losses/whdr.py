@@ -126,17 +126,22 @@ def _batch_lightness_pairs(reflectance, comparisons):
     return l1, l2, darker, weight, valid, num
 
 
-def whdr_batch(reflectance, comparisons, delta: float = 0.1):
-    """Batch mean WHDR (the reference's whdr_layer forward over a batch,
-    whdr_layer.py:70-86).  reflectance [B,H,W,C], comparisons [B,K+1,6]."""
+def whdr_per_image(reflectance, comparisons, delta: float = 0.1):
+    """Per-image WHDR [B] (the reference's whdr_layer forward vectorized
+    over the batch, whdr_layer.py:70-86).  reflectance [B,H,W,C],
+    comparisons [B,K+1,6]."""
     l1, l2, darker, weight, valid, _ = _batch_lightness_pairs(
         reflectance, comparisons)
     alg = jnp.where(l2 / l1 > 1 + delta, 1,
                     jnp.where(l1 / l2 > 1 + delta, 2, 0))
     err = jnp.where(valid & (alg != darker), weight, 0.0).sum(axis=1)
     wsum = jnp.where(valid, weight, 0.0).sum(axis=1)
-    per_image = jnp.where(wsum > 0, err / wsum, 0.0)
-    return jnp.mean(per_image)
+    return jnp.where(wsum > 0, err / wsum, 0.0)
+
+
+def whdr_batch(reflectance, comparisons, delta: float = 0.1):
+    """Batch mean WHDR (whdr_layer.py:84: mean of the per-image values)."""
+    return jnp.mean(whdr_per_image(reflectance, comparisons, delta))
 
 
 def _hinge_per_comparison(y, darker, delta: float, margin: float):

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..models.networks import NetworkConfig, apply_network
 from ..models.recover import recover_reflectance_shading
-from ..losses.whdr import whdr
+from ..losses.whdr import whdr_per_image
 from ..utils.image import srgb_to_rgb, rgb_to_srgb
 
 EPS = np.float32(np.finfo(np.float32).eps)
@@ -71,8 +71,21 @@ def make_predict_fn(net_cfg: NetworkConfig):
 
 
 def predict_batched(predict_fn, params, images: np.ndarray,
-                    batch_size: int = 32) -> Dict[str, np.ndarray]:
-    """Run prediction over [N,H,W,3] in fixed-size batches (pad the tail)."""
+                    batch_size: int = 32, mesh=None
+                    ) -> Dict[str, np.ndarray]:
+    """Run prediction over [N,H,W,3] in fixed-size batches (pad the tail).
+
+    Data-parallel by default: each batch is sharded across all local
+    devices (params replicated), so the product eval path rides the mesh —
+    on one chip this degenerates to plain batching.  SURVEY.md §5.8."""
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = len(mesh.devices.flatten())
+    batch_size = -(-batch_size // n_dev) * n_dev
+    params_r = replicate(params, mesh)
+
     n = images.shape[0]
     outs: Dict[str, List[np.ndarray]] = {}
     for start in range(0, n, batch_size):
@@ -81,11 +94,35 @@ def predict_batched(predict_fn, params, images: np.ndarray,
         if pad:
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
-        res = predict_fn(params, jnp.asarray(chunk))
+        res = predict_fn(params_r, shard_batch(jnp.asarray(chunk), mesh))
         take = batch_size - pad
         for k, v in res.items():
             outs.setdefault(k, []).append(np.asarray(v[:take]))
     return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+
+def score_whdr_per_image(reflectances: np.ndarray, comps: np.ndarray,
+                         delta: float = 0.1, mesh=None) -> np.ndarray:
+    """Per-image WHDR over a whole prediction set as ONE device program,
+    batch axis sharded across all local devices (replaces the reference's
+    per-image host loop, helper:565-583)."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = len(mesh.devices.flatten())
+    r_p, n = pad_to_multiple(np.asarray(reflectances, np.float32), n_dev)
+    c_p, _ = pad_to_multiple(np.asarray(comps, np.float32), n_dev)
+    spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    fn = jax.jit(functools.partial(whdr_per_image, delta=delta),
+                 in_shardings=(spec, spec), out_shardings=spec)
+    out = fn(shard_batch(jnp.asarray(r_p), mesh),
+             shard_batch(jnp.asarray(c_p), mesh))
+    return np.asarray(out)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -102,6 +139,12 @@ def predict_and_score(X_val: Dict, params, net_cfg: NetworkConfig,
     Artifact contract (helper:498-583): score cache file
     ``scores/{description}_imgs{N}.txt`` (<100 -> reuse), frame rate to
     ``framerates/...txt``, sentinel 100 on prediction failure.
+
+    Device-parallel end to end: the forward runs through the
+    mesh-sharded ``predict_batched`` and the WHDR through
+    ``score_whdr_per_image`` (one sharded program over the whole set) —
+    the reference's per-image host loop (helper:565-583) is gone; on a
+    single chip both degenerate to plain device batching.
     """
     num_images = X_val["images"].shape[0]
     description = description + "_imgs{}".format(num_images)
@@ -138,17 +181,15 @@ def predict_and_score(X_val: Dict, params, net_cfg: NetworkConfig,
 
     reflectances = results["reflectance"]
     comps = np.asarray(X_val["comparisons"], np.float32)
-    whdrs = [float(whdr(jnp.asarray(reflectances[b]),
-                        jnp.asarray(comps[b]), delta))
-             for b in range(num_images)]
+    whdrs = score_whdr_per_image(reflectances, comps, delta)
     mean_whdr = float(np.mean(whdrs))
     score = mean_whdr * 100
 
     print("WHDR on learned reflectance for:", description)
     print("WHDRs:",
-          "\t min", percent(min(whdrs)),
-          "\t max", percent(max(whdrs)),
-          "\t median", percent(np.median(whdrs)),
+          "\t min", percent(float(np.min(whdrs))),
+          "\t max", percent(float(np.max(whdrs))),
+          "\t median", percent(float(np.median(whdrs))),
           "\t mean", percent(mean_whdr))
 
     os.makedirs(os.path.join(results_dir, "scores"), exist_ok=True)

@@ -147,3 +147,42 @@ def test_sharded_guided_filter_matches_local(mesh8):
     exp = np.asarray(guided_filter(jnp.asarray(guide), jnp.asarray(src),
                                    3, 9.0))
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=5e-3)
+
+
+def test_score_whdr_per_image_matches_host_loop(data):
+    """The product eval path (predict_and_score) scores WHDR as one
+    sharded device program; values must match the per-image host loop it
+    replaced (helper:565-583)."""
+    from reflectance_filtering_tpu.losses.whdr import whdr
+    from reflectance_filtering_tpu.train.predict import score_whdr_per_image
+
+    rng = np.random.RandomState(3)
+    n = 11  # not a multiple of 8: exercises the pad+crop path
+    refl = rng.rand(n, 24, 24, 1).astype(np.float32)
+    comps = data["comparisons"][:n]
+
+    got = score_whdr_per_image(refl, comps, delta=0.1)
+    want = np.array([float(whdr(jnp.asarray(refl[b]),
+                                jnp.asarray(comps[b]), 0.1))
+                     for b in range(n)])
+    assert got.shape == (n,)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_predict_batched_sharded_matches_unsharded(mesh8, cfg):
+    """predict_batched shards each batch across the mesh; outputs must be
+    identical to a single-device run of the same jitted program."""
+    from jax.sharding import Mesh
+    from reflectance_filtering_tpu.train.predict import (
+        make_predict_fn, predict_batched)
+
+    rng = np.random.RandomState(1)
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    images = rng.rand(13, 24, 24, 3).astype(np.float32)
+    fn = make_predict_fn(cfg)
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    out_1 = predict_batched(fn, params, images, batch_size=4, mesh=mesh1)
+    out_8 = predict_batched(fn, params, images, batch_size=4, mesh=mesh8)
+    for k in out_1:
+        np.testing.assert_allclose(out_8[k], out_1[k], atol=1e-6)
