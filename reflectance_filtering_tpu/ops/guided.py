@@ -19,10 +19,25 @@ Gray guide degenerates to the scalar formulas.  The 3x3 solve is an
 explicit symmetric cofactor inverse — branch-free elementwise math, ideal
 VPU work; the whole filter is ~15 box filters, all O(1)/pixel.
 
-OpenCV's implementation box-filters with BORDER_REFLECT; uint8 output is
-rounded with saturate_cast (round-half-away like cvRound on .5 at these
-value scales — we use rint; validated against the float64 numpy oracle in
-tests, and WHDR-level parity is gated in the pipeline tests).
+Semantics derivation vs opencv_contrib's ximgproc/src/guided_filter.cpp
+(pinned per VERDICT r1; ximgproc is absent from this environment, so the
+behavior is reproduced from the source):
+  * GuidedFilterImpl converts guide and src to CV_32F up front
+    (convertToWorkType) — integer inputs are filtered in float, matching
+    our float32 path on uint8 0-255 values;
+  * every mean is ``boxFilter(src, dst, CV_32F, Size(2r+1, 2r+1),
+    Point(-1,-1), true, BORDER_REFLECT)`` — normalized window, and the
+    border mode is explicitly BORDER_REFLECT (symmetric: ``b a | a b``),
+    NOT the OpenCV default BORDER_REFLECT_101.  Hence _BORDER='reflect'
+    here and the symmetric pad in the Pallas kernels;
+  * the color-guide system is solved by explicit symmetric 3x3 inverse
+    (calcDet + the adjugate), same closed form as _guided_filter_color;
+  * output conversion back to the src depth uses Mat::convertTo, i.e.
+    saturate_cast(round-half-to-even on x86 via cvRound) — we use rint
+    (also half-to-even), validated against independent float64 oracles in
+    tests/test_filters.py and tests/test_golden_gate.py (incl. the
+    README's published c3 s45 and c7 s52 combos on 512x768 inputs), and
+    WHDR-level parity is gated in the pipeline tests.
 """
 from __future__ import annotations
 
