@@ -6,29 +6,34 @@ sigmoid.  The XLA NHWC formulation wastes the machine: channel counts of
 3/32 occupy a sliver of the 128-lane axis and the five skip tensors bounce
 through HBM.
 
-TPU-native layout: *channels-planar, pixel-group block-diagonal* — the
-pixel stream is split into G=4 contiguous chunks that ride the sublane
-axis together, so every matmul presents a full 128-wide MXU tile instead
-of a 32-wide sliver.  (Measured on v5e this ties the 32-wide form —
-Mosaic handles the small-M/K dots without the naive 16x padding loss —
-but the 128-tile layout also halves the gamma's wasted sublanes and is
-the right shape if the dots ever move to bf16 multi-pass.)
+TPU-native layout: *K-concatenated multi-pass dots*.  The MXU pads the
+contraction dim K to 128 no matter what, so a K=32 dot and a K=96 dot
+cost the same pass — which means the bf16x3 precision scheme
 
-    x tile     [16, T]   (4 groups x (3 channels + 1 zero row))
-    h          [128, T] = relu(W' @ x + b')     W' block-diag of 4 [32x.]
-    pre        [4, T]   = sum_k wf_k' @ h + bf  (per-group fuse rows)
-    out        sigmoid(pre)                     row g = pixel chunk g
+    W @ x  ~=  Whi @ xhi  +  Whi @ xlo  +  Wlo @ xhi
+
+collapses into ONE MXU pass per layer by stacking the splits along K:
+
+    [Whi | Whi | Wlo] [32, 96]  @  [xhi; xlo; xhi] [96, T]
+
+(vs 3 separate [128,128] passes for the earlier pixel-group
+block-diagonal form, whose K was already full).  Measured on v5e this is
+1.45x the block-diagonal bf16x3 kernel (~1015 vs ~700 MP/s at batch 32
+256x256 with fused gamma) at identical output error (5e-5 max abs diff).
+
+precise=True uses the same trick on the full-f32 6-product scheme
+(3-way exact bf16 splits of both operands, keeping the six products with
+magnitude >= 2^-24 relative):
+
+    [W1|W1|W2|W1|W2|W3] [32, 192] @ [x1; x2; x1; x3; x2; x1] [192, T]
+
+— two MXU K-tiles instead of the six passes XLA's HIGHEST emits.
 
 Optionally fuses the sRGB->linear gamma (decompose_with_trained_CNN.py:
 57-69) into the same kernel so the input only crosses HBM once.
 
-Weights are packed once with `pack_weights` (block-diagonal, ~74 KB);
-the kernel reads them from VMEM.  Dots default to a bf16x3 3-pass scheme
-(exact bf16 hi/lo splits of both operands, dropping the lo*lo term) —
-1.6x the 6-pass f32 HIGHEST dots at 1.8e-4 max abs output error, far
-inside the parity gate (uint8 maps within 1 of the float64 caffemodel
-oracle at <0.5% flipped bytes; plain 1-pass bf16 would be 7e-2 off and
-is never used).  precise=True selects the HIGHEST dots.
+Weights are packed once with `pack_weights` (split layouts precomputed
+host-side, stored as f32 holding exactly-bf16 values; ~150 KB).
 """
 from __future__ import annotations
 
@@ -41,154 +46,153 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
-SUB = 8
-G = 4           # pixel groups per tile (4 x 32 channels = 128 lanes)
-IN_ROWS = 16    # 4 groups x (3 channels + 1 pad row)
+F32 = jnp.float32
+BF = jnp.bfloat16
+
+
+def _split3_np(w):
+    """Exact 3-term bf16 decomposition of f32 (8+8+8 mantissa bits)."""
+    w = np.asarray(w, np.float32)
+    h1 = np.asarray(jnp.asarray(w).astype(BF).astype(F32))
+    r = w - h1
+    h2 = np.asarray(jnp.asarray(r).astype(BF).astype(F32))
+    h3 = r - h2  # representable: <= 8 mantissa bits remain
+    return h1, h2, h3
 
 
 def pack_weights(params: Dict) -> Dict[str, np.ndarray]:
-    """Pack the converter's params (HWIO kernels) block-diagonally.
+    """Pack the converter's params (HWIO kernels) into K-concat layouts.
 
-    Returns arrays:
-      w0   [16, 128]    w0[4g+c, 32g+o] = conv0[c, o]
-      b0   [1, 128]     per-group copies of the conv0 bias
-      wmid [4, 128, 128] conv1..conv4 as 4-block diagonals ([in, out])
-      bmid [4, 1, 128]
-      wf   [5, 128, 4]  fuse weights: wf[k, 32g+i, g] = fuse_k[i]
-                        (fuse input order conv0..conv4, prototxt:132-143)
-      bf   float
+    Returns f32 arrays whose values are exactly bf16-representable:
+      w0_3  [32, 9]    [Whi|Whi|Wlo] of conv0^T       (3-pass scheme)
+      w0_6  [32, 18]   [W1|W1|W2|W1|W2|W3]            (6-product scheme)
+      wmid3 [4, 32, 96], wmid6 [4, 32, 192]  conv1..conv4 likewise
+      wf3   [8, 480], wf6 [8, 960]  fuse row (conv0..conv4 input order,
+                                    prototxt:132-143; rows 1..7 zero pad)
+      b0, bmid [4, 32, 1], bf float
     """
-    w0s = np.asarray(params["conv0"]["kernel"])[0, 0]            # [3, 32]
-    b0s = np.asarray(params["conv0"]["bias"]).reshape(32)
-    w0 = np.zeros((IN_ROWS, G * 32), np.float32)
-    b0 = np.zeros((1, G * 32), np.float32)
-    for g in range(G):
-        w0[4 * g:4 * g + 3, 32 * g:32 * (g + 1)] = w0s
-        b0[0, 32 * g:32 * (g + 1)] = b0s
+    def kc3(w_oi):     # w [in, out] -> [out, 3*in]
+        h1, h2, _ = _split3_np(w_oi)
+        return np.concatenate([h1.T, h1.T, h2.T], axis=1)
 
-    wmid = np.zeros((4, G * 32, G * 32), np.float32)
-    bmid = np.zeros((4, 1, G * 32), np.float32)
+    def kc6(w_oi):
+        w1, w2, w3 = _split3_np(w_oi)
+        return np.concatenate([w1.T, w1.T, w2.T, w1.T, w2.T, w3.T], axis=1)
+
+    out: Dict[str, np.ndarray] = {}
+    w0 = np.asarray(params["conv0"]["kernel"])[0, 0]            # [3, 32]
+    out["w0_3"] = kc3(w0)
+    out["w0_6"] = kc6(w0)
+    out["b0"] = np.asarray(params["conv0"]["bias"],
+                           np.float32).reshape(32, 1)
+
+    m3, m6, bm = [], [], []
     for i in range(1, 5):
-        wi = np.asarray(params["conv%d" % i]["kernel"])[0, 0]    # [32, 32]
-        bi = np.asarray(params["conv%d" % i]["bias"]).reshape(32)
-        for g in range(G):
-            wmid[i - 1, 32 * g:32 * (g + 1), 32 * g:32 * (g + 1)] = wi
-            bmid[i - 1, 0, 32 * g:32 * (g + 1)] = bi
+        wi = np.asarray(params["conv%d" % i]["kernel"])[0, 0]   # [32, 32]
+        m3.append(kc3(wi))
+        m6.append(kc6(wi))
+        bm.append(np.asarray(params["conv%d" % i]["bias"],
+                             np.float32).reshape(32, 1))
+    out["wmid3"] = np.stack(m3)
+    out["wmid6"] = np.stack(m6)
+    out["bmid"] = np.stack(bm)
 
-    wf_full = np.asarray(params["fuse_skip_layers"]["kernel"])[0, 0, :, 0]
-    wf_blocks = wf_full.reshape(5, 32)
-    wf = np.zeros((5, G * 32, G), np.float32)
-    for k in range(5):
-        for g in range(G):
-            wf[k, 32 * g:32 * (g + 1), g] = wf_blocks[k]
-    bf = np.float32(np.asarray(params["fuse_skip_layers"]["bias"])[0])
-    return {"w0": w0, "b0": b0, "wmid": wmid, "bmid": bmid, "wf": wf,
-            "bf": bf}
-
-
-def _dot3(w_hi_t, w_lo_t, x):
-    """W @ x as three bf16 MXU passes (the bf16x3 'HIGH' scheme Mosaic
-    lacks): W = Whi + Wlo and x = xhi + xlo split exactly into bf16
-    parts; the dropped Wlo@xlo term is ~2^-16 relative.  Measured 1.6x
-    the 6-pass HIGHEST dots at 1.8e-4 max abs output error (0.065% of
-    uint8 levels flip vs HIGHEST — the golden gate allows 0.5%)."""
-    x_hi = x.astype(jnp.bfloat16)
-    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (jnp.dot(w_hi_t, x_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(w_hi_t, x_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(w_lo_t, x_hi, preferred_element_type=jnp.float32))
+    wf = np.asarray(params["fuse_skip_layers"]["kernel"])[0, 0, :, 0]
+    wf3 = kc3(wf.reshape(160, 1))          # [1, 480]
+    wf6 = kc6(wf.reshape(160, 1))          # [1, 960]
+    # pad fuse rows to a full sublane tile (M=1 -> 8)
+    out["wf3"] = np.concatenate([wf3, np.zeros((7, 480), np.float32)], 0)
+    out["wf6"] = np.concatenate([wf6, np.zeros((7, 960), np.float32)], 0)
+    out["bf"] = np.float32(
+        np.asarray(params["fuse_skip_layers"]["bias"])[0])
+    return out
 
 
-def _kernel(x_ref, w0_ref, b0_ref, wmid_ref, bmid_ref, wf_ref, bf_ref,
-            out_ref, *, srgb_input: bool, precise: bool):
-    x = x_ref[...]                      # [16, T]; rows 4g..4g+2 = RGB
+def _stack3(v):
+    """[xhi; xlo; xhi] along sublanes — pairs with kc3 weights."""
+    hi = v.astype(BF)
+    lo = (v - hi.astype(F32)).astype(BF)
+    return jnp.concatenate([hi, lo, hi], axis=0)
+
+
+def _stack6(v):
+    """[x1; x2; x1; x3; x2; x1] — pairs with kc6 weights."""
+    x1 = v.astype(BF)
+    r1 = v - x1.astype(F32)
+    x2 = r1.astype(BF)
+    x3 = (r1 - x2.astype(F32)).astype(BF)
+    return jnp.concatenate([x1, x2, x1, x3, x2, x1], axis=0)
+
+
+def _kernel(x_ref, w0, b0, wm, bm, wf, bfs, out_ref, *,
+            srgb_input: bool, precise: bool):
+    x = x_ref[...]                        # [8, T]; rows 0..2 = RGB
     if srgb_input:
         x = jnp.where(x <= 0.04045, x / 12.92,
                       jnp.power(jnp.maximum((x + 0.055) / 1.055, 0.0), 2.4))
-
-    hi = jax.lax.Precision.HIGHEST
-
-    def split(w):
-        w_hi = w.astype(jnp.bfloat16)
-        return w_hi, (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    stack = _stack6 if precise else _stack3
 
     def dot(w, v):
-        if precise:
-            return jnp.dot(w, v, preferred_element_type=jnp.float32,
-                           precision=hi)
-        w_hi, w_lo = split(w)
-        return _dot3(w_hi, w_lo, v)
+        return jnp.dot(w.astype(BF), v, preferred_element_type=F32)
 
-    # conv0 for all 4 groups: [128,16] @ [16,T]
-    h = dot(w0_ref[...].T, x) + b0_ref[...].T
-    h = jnp.maximum(h, 0.0)
-    pre = dot(wf_ref[0].T, h)                                # [4, T]
+    h = dot(w0[...], stack(x[:3]))                       # [32, T]
+    h = jnp.maximum(h + b0[...], 0.0)
+    hs = [h]
     for i in range(4):
-        h = dot(wmid_ref[i].T, h) + bmid_ref[i].T
-        h = jnp.maximum(h, 0.0)
-        pre = pre + dot(wf_ref[i + 1].T, h)
-    pre = pre + bf_ref[0]
-    out = 1.0 / (1.0 + jnp.exp(-pre))          # [4, T] (row g = chunk g)
-    out_ref[...] = jnp.concatenate([out, jnp.zeros_like(out)], axis=0)
+        h = dot(wm[i], stack(h))
+        h = jnp.maximum(h + bm[i], 0.0)
+        hs.append(h)
+    cat = jnp.concatenate(hs, axis=0)                    # [160, T]
+    pre = dot(wf[...], stack(cat))                       # [8, T]; row 0 real
+    out = 1.0 / (1.0 + jnp.exp(-(pre + bfs[0])))
+    out_ref[...] = out
 
 
 @functools.partial(jax.jit, static_argnames=("srgb_input", "tile",
-                                              "precise"))
-def _run(xpad, w0, b0, wmid, bmid, wf, bf, *, srgb_input: bool, tile: int,
+                                             "precise"))
+def _run(xpad, w0, b0, wm, bm, wf, bf, *, srgb_input: bool, tile: int,
          precise: bool = False):
     p = xpad.shape[1]
-    grid = (p // tile,)
     out = pl.pallas_call(
         functools.partial(_kernel, srgb_input=srgb_input, precise=precise),
-        out_shape=jax.ShapeDtypeStruct((SUB, p), jnp.float32),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((8, p), F32),
+        grid=(p // tile,),
         in_specs=[
-            pl.BlockSpec((IN_ROWS, tile), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((IN_ROWS, G * 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, G * 32, G * 32), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 1, G * 32), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, G * 32, G), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((SUB, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-    )(xpad, w0, b0, wmid, bmid, wf, jnp.reshape(bf, (1,)))
+    )(xpad, w0, b0, wm, bm, wf, jnp.reshape(bf, (1,)))
     return out
 
 
 def reflectance_cnn_pallas(packed: Dict, images, *,
                            srgb_input: bool = False,
-                           tile: int = 2048,
+                           tile: int = 8192,
                            precise: bool = False):
     """Fused flagship forward.
 
     images: [..., 3] float32 (linear RGB, or sRGB with srgb_input=True).
     Returns reflectance intensity [...] (channel axis dropped).
-    precise=True uses 6-pass f32 HIGHEST dots instead of the default
-    bf16x3 scheme (1.6x slower, 1.8e-4 closer — both far inside the
-    golden uint8 gate).
+    precise=True runs the 6-product full-f32 scheme (2 MXU K-tiles/layer)
+    instead of the default bf16x3 (1 K-tile/layer) — both far inside the
+    golden uint8 gate (bf16x3 is 1.8e-4 max abs off the f32 forward).
     """
     lead = images.shape[:-1]
     p = int(np.prod(lead))
     x = jnp.moveaxis(images.reshape(p, 3), -1, 0)        # [3, P]
-    # split the pixel stream into G contiguous chunks riding the sublane
-    # axis together; chunk g occupies rows [4g, 4g+3)
-    chunk = -(-p // (G * tile)) * tile
-    ppad = chunk * G
-    xc = jnp.zeros((3, ppad), jnp.float32).at[:, :p].set(x)
-    xc = xc.reshape(3, G, chunk)
-    xpad = jnp.zeros((IN_ROWS, chunk), jnp.float32)
-    for g in range(G):
-        xpad = xpad.at[4 * g:4 * g + 3, :].set(xc[:, g])
-    out = _run(xpad, packed["w0"], packed["b0"], packed["wmid"],
-               packed["bmid"], packed["wf"], packed["bf"],
-               srgb_input=srgb_input, tile=tile, precise=precise)
-    return out[:G, :].reshape(ppad)[:p].reshape(lead)
+    ppad = -(-p // tile) * tile
+    xpad = jnp.zeros((8, ppad), F32).at[:3, :p].set(x)
+    sel = "6" if precise else "3"
+    out = _run(xpad, packed["w0_" + sel], packed["b0"],
+               packed["wmid" + sel], packed["bmid"], packed["wf" + sel],
+               packed["bf"], srgb_input=srgb_input, tile=tile,
+               precise=precise)
+    return out[0, :p].reshape(lead)

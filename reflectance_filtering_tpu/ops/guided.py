@@ -210,18 +210,23 @@ def guided_filter_planar(guide, src, radius: int, eps):
     fused Pallas filter (ops/guided_pallas.py); everything else runs the
     Pallas-box + XLA-elementwise pipeline.  eps must be a concrete float
     for the fused path (it folds into the kernel)."""
+    from .guided_mxu import fits_mxu_guided, guided_filter_mxu
     from .guided_pallas import (fits_fused_guided, guided_filter_fused,
                                 guided_filter_fused_banded)
 
     c, h, wid = src.shape[1], src.shape[2], src.shape[3]
-    if (src.shape[0] == guide.shape[0] and c == 1
+    if (src.shape[0] == guide.shape[0] and guide.shape[1] == 3
             and jax.default_backend() == "tpu"
             and not isinstance(eps, jax.core.Tracer)):
         g32 = guide.astype(jnp.float32)
         s32 = src.astype(jnp.float32)
-        if fits_fused_guided(h, wid, radius):
-            return guided_filter_fused(g32, s32, radius, float(eps))
-        return guided_filter_fused_banded(g32, s32, radius, float(eps))
+        # whole-plane VMEM residency + MXU band-matmul boxes: fastest
+        if fits_mxu_guided(h, wid, radius, c):
+            return guided_filter_mxu(g32, s32, radius, float(eps))
+        if c == 1:
+            if fits_fused_guided(h, wid, radius):
+                return guided_filter_fused(g32, s32, radius, float(eps))
+            return guided_filter_fused_banded(g32, s32, radius, float(eps))
     return _guided_filter_planar_xla(guide, src, radius, eps)
 
 

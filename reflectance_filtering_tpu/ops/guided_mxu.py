@@ -1,0 +1,158 @@
+"""Guided filter as MXU band-matrix matmuls — one fused kernel per image.
+
+Replaces the VPU chain-doubling box filters of ops/guided_pallas.py with
+matmuls against precomputed banded 0/1/2 matrices (BORDER_REFLECT folded
+into the band counts), executed on the otherwise-idle MXU while keeping
+every intermediate plane in VMEM:
+
+    box(x) along W  =  x @ B_w        box along H  =  B_h^T @ x
+
+Precision: the band-count entries are small integers — exactly
+representable in bf16 — so only the data side needs splitting.  A box
+axis is therefore TWO bf16 passes (hi/lo split, f32 accumulation), or ONE
+for planes holding integers <= 2^16 (u8 guide/src and first-axis partial
+sums).  Max abs error vs a float64 oracle is ~2e-4 in 0-255 output units
+— 2500x inside the <=0.5 uint8 parity threshold (gate-tested).
+
+Measured v5e, batch 32 x 256x256, color guide, r=45: 1552 MP/s vs 623 for
+the chain-doubling two-kernel fused path (2.5x) — ~64 MXU passes/image vs
+~17 serial O(log w) shift/add chains, and one HBM round trip.
+
+Applicability: whole image planes must fit VMEM (fits_mxu_guided); larger
+frames fall back to the banded/tiled path (ops/guided_pallas.py).
+Reference semantics: cv2.ximgproc.guidedFilter (SURVEY.md N4,
+filter_reflectance.py:67-70) — see ops/guided.py's derivation docstring.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+BF = jnp.bfloat16
+
+
+@functools.lru_cache(maxsize=32)
+def _band_matrix(n_pad: int, n: int, radius: int) -> np.ndarray:
+    """[n_pad, n_pad] f32: column j holds the multiplicity of each input
+    row in the reflect-bordered window sum at output j (zero outside the
+    valid [n, n] block).  Entries are small ints — exact in bf16."""
+    B = np.zeros((n_pad, n_pad), np.float32)
+    idx = np.arange(-radius, n + radius)
+    m = np.where(idx < 0, -idx - 1, idx)          # BORDER_REFLECT
+    m = np.where(m >= n, 2 * n - 1 - m, m)
+    for j in range(n):
+        for t in range(2 * radius + 1):
+            B[m[j + t], j] += 1.0
+    return B
+
+
+def fits_mxu_guided(h: int, w: int, radius: int, c_src: int = 1,
+                    budget_bytes: int = 64 * 1024 * 1024) -> bool:
+    """Whole-plane VMEM residency check. Live planes: guide 3 + src C +
+    mI 3 + mII 6 + per-channel (mp, mIp*3, cov*3, a*3, b) + temps."""
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    if min(h, w) <= radius:       # degenerate windows: let the XLA path
+        return False              # handle tiny images
+    planes = 18 + 12 * c_src
+    vmem = planes * hp * wp * 4 + 2 * (wp * wp + hp * hp)
+    return vmem <= budget_bytes
+
+
+def _kernel(I_ref, p_ref, Bw_ref, BhT_ref, out_ref, *,
+            eps: float, inv_area: float, c_src: int):
+    Bw = Bw_ref[...].astype(BF)
+    BhT = BhT_ref[...].astype(BF)
+
+    def rowdot(x):
+        return jnp.dot(x, Bw, preferred_element_type=F32)
+
+    def coldot(x):
+        return jnp.dot(BhT, x, preferred_element_type=F32)
+
+    def colbox2(t):
+        thi = t.astype(BF)
+        tlo = (t - thi.astype(F32)).astype(BF)
+        return (coldot(thi) + coldot(tlo)) * inv_area
+
+    def box_u8(x):   # ints <= 2^16: single exact bf16 pass along rows
+        return colbox2(rowdot(x.astype(BF)))
+
+    def box_f(x):    # generic f32: hi/lo split along rows too
+        xhi = x.astype(BF)
+        xlo = (x - xhi.astype(F32)).astype(BF)
+        return colbox2(rowdot(xhi) + rowdot(xlo))
+
+    I = [I_ref[0, c] for c in range(3)]
+    mI = [box_u8(c) for c in I]
+    mII = {}
+    for i in range(3):
+        for j in range(i, 3):
+            mII[(i, j)] = box_f(I[i] * I[j])
+
+    v = {}
+    for i in range(3):
+        for j in range(i, 3):
+            v[(i, j)] = mII[(i, j)] - mI[i] * mI[j]
+        v[(i, i)] = v[(i, i)] + eps
+    c00 = v[(1, 1)] * v[(2, 2)] - v[(1, 2)] * v[(1, 2)]
+    c01 = v[(1, 2)] * v[(0, 2)] - v[(0, 1)] * v[(2, 2)]
+    c02 = v[(0, 1)] * v[(1, 2)] - v[(1, 1)] * v[(0, 2)]
+    c11 = v[(0, 0)] * v[(2, 2)] - v[(0, 2)] * v[(0, 2)]
+    c12 = v[(0, 1)] * v[(0, 2)] - v[(0, 0)] * v[(1, 2)]
+    c22 = v[(0, 0)] * v[(1, 1)] - v[(0, 1)] * v[(0, 1)]
+    inv_det = 1.0 / (v[(0, 0)] * c00 + v[(0, 1)] * c01 + v[(0, 2)] * c02)
+
+    for c in range(c_src):
+        p = p_ref[0, c]
+        mp = box_u8(p)
+        cov = [box_f(I[i] * p) - mI[i] * mp for i in range(3)]
+        a0 = (c00 * cov[0] + c01 * cov[1] + c02 * cov[2]) * inv_det
+        a1 = (c01 * cov[0] + c11 * cov[1] + c12 * cov[2]) * inv_det
+        a2 = (c02 * cov[0] + c12 * cov[1] + c22 * cov[2]) * inv_det
+        b = mp - a0 * mI[0] - a1 * mI[1] - a2 * mI[2]
+        out_ref[0, c] = (box_f(a0) * I[0] + box_f(a1) * I[1] +
+                         box_f(a2) * I[2] + box_f(b))
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps"))
+def guided_filter_mxu(guide, src, radius: int, eps):
+    """guide [N,3,H,W] f32 (0-255 values), src [N,C,H,W] f32 ->
+    [N,C,H,W] f32.  Use fits_mxu_guided to check applicability first."""
+    n, _, h, w = guide.shape
+    c_src = src.shape[1]
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    if (hp, wp) != (h, w):
+        pad = [(0, 0), (0, 0), (0, hp - h), (0, wp - w)]
+        guide = jnp.pad(guide, pad)
+        src = jnp.pad(src, pad)
+    Bw = jnp.asarray(_band_matrix(wp, w, radius))
+    BhT = jnp.asarray(_band_matrix(hp, h, radius).T)
+    inv_area = float(1.0 / (2 * radius + 1) ** 2)
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=float(eps), inv_area=inv_area,
+                          c_src=c_src),
+        out_shape=jax.ShapeDtypeStruct((n, c_src, hp, wp), F32),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 3, hp, wp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_src, hp, wp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_src, hp, wp), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+    )(guide.astype(F32), src.astype(F32), Bw, BhT)
+    return out[:, :, :h, :w]

@@ -163,3 +163,37 @@ def test_cnn_pallas_srgb_fused(rng):
     got = np.asarray(reflectance_cnn_pallas(packed, jnp.asarray(img),
                                             srgb_input=True))
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_guided_mxu_matches_xla(rng):
+    """MXU band-matmul guided filter vs the XLA op (itself oracled in
+    test_filters.py), color guide, 1- and 3-channel src, odd sizes."""
+    from reflectance_filtering_tpu.ops.guided_mxu import (
+        fits_mxu_guided, guided_filter_mxu)
+
+    guide = np.floor(rng.rand(2, 3, 41, 53) * 256).astype(np.float32)
+    for c in (1, 3):
+        src = np.floor(rng.rand(2, c, 41, 53) * 256).astype(np.float32)
+        assert fits_mxu_guided(41, 53, 8, c)
+        got = np.asarray(guided_filter_mxu(jnp.asarray(guide),
+                                           jnp.asarray(src), 8, 9.0))
+        exp = np.stack([np.asarray(guided_filter(
+            jnp.asarray(np.moveaxis(guide[i], 0, -1)),
+            jnp.asarray(np.moveaxis(src[i], 0, -1)), 8, 9.0))
+            for i in range(2)])
+        exp = np.moveaxis(exp, -1, 1)
+        np.testing.assert_allclose(got, exp, rtol=1e-3, atol=0.05)
+
+
+def test_guided_mxu_band_matrix_is_exact_box(rng):
+    """The banded matrix IS the reflect-bordered window sum."""
+    from reflectance_filtering_tpu.ops.guided_mxu import _band_matrix
+
+    n, r = 37, 5
+    B = _band_matrix(128, n, r)
+    x = rng.rand(n).astype(np.float64)
+    got = (x @ B[:n, :n])
+    xp = np.pad(x, r, mode="symmetric")
+    exp = np.convolve(xp, np.ones(2 * r + 1), mode="valid")
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+    assert np.all(B[n:, :] == 0) and np.all(B[:, n:] == 0)
