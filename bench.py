@@ -115,6 +115,20 @@ def main():
     t_gf = _timed_loop(gf_pipeline, imgs, 20)
     t_bf = _timed_loop(bf_pipeline, imgs, 8)
 
+    # color self-guided bilateral (cv2.bilateralFilter semantics on the
+    # photo itself — the CLI's joint==src color path)
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        bilateral_color_self_batched)
+    imgs_u8p = jax.device_put(np.floor(
+        rng.rand(8, 3, H, W) * 256).astype(np.float32))
+
+    def bf_color_self(x):
+        out = bilateral_color_self_batched(x, -1, 20.0, 22.0)
+        return x * (1.0 + 1e-12 * jnp.sum(out[:, :, 0, :2]))
+
+    t_bfc = _timed_loop(bf_color_self, imgs_u8p, 4)
+    bfc_mps = (8 * H * W / 1e6) / t_bfc
+
     # config 4: 3x iterated GF chain (Zoran-style) on one 4K frame
     from reflectance_filtering_tpu.ops.guided import guided_filter_iterated
     h4k, w4k = 2160, 3840
@@ -184,6 +198,7 @@ def main():
         "vs_baseline": round(bf_mps / BASELINE_MPS, 1),
         "gf_pipeline_mps": round(gf_mps, 2),
         "cnn_decompose_mps": round(cnn_mps, 2),
+        "bf_color_self_mps": round(bfc_mps, 2),
         "gf_3x_4k_mps": round(h4k * w4k / t_4k / 1e6, 2),
         "train_imgs_per_s": round(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],

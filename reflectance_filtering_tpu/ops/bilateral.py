@@ -128,13 +128,37 @@ def joint_bilateral_filter_u8(joint_u8, src_u8, d: int = -1,
                               sigma_space: float = 22.0) -> np.ndarray:
     """uint8 wrapper with cvRound (round-half-to-even) output.
 
-    Dispatches to the Pallas kernel on TPU (bilateral_pallas.py), to the
-    XLA scan otherwise; both implement the same OpenCV semantics."""
+    Dispatches on TPU to the fastest applicable Pallas kernel —
+    gray-self (1 roll/tap) when joint == src with identical channels
+    (the BF(CNN,CNN) -r.png case), mantissa-packed color-self
+    (2 rolls/tap) when joint == src in color (cv2.bilateralFilter
+    semantics), generic joint kernel otherwise; XLA scan off-TPU.  All
+    paths implement the same OpenCV semantics and are oracle-gated."""
     if jax.default_backend() == "tpu":
-        from .bilateral_pallas import joint_bilateral_filter_fast
+        from .bilateral_pallas import (bilateral_color_self_batched,
+                                       bilateral_gray_self_batched,
+                                       joint_bilateral_filter_fast)
 
-        out = joint_bilateral_filter_fast(joint_u8, src_u8, d,
-                                          sigma_color, sigma_space)
+        j = np.asarray(joint_u8)
+        s = np.asarray(src_u8)
+        self_joint = j is s or (j.shape == s.shape and np.array_equal(j, s))
+        mono = j.ndim == 2 or (j.ndim == 3 and bool(
+            (j[..., :1] == j).all()))
+        if self_joint and mono:
+            plane = (j if j.ndim == 2 else j[..., 0]).astype(np.float32)
+            g = bilateral_gray_self_batched(jnp.asarray(plane[None]), d,
+                                            sigma_color, sigma_space)[0]
+            out = np.asarray(g)
+            if j.ndim == 3:
+                out = np.repeat(out[..., None], j.shape[-1], axis=-1)
+        elif self_joint and j.ndim == 3 and j.shape[-1] == 3:
+            planar = jnp.asarray(
+                np.moveaxis(j.astype(np.float32), -1, 0)[None])
+            out = np.moveaxis(np.asarray(bilateral_color_self_batched(
+                planar, d, sigma_color, sigma_space))[0], 0, -1)
+        else:
+            out = joint_bilateral_filter_fast(joint_u8, src_u8, d,
+                                              sigma_color, sigma_space)
     else:
         out = joint_bilateral_filter(joint_u8, src_u8, d, sigma_color,
                                      sigma_space)

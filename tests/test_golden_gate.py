@@ -215,3 +215,28 @@ def test_guided_cli_sweep_vs_float64(gallery, name, sc, ss, rng):
     d = abs(compute_whdr(ours[:, :, ::-1] / 255.0, judg) -
             compute_whdr(exp_u8[:, :, ::-1] / 255.0, judg))
     assert d < 0.001, (name, sc, ss, d)
+
+
+BF_COLOR_SELF_CASES = [
+    ("tiny-odd-45x67", 20.0, 22.0),
+    ("natural-128x160", 30.0, 8.0),
+]
+
+
+@pytest.mark.parametrize("name,sc,ss", BF_COLOR_SELF_CASES)
+def test_bilateral_color_self_cli_vs_opencv(gallery, name, sc, ss, rng):
+    """The CLI filtering a COLOR image by itself == cv2.bilateralFilter
+    (the exact OpenCV oracle for joint==src)."""
+    import cv2
+    path, img, _, outdir = gallery[name]
+    ours = read_filter_write("bilateral", path, path, sc, ss, outdir)
+    ref = cv2.bilateralFilter(img, -1, sc, ss)
+
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, (name, sc, ss, diff.max())
+    assert (diff > 0).mean() < 0.02, (name, sc, ss, (diff > 0).mean())
+
+    judg = _synthetic_judgments(rng)
+    d = abs(compute_whdr(ours[:, :, ::-1] / 255.0, judg) -
+            compute_whdr(ref[:, :, ::-1] / 255.0, judg))
+    assert d < 0.001, (name, sc, ss, d)

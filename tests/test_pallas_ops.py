@@ -197,3 +197,37 @@ def test_guided_mxu_band_matrix_is_exact_box(rng):
     exp = np.convolve(xp, np.ones(2 * r + 1), mode="valid")
     np.testing.assert_allclose(got, exp, rtol=1e-12)
     assert np.all(B[n:, :] == 0) and np.all(B[:, n:] == 0)
+
+
+def test_bilateral_color_self_matches_generic(rng):
+    """Mantissa-packed color-self kernel == generic kernel at joint==src
+    (u8-integer inputs; packing c0+512*c1 is exact there)."""
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        bilateral_color_self_batched)
+
+    x = np.floor(rng.rand(1, 3, 24, 40) * 256).astype(np.float32)
+    got = np.asarray(bilateral_color_self_batched(
+        jnp.asarray(x), -1, 20.0, 3.0))
+    exp = np.asarray(joint_bilateral_planar_batched(
+        jnp.asarray(x), jnp.asarray(x), -1, 20.0, 3.0))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-3)
+
+
+def test_bilateral_u8_self_joint_dispatch(rng, monkeypatch):
+    """joint_bilateral_filter_u8 detects joint==src (gray and color) and
+    routes to the specialized kernels; outputs must match the generic
+    path to <=1 uint8 level."""
+    import reflectance_filtering_tpu.ops.bilateral as B
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    img = (rng.rand(24, 40, 3) * 255).astype(np.uint8)
+    gray = np.repeat(img[..., :1], 3, axis=-1)
+
+    got_c = B.joint_bilateral_filter_u8(img, img, -1, 20.0, 3.0)
+    got_g = B.joint_bilateral_filter_u8(gray, gray, -1, 20.0, 3.0)
+    monkeypatch.undo()
+    exp_c = B.joint_bilateral_filter_u8(img, img, -1, 20.0, 3.0)
+    exp_g = B.joint_bilateral_filter_u8(gray, gray, -1, 20.0, 3.0)
+    assert np.abs(got_c.astype(int) - exp_c.astype(int)).max() <= 1
+    assert np.abs(got_g.astype(int) - exp_g.astype(int)).max() <= 1
+    assert (got_g[..., 0] == got_g[..., 1]).all()
