@@ -37,11 +37,109 @@ from .box_pallas import _window_sum_tile, _PAD_MODE
 def _mkbox(w: int, hout: int, wout: int):
     scale = 1.0 / (w * w)
 
-    def box(t):
+    def box(t, exact=False):
+        del exact  # VPU f32 sums are exact either way
         s = _window_sum_tile(t, w, axis=1)
         s = _window_sum_tile(s[:, :wout], w, axis=0)
         return s[:hout, :] * scale
 
+    box.multi = lambda planes, exact=False: [box(t) for t in planes]
+    return box
+
+
+# ---------------------------------------------------------------------------
+# MXU block-banded box: the length-w window sum along an axis is a matmul
+# against a banded 0/1 matrix, tiled so each 128-wide output block only
+# contracts the kb = 1 + ceil(2r/128) k-tiles its band touches — FLOPs per
+# pixel are kb*128 MACs per axis pass regardless of image width (a dense
+# band matrix would scale with W, which is why it lost at 4K).  The 0/1
+# entries are exact in bf16, so only the data side splits (hi/lo, f32
+# accumulation) — the scheme gate-tested in ops/guided_mxu.py.  u8-valued
+# planes (ints <= 255) skip the split on the first axis; their row sums
+# (ints <= w*255 < 2^16) still split exactly, so u8 boxes are EXACT.
+# ---------------------------------------------------------------------------
+
+_BF = jnp.bfloat16
+F32 = jnp.float32
+
+
+def _band_mat(r2: int, kb: int, g: int, transpose: bool):
+    """0/1 band block [(g+kb-1)*128, g*128] (or its transpose):
+    S[k, c] = 1 iff c <= k <= c + 2r — one dot emits g output blocks.
+    Built from iotas in-kernel — no operand plumbing."""
+    kk, cc = (g + kb - 1) * 128, g * 128
+    shape = (cc, kk) if transpose else (kk, cc)
+    kax, cax = (1, 0) if transpose else (0, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, shape, kax)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, cax)
+    return jnp.where((c <= k) & (k <= c + r2), 1.0, 0.0).astype(_BF)
+
+
+# Output blocks emitted per row-pass dot.  g > 1 trades extra MACs per
+# value (K = (g+kb-1)*128 instead of kb*128) for g x fewer MXU dots —
+# the per-dot issue overhead, not FLOPs, dominates these band matmuls.
+_ROW_G = 2
+
+
+def _mkbox_mxu(w: int, th: int, tw: int, rows: int):
+    """Box factory for haloed [rows, lanes] tiles -> [th, tw] means.
+
+    Requires th % 128 == 0 and tw % 128 == 0 (see _band_geometry_mxu).
+    box_multi filters a whole GROUP of planes with shared dots: planes
+    ride the M dimension in the row pass and the N dimension in the col
+    pass, so the dot count per tile is ~14 instead of ~28 per plane.
+    """
+    r2 = w - 1
+    kb = 1 + -(-r2 // 128)
+    g = _ROW_G if tw % (_ROW_G * 128) == 0 else 1
+    S = _band_mat(r2, kb, g, transpose=False)   # rows pass (lanes axis)
+    M = _band_mat(r2, kb, 1, transpose=True)    # cols pass (sublanes)
+    scale = 1.0 / (w * w)
+    rows_rs = th - 128 + kb * 128               # rows the col pass reads
+
+    def dot_split(a, b, lhs_split):
+        x = a if lhs_split else b
+        xhi = x.astype(_BF)
+        xlo = (x - xhi.astype(F32)).astype(_BF)
+        if lhs_split:
+            return (jnp.dot(xhi, b, preferred_element_type=F32) +
+                    jnp.dot(xlo, b, preferred_element_type=F32))
+        return (jnp.dot(a, xhi, preferred_element_type=F32) +
+                jnp.dot(a, xlo, preferred_element_type=F32))
+
+    def box_multi(planes, exact=False):
+        p = len(planes)
+        x = planes[0] if p == 1 else jnp.concatenate(planes, axis=0)
+        kw = (g + kb - 1) * 128
+        blocks = []
+        for j in range(tw // (g * 128)):
+            sl = x[:, j * g * 128:j * g * 128 + kw]
+            if exact:  # values exactly representable in bf16 (u8 ints)
+                blocks.append(jnp.dot(sl.astype(_BF), S,
+                                      preferred_element_type=F32))
+            else:
+                blocks.append(dot_split(sl, S, lhs_split=True))
+        rs = jnp.concatenate(blocks, axis=1)        # [p*rows, tw]
+        # restack planes along lanes so the col pass shares dots too
+        if p > 1:
+            rs = jnp.concatenate(
+                [rs[i * rows:(i + 1) * rows] for i in range(p)], axis=1)
+        if rows_rs > rows:
+            rs = jnp.concatenate(
+                [rs, jnp.zeros((rows_rs - rows, p * tw), F32)], axis=0)
+        outs = []
+        for i in range(th // 128):
+            sl = rs[i * 128:i * 128 + kb * 128, :]
+            outs.append(dot_split(M, sl, lhs_split=False))
+        out = jnp.concatenate(outs, axis=0) * scale  # [th, p*tw]
+        if p == 1:
+            return [out]
+        return [out[:, i * tw:(i + 1) * tw] for i in range(p)]
+
+    def box(x, exact=False):
+        return box_multi([x], exact)[0]
+
+    box.multi = box_multi
     return box
 
 
@@ -107,7 +205,8 @@ def fits_fused_guided(h: int, wid: int, radius: int) -> bool:
 
 
 def _stats_kernel(ipad_hbm, out_st, iscr, sem, *, w: int, eps: float,
-                  th: int, rows: int, tw: int, lanes: int, wout: int):
+                  th: int, rows: int, tw: int, lanes: int, wout: int,
+                  mxu: bool = False):
     """Guide-only statistics tile kernel: mean_I (3), cofactors (6),
     inv_det (1) -> 10 planes."""
     b = pl.program_id(0)
@@ -118,15 +217,18 @@ def _stats_kernel(ipad_hbm, out_st, iscr, sem, *, w: int, eps: float,
         iscr, sem)
     cp.start()
     cp.wait()
-    box = _mkbox(w, th, wout)
+    box = _mkbox_mxu(w, th, wout, rows) if mxu else _mkbox(w, th, wout)
     I0, I1, I2 = iscr[0], iscr[1], iscr[2]
-    m0, m1, m2 = box(I0), box(I1), box(I2)
-    rr = box(I0 * I0) - m0 * m0 + eps
-    rg = box(I0 * I1) - m0 * m1
-    rb = box(I0 * I2) - m0 * m2
-    gg = box(I1 * I1) - m1 * m1 + eps
-    gb = box(I1 * I2) - m1 * m2
-    bb = box(I2 * I2) - m2 * m2 + eps
+    # guide planes hold u8 ints (0-255 pipeline contract): exact bf16
+    m0, m1, m2 = box.multi([I0, I1, I2], exact=True)
+    b00, b01, b02, b11, b12, b22 = box.multi(
+        [I0 * I0, I0 * I1, I0 * I2, I1 * I1, I1 * I2, I2 * I2])
+    rr = b00 - m0 * m0 + eps
+    rg = b01 - m0 * m1
+    rb = b02 - m0 * m2
+    gg = b11 - m1 * m1 + eps
+    gb = b12 - m1 * m2
+    bb = b22 - m2 * m2 + eps
     c00 = gg * bb - gb * gb
     c01 = gb * rb - rg * bb
     c02 = rg * gb - gg * rb
@@ -140,33 +242,33 @@ def _stats_kernel(ipad_hbm, out_st, iscr, sem, *, w: int, eps: float,
 
 
 def _apply_kernel(ipad_hbm, ppad_hbm, st_ref, out_ab, iscr, pscr, sem,
-                  *, w: int, th: int, rows: int, tw: int, lanes: int,
-                  wout: int):
+                  psem, *, w: int, th: int, rows: int, tw: int,
+                  lanes: int, wout: int, mxu: bool = False):
     """Src-dependent half: box(p), box(I*p) -> a0,a1,a2,b using cached
     guide stats."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    cp = pltpu.make_async_copy(
+    cpi = pltpu.make_async_copy(
         ipad_hbm.at[b, :, pl.ds(i * th, rows), pl.ds(j * tw, lanes)],
         iscr, sem)
-    cp.start()
-    cp.wait()
-    cp = pltpu.make_async_copy(
+    cpi.start()
+    cpp = pltpu.make_async_copy(
         ppad_hbm.at[b, :, pl.ds(i * th, rows), pl.ds(j * tw, lanes)],
-        pscr, sem)
-    cp.start()
-    cp.wait()
-    box = _mkbox(w, th, wout)
+        pscr, psem)
+    cpp.start()
+    cpi.wait()
+    cpp.wait()
+    box = _mkbox_mxu(w, th, wout, rows) if mxu else _mkbox(w, th, wout)
     I0, I1, I2, p = iscr[0], iscr[1], iscr[2], pscr[0]
     m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
     c00, c01, c02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
     c11, c12, c22 = st_ref[0, 6], st_ref[0, 7], st_ref[0, 8]
     inv_det = st_ref[0, 9]
-    m_p = box(p)
-    cov0 = box(I0 * p) - m0 * m_p
-    cov1 = box(I1 * p) - m1 * m_p
-    cov2 = box(I2 * p) - m2 * m_p
+    m_p, bip0, bip1, bip2 = box.multi([p, I0 * p, I1 * p, I2 * p])
+    cov0 = bip0 - m0 * m_p
+    cov1 = bip1 - m1 * m_p
+    cov2 = bip2 - m2 * m_p
     a0 = (c00 * cov0 + c01 * cov1 + c02 * cov2) * inv_det
     a1 = (c01 * cov0 + c11 * cov1 + c12 * cov2) * inv_det
     a2 = (c02 * cov0 + c12 * cov1 + c22 * cov2) * inv_det
@@ -178,7 +280,7 @@ def _apply_kernel(ipad_hbm, ppad_hbm, st_ref, out_ab, iscr, pscr, sem,
 
 def _stage2_banded_kernel(abpad_hbm, iorig_ref, out_q, abscr, sem,
                           *, w: int, th: int, rows: int, tw: int,
-                          lanes: int, wout: int):
+                          lanes: int, wout: int, mxu: bool = False):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -187,11 +289,11 @@ def _stage2_banded_kernel(abpad_hbm, iorig_ref, out_q, abscr, sem,
         abscr, sem)
     cp.start()
     cp.wait()
-    box = _mkbox(w, th, wout)
-    out_q[0, 0] = (box(abscr[0]) * iorig_ref[0, 0] +
-                   box(abscr[1]) * iorig_ref[0, 1] +
-                   box(abscr[2]) * iorig_ref[0, 2] +
-                   box(abscr[3]))
+    box = _mkbox_mxu(w, th, wout, rows) if mxu else _mkbox(w, th, wout)
+    ma0, ma1, ma2, mb = box.multi(
+        [abscr[0], abscr[1], abscr[2], abscr[3]])
+    out_q[0, 0] = (ma0 * iorig_ref[0, 0] + ma1 * iorig_ref[0, 1] +
+                   ma2 * iorig_ref[0, 2] + mb)
 
 
 def _band_geometry(h: int, wid: int, radius: int, th: int = None):
@@ -220,32 +322,73 @@ def _band_geometry(h: int, wid: int, radius: int, th: int = None):
     return th_eff, nh, rows, tw, nw, lanes
 
 
+def _band_geometry_mxu(h: int, wid: int, radius: int):
+    """Tile geometry for the MXU block-banded box path: th and tw are
+    multiples of 128 so the per-128-block band dots line up with k-tiles.
+    lanes = tw + (kb-1)*128 exactly fits the last row block's slice."""
+    kb = 1 + -(-2 * radius // 128)
+    w128 = -(-wid // 128) * 128
+    budget = int(2.4 * 1024 * 1024) // 4
+    th = 256 if -(-h // 8) * 8 >= 256 else 128
+    tw = min(w128, 1280)
+    while True:
+        lanes = tw + (kb - 1) * 128
+        rows = -(-(th + 2 * radius) // 8) * 8
+        if rows * lanes <= budget or (tw <= 128 and th <= 128):
+            break
+        if tw > 128:
+            tw -= 128
+        else:
+            th = 128
+    nh = -(-h // th)
+    nw = -(-w128 // tw)
+    return th, nh, rows, tw, nw, lanes
+
+
+def _use_mxu(h: int, radius: int, th) -> bool:
+    """The band-dot path needs 128-aligned tiles and only pays off once
+    the window is wide (small windows: the VPU doubling chain is ~log w
+    shift+adds and cheaper than kb*128 MACs)."""
+    return th is None and radius >= 8 and h >= 128
+
+
 def _pad_banded(x, radius: int, geo, h: int, wid: int):
-    """Reflect-pad by radius, then zero-pad so every tile DMA window
-    exists.  x: [N, C, H, W]."""
+    """Reflect-pad by radius, extended so every tile DMA window exists.
+    x: [N, C, H, W].
+
+    Preferably ONE pad op (HBM copies dominate the 4K chain): the tail
+    beyond row h+2r / col w+2r is only read into window sums of outputs
+    that the caller slices away, so over-reflecting there (instead of
+    zero-filling) is harmless — any finite values do."""
     th, nh, rows, tw, nw, lanes = geo
+    bot = (nh - 1) * th + rows - h - radius
+    right = (nw - 1) * tw + lanes - wid - radius
+    if radius <= h and radius <= wid and bot <= h and right <= wid:
+        return jnp.pad(x, [(0, 0), (0, 0), (radius, bot), (radius, right)],
+                       mode=_PAD_MODE["reflect"])
     xp = jnp.pad(x, [(0, 0), (0, 0), (radius, radius), (radius, radius)],
                  mode=_PAD_MODE["reflect"])
-    hneed = (nh - 1) * th + rows
-    wneed = (nw - 1) * tw + lanes
-    return jnp.pad(xp, [(0, 0), (0, 0), (0, hneed - (h + 2 * radius)),
-                        (0, wneed - (wid + 2 * radius))])
+    return jnp.pad(xp, [(0, 0), (0, 0), (0, bot - radius),
+                        (0, right - radius)])
 
 
 _VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "eps", "th"))
-def gf_guide_stats(guide, radius: int, eps: float, th: int = None):
-    """guide [N,3,H,W] -> cached stats [N,10,H,W] (see _stats_kernel)."""
-    n, _, h, wid = guide.shape
-    w = 2 * radius + 1
-    geo = _band_geometry(h, wid, radius, th)
+def _geometry(h: int, wid: int, radius: int, th):
+    mxu = _use_mxu(h, radius, th)
+    geo = (_band_geometry_mxu(h, wid, radius) if mxu
+           else _band_geometry(h, wid, radius, th))
+    return mxu, geo
+
+
+def _stats_call(ipad, n, geo, w, eps, mxu):
+    """ipad (haloed guide) -> stats in PADDED tile layout
+    [N,10,nh*th,nw*tw] (mean_I x3, cofactors x6, inv_det)."""
     th, nh, rows, tw, nw, lanes = geo
-    ipad = _pad_banded(guide, radius, geo, h, wid)
-    st = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_stats_kernel, w=w, eps=float(eps), th=th,
-                          rows=rows, tw=tw, lanes=lanes, wout=tw),
+                          rows=rows, tw=tw, lanes=lanes, wout=tw, mxu=mxu),
         out_shape=jax.ShapeDtypeStruct((n, 10, nh * th, nw * tw),
                                        jnp.float32),
         grid=(n, nh, nw),
@@ -257,27 +400,14 @@ def gf_guide_stats(guide, radius: int, eps: float, th: int = None):
                         pltpu.SemaphoreType.DMA],
         compiler_params=_VMEM,
     )(ipad)
-    return st[:, :, :h, :wid]
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "th"))
-def gf_apply_with_stats(guide, src, stats, radius: int, th: int = None):
-    """One guided-filter application using cached guide stats.
-
-    guide [N,3,H,W], src [N,1,H,W], stats [N,10,H,W] -> q [N,1,H,W].
-    8 box filters (4 in the apply stage, 4 in the mean-a,b stage)."""
-    n, _, h, wid = guide.shape
-    w = 2 * radius + 1
-    geo = _band_geometry(h, wid, radius, th)
+def _apply_call(ipad, ppad, stp, n, geo, w, mxu):
+    """Haloed guide+src + padded stats -> a0,a1,a2,b in PADDED layout."""
     th, nh, rows, tw, nw, lanes = geo
-
-    stp = jnp.pad(stats, [(0, 0), (0, 0), (0, nh * th - h),
-                          (0, nw * tw - wid)])
-    ipad = _pad_banded(guide, radius, geo, h, wid)
-    ppad = _pad_banded(src, radius, geo, h, wid)
-    ab = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_apply_kernel, w=w, th=th, rows=rows, tw=tw,
-                          lanes=lanes, wout=tw),
+                          lanes=lanes, wout=tw, mxu=mxu),
         out_shape=jax.ShapeDtypeStruct((n, 4, nh * th, nw * tw),
                                        jnp.float32),
         grid=(n, nh, nw),
@@ -291,16 +421,18 @@ def gf_apply_with_stats(guide, src, stats, radius: int, th: int = None):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((3, rows, lanes), jnp.float32),
                         pltpu.VMEM((1, rows, lanes), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
         compiler_params=_VMEM,
-    )(ipad, ppad, stp)[:, :, :h, :wid]
+    )(ipad, ppad, stp)
 
-    gpad = jnp.pad(guide, [(0, 0), (0, 0), (0, nh * th - h),
-                           (0, nw * tw - wid)])
-    abpad = _pad_banded(ab, radius, geo, h, wid)
-    q = pl.pallas_call(
+
+def _stage2_call(abpad, gpad, n, geo, w, mxu):
+    """Haloed a,b + padded guide -> q in PADDED layout."""
+    th, nh, rows, tw, nw, lanes = geo
+    return pl.pallas_call(
         functools.partial(_stage2_banded_kernel, w=w, th=th, rows=rows,
-                          tw=tw, lanes=lanes, wout=tw),
+                          tw=tw, lanes=lanes, wout=tw, mxu=mxu),
         out_shape=jax.ShapeDtypeStruct((n, 1, nh * th, nw * tw),
                                        jnp.float32),
         grid=(n, nh, nw),
@@ -315,6 +447,37 @@ def gf_apply_with_stats(guide, src, stats, radius: int, th: int = None):
                         pltpu.SemaphoreType.DMA],
         compiler_params=_VMEM,
     )(abpad, gpad)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps", "th"))
+def gf_guide_stats(guide, radius: int, eps: float, th: int = None):
+    """guide [N,3,H,W] -> cached stats [N,10,H,W] (see _stats_kernel)."""
+    n, _, h, wid = guide.shape
+    mxu, geo = _geometry(h, wid, radius, th)
+    ipad = _pad_banded(guide, radius, geo, h, wid)
+    st = _stats_call(ipad, n, geo, 2 * radius + 1, eps, mxu)
+    return st[:, :, :h, :wid]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "th"))
+def gf_apply_with_stats(guide, src, stats, radius: int, th: int = None):
+    """One guided-filter application using cached guide stats.
+
+    guide [N,3,H,W], src [N,1,H,W], stats [N,10,H,W] -> q [N,1,H,W].
+    8 box filters (4 in the apply stage, 4 in the mean-a,b stage)."""
+    n, _, h, wid = guide.shape
+    w = 2 * radius + 1
+    mxu, geo = _geometry(h, wid, radius, th)
+    th_, nh, rows, tw, nw, lanes = geo
+    stp = jnp.pad(stats, [(0, 0), (0, 0), (0, nh * th_ - h),
+                          (0, nw * tw - wid)])
+    ipad = _pad_banded(guide, radius, geo, h, wid)
+    ppad = _pad_banded(src, radius, geo, h, wid)
+    ab = _apply_call(ipad, ppad, stp, n, geo, w, mxu)[:, :, :h, :wid]
+    gpad = jnp.pad(guide, [(0, 0), (0, 0), (0, nh * th_ - h),
+                           (0, nw * tw - wid)])
+    abpad = _pad_banded(ab, radius, geo, h, wid)
+    q = _stage2_call(abpad, gpad, n, geo, w, mxu)
     return q[:, :, :h, :wid]
 
 
@@ -322,19 +485,34 @@ def guided_filter_fused_banded(guide, src, radius: int, eps: float,
                                th: int = None):
     """Band-tiled fused guided filter for frames too big for the
     whole-plane path.  guide [N,3,H,W], src [N,1,H,W] -> [N,1,H,W]."""
-    stats = gf_guide_stats(guide, radius, float(eps), th)
-    return gf_apply_with_stats(guide, src, stats, radius, th)
+    return guided_filter_fused_iterated(guide, src, radius, float(eps),
+                                        1, th)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "eps", "iterations", "th"))
 def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                                  iterations: int = 3, th: int = None):
-    """Zoran-style iterated chain with the guide statistics computed once
-    and reused every iteration (they depend only on the guide)."""
-    stats = gf_guide_stats(guide, radius, float(eps), th)
-    out = src
+    """Zoran-style iterated chain: guide statistics computed once and
+    reused every iteration (they depend only on the guide), and all
+    intermediates kept in the PADDED tile layout — at 4K the HBM pad /
+    slice copies otherwise cost as much as the box kernels themselves."""
+    n, _, h, wid = guide.shape
+    w = 2 * radius + 1
+    mxu, geo = _geometry(h, wid, radius, th)
+    th_, nh, rows, tw, nw, lanes = geo
+    ipad = _pad_banded(guide, radius, geo, h, wid)
+    stp = _stats_call(ipad, n, geo, w, float(eps), mxu)
+    gpad = jnp.pad(guide, [(0, 0), (0, 0), (0, nh * th_ - h),
+                           (0, nw * tw - wid)])
+    p = src
     for _ in range(iterations):
-        out = gf_apply_with_stats(guide, out, stats, radius, th)
-    return out
+        ppad = _pad_banded(p, radius, geo, h, wid)
+        abp = _apply_call(ipad, ppad, stp, n, geo, w, mxu)
+        abpad = _pad_banded(abp[:, :, :h, :wid], radius, geo, h, wid)
+        qp = _stage2_call(abpad, gpad, n, geo, w, mxu)
+        p = qp[:, :, :h, :wid]
+    return p
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps"))

@@ -124,6 +124,33 @@ def test_guided_banded_matches_xla(rng):
     np.testing.assert_allclose(got, exp, rtol=1e-3, atol=0.05)
 
 
+def test_guided_banded_mxu_matches_xla(rng):
+    """The MXU block-banded box path (big frames, radius >= 8, h >= 128)
+    must match the XLA pipeline, including u8-exact guide boxes, the
+    hi/lo-split f32 boxes, and the grouped row/col band dots."""
+    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _use_mxu, guided_filter_fused_banded, guided_filter_fused_iterated)
+    for (h, wd, r) in [(136, 200, 8), (160, 272, 45)]:
+        assert _use_mxu(h, r, None)
+        I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                        .astype(np.float32))
+        p = jnp.asarray(np.floor(rng.rand(1, 1, h, wd) * 256)
+                        .astype(np.float32))
+        exp = np.asarray(_guided_filter_planar_xla(I, p, r, 9.0))
+        got = np.asarray(guided_filter_fused_banded(I, p, r, 9.0))
+        np.testing.assert_allclose(got, exp, rtol=1e-3, atol=0.05)
+    I = jnp.asarray(np.floor(rng.rand(1, 3, 136, 200) * 256)
+                    .astype(np.float32))
+    p = jnp.asarray(np.floor(rng.rand(1, 1, 136, 200) * 256)
+                    .astype(np.float32))
+    exp = p
+    for _ in range(3):
+        exp = _guided_filter_planar_xla(I, exp, 8, 9.0)
+    got = np.asarray(guided_filter_fused_iterated(I, p, 8, 9.0, 3))
+    np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-3, atol=0.05)
+
+
 def test_guided_iterated_stat_cache_matches_naive(rng):
     """Cached guide stats across iterations == recomputing them."""
     from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
