@@ -489,6 +489,209 @@ def guided_filter_fused_banded(guide, src, radius: int, eps: float,
                                         1, th)
 
 
+# ---------------------------------------------------------------------------
+# Single-kernel-per-iteration fused path: the per-pallas_call floor (DMA
+# stalls + per-tile launch overhead, ~1.5 ms at 4K) dominates once the
+# boxes are MXU band dots, so one kernel computes a,b on an r-haloed
+# region AND box-filters them down to q.  Guide statistics are emitted by
+# a stats kernel in a REDUNDANT per-tile haloed layout (each tile's slot
+# stores the stats for its own halo region), so the fused kernel fetches
+# them with a plain pipelined BlockSpec — no XLA pad of 9 planes per
+# iteration.  Halo DMAs are double-buffered (prefetch tile t+1's windows
+# before computing tile t).
+# ---------------------------------------------------------------------------
+
+
+def _use_fused_mxu(h: int, radius: int, th) -> bool:
+    return th is None and 8 <= radius <= 64 and h >= 256
+
+
+def _fused_geometry(h: int, wid: int, radius: int):
+    """th, tw: output tile; thA, twA: stage-A (a,b field) region, covering
+    [-r, th+r) x [-r, tw+r); rowsA, lanesA: haloed DMA window (2r)."""
+    def up(v, m):
+        return -(-v // m) * m
+    kb = 1 + -(-2 * radius // 128)
+    th = 256
+    tw = min(up(wid, 128), 1024)
+    thA = up(th + 2 * radius, 128)
+    twA = up(tw + 2 * radius, 128)
+    rowsA = up(thA + 2 * radius, 8)
+    lanesA = twA + (kb - 1) * 128
+    nh = -(-h // th)
+    nw = -(-up(wid, 128) // tw)
+    return th, tw, thA, twA, rowsA, lanesA, nh, nw
+
+
+def _pad_fused(x, radius: int, geo, h: int, wid: int):
+    """Reflect-pad by 2r, extended so every tile DMA window exists (the
+    over-reflected tail is only read into outputs the caller slices away;
+    over-reflect keeps values finite, which matters for the 1/det in the
+    stats halo)."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    r2 = 2 * radius
+    bot = (nh - 1) * th + rowsA - h - r2
+    right = (nw - 1) * tw + lanesA - wid - r2
+    if r2 <= h and r2 <= wid and bot <= h and right <= wid:
+        return jnp.pad(x, [(0, 0), (0, 0), (r2, bot), (r2, right)],
+                       mode=_PAD_MODE["reflect"])
+    xp = jnp.pad(x, [(0, 0), (0, 0), (r2, r2), (r2, r2)],
+                 mode=_PAD_MODE["reflect"])
+    return jnp.pad(xp, [(0, 0), (0, 0), (0, bot - r2), (0, right - r2)])
+
+
+def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw):
+    b2 = tt // (nh * nw)
+    rr = tt % (nh * nw)
+    i2 = rr // nw
+    j2 = rr % nw
+    return pltpu.make_async_copy(
+        hbm.at[b2, :, pl.ds(i2 * th, rowsA), pl.ds(j2 * tw, lanesA)],
+        scr.at[sl], sem.at[sl])
+
+
+def _stats_halo_kernel(ipad_hbm, out_st, iscr, isem, *, w: int, eps: float,
+                       geo):
+    """Guide stats on the stage-A halo region, premultiplied by 1/det:
+    [mean_I x3 | cofactor*inv_det x6] -> 9 planes per tile slot."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nsteps = pl.num_programs(0) * nh * nw
+    t = (b * nh + i) * nw + j
+    slot = jax.lax.rem(t, 2)
+
+    def fetch(tt, sl):
+        return _prefetch_window(ipad_hbm, iscr, isem, tt, sl,
+                                th, tw, rowsA, lanesA, nh, nw)
+
+    @pl.when(t == 0)
+    def _():
+        fetch(t, slot).start()
+
+    @pl.when(t + 1 < nsteps)
+    def _():
+        fetch(t + 1, 1 - slot).start()
+
+    fetch(t, slot).wait()
+    box = _mkbox_mxu(w, thA, twA, rowsA)
+    I0, I1, I2 = iscr[slot, 0], iscr[slot, 1], iscr[slot, 2]
+    m0, m1, m2 = box.multi([I0, I1, I2], exact=True)
+    b00, b01, b02 = box.multi([I0 * I0, I0 * I1, I0 * I2])
+    b11, b12, b22 = box.multi([I1 * I1, I1 * I2, I2 * I2])
+    rr = b00 - m0 * m0 + eps
+    rg = b01 - m0 * m1
+    rb = b02 - m0 * m2
+    gg = b11 - m1 * m1 + eps
+    gb = b12 - m1 * m2
+    bb = b22 - m2 * m2 + eps
+    c00 = gg * bb - gb * gb
+    c01 = gb * rb - rg * bb
+    c02 = rg * gb - gg * rb
+    c11 = rr * bb - rb * rb
+    c12 = rb * rg - rr * gb
+    c22 = rr * gg - rg * rg
+    inv_det = 1.0 / (rr * c00 + rg * c01 + rb * c02)
+    for k, plane in enumerate((m0, m1, m2, c00 * inv_det, c01 * inv_det,
+                               c02 * inv_det, c11 * inv_det, c12 * inv_det,
+                               c22 * inv_det)):
+        out_st[0, k] = plane
+
+
+def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, gtile, out_q, iscr, pscr,
+                     isem, psem, *, w: int, geo):
+    """One guided-filter application: a,b on the [-r, th+r) halo region,
+    then mean_a, mean_b boxed down to the [th, tw] output tile."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nsteps = pl.num_programs(0) * nh * nw
+    t = (b * nh + i) * nw + j
+    slot = jax.lax.rem(t, 2)
+
+    def fetch(tt, isl):
+        return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
+                                 th, tw, rowsA, lanesA, nh, nw),
+                _prefetch_window(ppad_hbm, pscr, psem, tt, isl,
+                                 th, tw, rowsA, lanesA, nh, nw))
+
+    @pl.when(t == 0)
+    def _():
+        for cp in fetch(t, slot):
+            cp.start()
+
+    @pl.when(t + 1 < nsteps)
+    def _():
+        for cp in fetch(t + 1, 1 - slot):
+            cp.start()
+
+    for cp in fetch(t, slot):
+        cp.wait()
+
+    I0, I1, I2 = iscr[slot, 0], iscr[slot, 1], iscr[slot, 2]
+    p = pscr[slot, 0]
+    boxA = _mkbox_mxu(w, thA, twA, rowsA)
+    m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
+    m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
+    d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
+    d11, d12, d22 = st_ref[0, 6], st_ref[0, 7], st_ref[0, 8]
+    cov0 = bip0 - m0 * m_p
+    cov1 = bip1 - m1 * m_p
+    cov2 = bip2 - m2 * m_p
+    a0 = d00 * cov0 + d01 * cov1 + d02 * cov2
+    a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
+    a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
+    bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
+    boxB = _mkbox_mxu(w, th, tw, thA)
+    ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
+    out_q[0, 0] = (ma0 * gtile[0, 0] + ma1 * gtile[0, 1] +
+                   ma2 * gtile[0, 2] + mb)
+
+
+_VMEM_FUSED = pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024)
+
+
+def _stats_halo_call(ipad, n, geo, w, eps):
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    return pl.pallas_call(
+        functools.partial(_stats_halo_kernel, w=w, eps=float(eps), geo=geo),
+        out_shape=jax.ShapeDtypeStruct((n, 9, nh * thA, nw * twA),
+                                       jnp.float32),
+        grid=(n, nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 9, thA, twA),
+                               lambda b, i, j: (b, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=_VMEM_FUSED,
+    )(ipad)
+
+
+def _fused_apply_call(ipad, ppad, st, gpad, n, geo, w):
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    return pl.pallas_call(
+        functools.partial(_fused_gf_kernel, w=w, geo=geo),
+        out_shape=jax.ShapeDtypeStruct((n, 1, nh * th, nw * tw),
+                                       jnp.float32),
+        grid=(n, nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, 9, thA, twA),
+                               lambda b, i, j: (b, 0, i, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 3, th, tw),
+                               lambda b, i, j: (b, 0, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, th, tw),
+                               lambda b, i, j: (b, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), jnp.float32),
+                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=_VMEM_FUSED,
+    )(ipad, ppad, st, gpad)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("radius", "eps", "iterations", "th"))
 def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
@@ -499,6 +702,19 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     slice copies otherwise cost as much as the box kernels themselves."""
     n, _, h, wid = guide.shape
     w = 2 * radius + 1
+    if _use_fused_mxu(h, radius, th):
+        geo = _fused_geometry(h, wid, radius)
+        th_, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+        ipad2 = _pad_fused(guide, radius, geo, h, wid)
+        st = _stats_halo_call(ipad2, n, geo, w, float(eps))
+        gpad = jnp.pad(guide, [(0, 0), (0, 0), (0, nh * th_ - h),
+                               (0, nw * tw - wid)])
+        p = src
+        for _ in range(iterations):
+            ppad2 = _pad_fused(p, radius, geo, h, wid)
+            qp = _fused_apply_call(ipad2, ppad2, st, gpad, n, geo, w)
+            p = qp[:, :, :h, :wid]
+        return p
     mxu, geo = _geometry(h, wid, radius, th)
     th_, nh, rows, tw, nw, lanes = geo
     ipad = _pad_banded(guide, radius, geo, h, wid)

@@ -151,6 +151,36 @@ def test_guided_banded_mxu_matches_xla(rng):
     np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-3, atol=0.05)
 
 
+def test_guided_fused_single_kernel_matches_xla(rng):
+    """The single-kernel-per-iteration fused path (h >= 256, 8 <= r <= 64):
+    a,b computed on the r-haloed region from the redundant haloed stats
+    layout, boxed down to q in the same kernel.  The halo a,b values must
+    equal the reflect of the interior ones (box-at-mirrored-position
+    identity), reproducing cv2's BORDER_REFLECT box of a,b exactly."""
+    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _use_fused_mxu, guided_filter_fused_banded,
+        guided_filter_fused_iterated)
+    for (h, wd, r) in [(256, 272, 45), (260, 140, 8)]:
+        assert _use_fused_mxu(h, r, None)
+        I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                        .astype(np.float32))
+        p = jnp.asarray(np.floor(rng.rand(1, 1, h, wd) * 256)
+                        .astype(np.float32))
+        exp = np.asarray(_guided_filter_planar_xla(I, p, r, 9.0))
+        got = np.asarray(guided_filter_fused_banded(I, p, r, 9.0))
+        np.testing.assert_allclose(got, exp, rtol=1e-3, atol=0.05)
+    I = jnp.asarray(np.floor(rng.rand(2, 3, 256, 272) * 256)
+                    .astype(np.float32))
+    p = jnp.asarray(np.floor(rng.rand(2, 1, 256, 272) * 256)
+                    .astype(np.float32))
+    exp = p
+    for _ in range(3):
+        exp = _guided_filter_planar_xla(I, exp, 45, 3.0)
+    got = np.asarray(guided_filter_fused_iterated(I, p, 45, 3.0, 3))
+    np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-3, atol=0.05)
+
+
 def test_guided_iterated_stat_cache_matches_naive(rng):
     """Cached guide stats across iterations == recomputing them."""
     from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
