@@ -129,6 +129,22 @@ def main():
     t_bfc = _timed_loop(bf_color_self, imgs_u8p, 4)
     bfc_mps = (8 * H * W / 1e6) / t_bfc
 
+    # joint != src: BF(reflectance, color photo) — the CLI's 'filter the
+    # -r map guided by the original photo' case (filter_reflectance.py
+    # guidance_in contract); mono src + color joint = 2 mantissa-packed
+    # rolls/tap
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        bilateral_packed_joint_batched)
+    refl_u8p = jax.device_put(np.floor(
+        rng.rand(8, 1, H, W) * 256).astype(np.float32))
+
+    def bf_joint_photo(x):
+        out = bilateral_packed_joint_batched(imgs_u8p, x, -1, 20.0, 22.0)
+        return x * (1.0 + 1e-12 * jnp.sum(out[:, :, 0, :2]))
+
+    t_bfj = _timed_loop(bf_joint_photo, refl_u8p, 4)
+    bfj_mps = (8 * H * W / 1e6) / t_bfj
+
     # config 4: 3x iterated GF chain (Zoran-style) on one 4K frame
     from reflectance_filtering_tpu.ops.guided import guided_filter_iterated
     h4k, w4k = 2160, 3840
@@ -199,6 +215,7 @@ def main():
         "gf_pipeline_mps": round(gf_mps, 2),
         "cnn_decompose_mps": round(cnn_mps, 2),
         "bf_color_self_mps": round(bfc_mps, 2),
+        "bf_joint_photo_mps": round(bfj_mps, 2),
         "gf_3x_4k_mps": round(h4k * w4k / t_4k / 1e6, 2),
         "train_imgs_per_s": round(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],

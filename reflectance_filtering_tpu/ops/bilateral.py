@@ -132,12 +132,14 @@ def joint_bilateral_filter_u8(joint_u8, src_u8, d: int = -1,
     gray-self (1 roll/tap) when joint == src with identical channels
     (the BF(CNN,CNN) -r.png case), mantissa-packed color-self
     (2 rolls/tap) when joint == src in color (cv2.bilateralFilter
-    semantics), generic joint kernel otherwise; XLA scan off-TPU.  All
-    paths implement the same OpenCV semantics and are oracle-gated."""
+    semantics), mantissa-packed joint kernel for the remaining u8
+    combinations (mono/color joint x mono/color src reduce to 1-3
+    rolls/tap, e.g. BF(reflectance, color photo) = 2); XLA scan off-TPU.
+    All paths implement the same OpenCV semantics and are oracle-gated."""
     if jax.default_backend() == "tpu":
         from .bilateral_pallas import (bilateral_color_self_batched,
                                        bilateral_gray_self_batched,
-                                       joint_bilateral_filter_fast)
+                                       bilateral_packed_joint_batched)
 
         j = np.asarray(joint_u8)
         s = np.asarray(src_u8)
@@ -157,8 +159,20 @@ def joint_bilateral_filter_u8(joint_u8, src_u8, d: int = -1,
             out = np.moveaxis(np.asarray(bilateral_color_self_batched(
                 planar, d, sigma_color, sigma_space))[0], 0, -1)
         else:
-            out = joint_bilateral_filter_fast(joint_u8, src_u8, d,
-                                              sigma_color, sigma_space)
+            s_mono = s.ndim == 2 or bool((s[..., :1] == s).all())
+            jp = (j[..., None] if j.ndim == 2
+                  else j[..., :1] if mono else j).astype(np.float32)
+            sp = (s[..., None] if s.ndim == 2
+                  else s[..., :1] if s_mono else s).astype(np.float32)
+            q = np.asarray(bilateral_packed_joint_batched(
+                jnp.asarray(np.moveaxis(jp, -1, 0)[None]),
+                jnp.asarray(np.moveaxis(sp, -1, 0)[None]),
+                d, sigma_color, sigma_space, mono_joint=mono))[0]
+            out = np.moveaxis(q, 0, -1)
+            if s.ndim == 2:
+                out = out[..., 0]
+            elif s_mono and s.shape[-1] > 1:
+                out = np.repeat(out[..., :1], s.shape[-1], axis=-1)
     else:
         out = joint_bilateral_filter(joint_u8, src_u8, d, sigma_color,
                                      sigma_space)

@@ -430,6 +430,154 @@ def bilateral_color_self_batched(x, d: int = -1,
     return out[:, :, :h, :]
 
 
+def _kernel_packed_joint(x_hbm, out_ref, scr, sem,
+                         *, radius: int, th: int, wout: int, rows: int,
+                         gcc: float, gsc: float, cj: int, cs: int):
+    """General mantissa-packed joint!=src kernel (u8 integer values).
+
+    Value streams [j_0..j_{cj-1}, s_0..s_{cs-1}] are packed pairwise into
+    lo + 512*hi planes (< 2^17, exact in f32), so a tap costs
+    ceil((cj+cs)/2) rolls instead of cj+cs — the roll/XLU data volume is
+    THE bilateral bound.  The CLI's BF(reflectance, color photo) case
+    (cj=3, cs=1 after mono-src reduction) drops from 6 generic rolls/tap
+    to 2.  Unpacking (floor(v/512) + fnmsub, both exact on u8 ints)
+    rides the otherwise-idle ALUs.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    m = cj + cs
+    npk = (m + 1) // 2
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(i * th, rows), :], scr, sem)
+    cp.start()
+    cp.wait()
+
+    wpad = scr.shape[2]
+    inv512 = jnp.float32(1.0 / 512.0)
+
+    def unpack(planes):
+        streams = []
+        for p in range(npk):
+            if 2 * p + 1 < m:
+                hi = jnp.floor(planes[p] * inv512)
+                streams.append(planes[p] - 512.0 * hi)
+                streams.append(hi)
+            else:
+                streams.append(planes[p])
+        return streams
+
+    cen = unpack([scr[p, radius:radius + th, :] for p in range(npk)])
+
+    def make_dy_body(dxmax: int):
+        def dy_body(dy, carry):
+            shifted = [pltpu.roll(scr[p], rows - dy, 0)[:th, :]
+                       for p in range(npk)]
+            fy = (dy - radius).astype(jnp.float32)
+            fy2 = fy * fy
+            accs = list(carry[:cs])
+            wsum = carry[cs]
+            # independent static rolls per tap (ALU/XLU overlap)
+            for dx in range(radius - dxmax, radius + dxmax + 1):
+                fx = float(dx - radius)
+                r2 = fy2 + fx * fx
+                cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
+                               r2 * gsc)
+                cur = unpack([pltpu.roll(p, (radius - dx) % wpad, 1)
+                              for p in shifted])
+                diff = jnp.abs(cur[0] - cen[0])
+                for c in range(1, cj):
+                    diff = diff + jnp.abs(cur[c] - cen[c])
+                w = jnp.exp(diff * diff * gcc + cc)
+                for c in range(cs):
+                    accs[c] = accs[c] + w * cur[cj + c]
+                wsum = wsum + w
+            return tuple(accs) + (wsum,)
+        return dy_body
+
+    zero = jnp.zeros((th, wpad), jnp.float32)
+    carry = tuple(zero for _ in range(cs + 1))
+    nbands = 5 if radius >= 10 else 1
+    step = -(-(radius + 1) // nbands)
+    for lo in range(0, radius + 1, step):
+        hi = min(lo + step - 1, radius)
+        dxmax = int(np.floor(np.sqrt(float(radius * radius - lo * lo))))
+        body = make_dy_body(dxmax)
+        if lo == 0:
+            carry = jax.lax.fori_loop(radius - hi, radius + hi + 1,
+                                      body, carry)
+        else:
+            carry = jax.lax.fori_loop(radius - hi, radius - lo + 1,
+                                      body, carry)
+            carry = jax.lax.fori_loop(radius + lo, radius + hi + 1,
+                                      body, carry)
+    inv = 1.0 / carry[cs]
+    for c in range(cs):
+        out_ref[0, c] = (carry[c] * inv)[:, radius:radius + wout]
+
+
+@functools.partial(jax.jit, static_argnames=("d", "sigma_color",
+                                             "sigma_space", "mono_joint",
+                                             "th"))
+def bilateral_packed_joint_batched(joint, src, d: int = -1,
+                                   sigma_color: float = 20.0,
+                                   sigma_space: float = 22.0,
+                                   mono_joint: bool = False,
+                                   th: int = 32):
+    """Mantissa-packed joint bilateral for u8-integer-valued planar
+    inputs: joint [N,cj,H,W], src [N,cs,H,W] float32 holding 0-255 ints
+    -> [N,cs,H,W].  cj/cs in {1,3}; mono_joint=True means the joint
+    plane stands for 3 identical channels (diff = 3|delta|, matching
+    cv2's summed-abs over replicated channels)."""
+    radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
+                                                  sigma_space)
+    if mono_joint:
+        gcc = gcc * 9.0
+    n, cj, h, wid = joint.shape
+    cs = src.shape[1]
+    m = cj + cs
+    npk = (m + 1) // 2
+    streams = [joint[:, c] for c in range(cj)] + [src[:, c]
+                                                  for c in range(cs)]
+    planes = []
+    for p in range(npk):
+        if 2 * p + 1 < m:
+            planes.append(streams[2 * p] + 512.0 * streams[2 * p + 1])
+        else:
+            planes.append(streams[2 * p])
+    packed = jnp.stack(planes, axis=1)
+
+    hp_tiles = -(-h // th)
+    hpad = hp_tiles * th
+    rows = -(-(th + 2 * radius) // 8) * 8
+    wpad = -(-(wid + 2 * radius) // 128) * 128
+    xp = jnp.pad(packed, [(0, 0), (0, 0), (radius, radius),
+                          (radius, radius)], mode="reflect")
+    extra_h = (hpad - h) + (rows - (th + 2 * radius))
+    extra_w = wpad - (wid + 2 * radius)
+    if extra_h or extra_w:
+        xp = jnp.pad(xp, [(0, 0), (0, 0), (0, extra_h), (0, extra_w)])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed_joint, radius=radius, th=th,
+                          wout=wid, rows=rows, gcc=float(gcc),
+                          gsc=float(gsc), cj=cj, cs=cs),
+        out_shape=jax.ShapeDtypeStruct((n, cs, hpad, wid), jnp.float32),
+        grid=(n, hp_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, cs, th, wid),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((npk, rows, wpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(xp)
+    return out[:, :, :h, :]
+
+
 def joint_bilateral_filter_fast(joint, src, d: int = -1,
                                 sigma_color: float = 20.0,
                                 sigma_space: float = 22.0):

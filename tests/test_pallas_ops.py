@@ -80,6 +80,29 @@ def test_bilateral_batched_grid(rng):
                                    rtol=1e-4, atol=2e-3)
 
 
+@pytest.mark.parametrize("cj,cs", [(3, 1), (3, 3), (1, 1), (1, 3)])
+def test_bilateral_packed_joint_matches_xla(cj, cs, rng):
+    """The mantissa-packed joint!=src kernel must match the XLA scan
+    oracle for every channel combination (u8 integer inputs).  A mono
+    joint stands for 3 identical channels (diff = 3|delta|)."""
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        bilateral_packed_joint_batched)
+    j = np.floor(rng.rand(24, 40, 3) * 256).astype(np.float32)
+    s = np.floor(rng.rand(24, 40, 3) * 256).astype(np.float32)
+    if cj == 1:
+        j = np.repeat(j[..., :1], 3, axis=-1)
+    if cs == 1:
+        s = s[..., :1]
+    exp = np.asarray(joint_bilateral_filter(j, s, -1, 15.0, 2.0))
+    jp = j[..., :1] if cj == 1 else j
+    got = np.asarray(bilateral_packed_joint_batched(
+        jnp.asarray(np.moveaxis(jp, -1, 0)[None]),
+        jnp.asarray(np.moveaxis(s, -1, 0)[None]),
+        -1, 15.0, 2.0, mono_joint=(cj == 1)))[0]
+    np.testing.assert_allclose(np.moveaxis(got, 0, -1), exp,
+                               rtol=1e-4, atol=2e-3)
+
+
 def test_guided_planar_matches_nhwc(rng):
     I = (rng.rand(2, 30, 40, 3) * 255).astype(np.float32)
     p = (rng.rand(2, 30, 40, 3) * 255).astype(np.float32)
