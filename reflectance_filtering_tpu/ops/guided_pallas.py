@@ -449,38 +449,6 @@ def _stage2_call(abpad, gpad, n, geo, w, mxu):
     )(abpad, gpad)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "eps", "th"))
-def gf_guide_stats(guide, radius: int, eps: float, th: int = None):
-    """guide [N,3,H,W] -> cached stats [N,10,H,W] (see _stats_kernel)."""
-    n, _, h, wid = guide.shape
-    mxu, geo = _geometry(h, wid, radius, th)
-    ipad = _pad_banded(guide, radius, geo, h, wid)
-    st = _stats_call(ipad, n, geo, 2 * radius + 1, eps, mxu)
-    return st[:, :, :h, :wid]
-
-
-@functools.partial(jax.jit, static_argnames=("radius", "th"))
-def gf_apply_with_stats(guide, src, stats, radius: int, th: int = None):
-    """One guided-filter application using cached guide stats.
-
-    guide [N,3,H,W], src [N,1,H,W], stats [N,10,H,W] -> q [N,1,H,W].
-    8 box filters (4 in the apply stage, 4 in the mean-a,b stage)."""
-    n, _, h, wid = guide.shape
-    w = 2 * radius + 1
-    mxu, geo = _geometry(h, wid, radius, th)
-    th_, nh, rows, tw, nw, lanes = geo
-    stp = jnp.pad(stats, [(0, 0), (0, 0), (0, nh * th_ - h),
-                          (0, nw * tw - wid)])
-    ipad = _pad_banded(guide, radius, geo, h, wid)
-    ppad = _pad_banded(src, radius, geo, h, wid)
-    ab = _apply_call(ipad, ppad, stp, n, geo, w, mxu)[:, :, :h, :wid]
-    gpad = jnp.pad(guide, [(0, 0), (0, 0), (0, nh * th_ - h),
-                           (0, nw * tw - wid)])
-    abpad = _pad_banded(ab, radius, geo, h, wid)
-    q = _stage2_call(abpad, gpad, n, geo, w, mxu)
-    return q[:, :, :h, :wid]
-
-
 def guided_filter_fused_banded(guide, src, radius: int, eps: float,
                                th: int = None):
     """Band-tiled fused guided filter for frames too big for the

@@ -311,3 +311,29 @@ def test_bilateral_u8_self_joint_dispatch(rng, monkeypatch):
     assert np.abs(got_c.astype(int) - exp_c.astype(int)).max() <= 1
     assert np.abs(got_g.astype(int) - exp_g.astype(int)).max() <= 1
     assert (got_g[..., 0] == got_g[..., 1]).all()
+
+
+def test_bilateral_u8_joint_neq_src_dispatch(rng, monkeypatch):
+    """The joint != src u8 dispatch (mantissa-packed kernel) must match
+    the XLA-scan path for every channel-shape combination the CLI can
+    produce: color joint x mono src (BF(reflectance, photo)), mono joint
+    x color src, color x color, and a 2-D src array."""
+    import reflectance_filtering_tpu.ops.bilateral as B
+
+    photo = (rng.rand(24, 40, 3) * 255).astype(np.uint8)
+    mono3 = np.repeat((rng.rand(24, 40, 1) * 255).astype(np.uint8), 3,
+                      axis=-1)
+    color = (rng.rand(24, 40, 3) * 255).astype(np.uint8)
+    gray2d = (rng.rand(24, 40) * 255).astype(np.uint8)
+    cases = [(photo, mono3), (mono3, color), (photo, color),
+             (photo, gray2d)]
+    exp = [B.joint_bilateral_filter_u8(j, s, -1, 15.0, 3.0)
+           for j, s in cases]
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = [B.joint_bilateral_filter_u8(j, s, -1, 15.0, 3.0)
+           for j, s in cases]
+    for g, e in zip(got, exp):
+        assert g.shape == e.shape
+        assert np.abs(g.astype(int) - e.astype(int)).max() <= 1
+    # mono src stays mono across replicated channels
+    assert (got[0][..., 0] == got[0][..., 2]).all()
