@@ -146,10 +146,14 @@ def joint_bilateral_filter_u8(joint_u8, src_u8, d: int = -1,
         self_joint = j is s or (j.shape == s.shape and np.array_equal(j, s))
         mono = j.ndim == 2 or (j.ndim == 3 and bool(
             (j[..., :1] == j).all()))
+        # a replicated-channel joint contributes |delta| per channel to
+        # cv2's summed-abs diff; a genuinely 1-channel array does not
+        j_reps = j.shape[-1] if j.ndim == 3 else 1
         if self_joint and mono:
             plane = (j if j.ndim == 2 else j[..., 0]).astype(np.float32)
             g = bilateral_gray_self_batched(jnp.asarray(plane[None]), d,
-                                            sigma_color, sigma_space)[0]
+                                            sigma_color, sigma_space,
+                                            reps=j_reps)[0]
             out = np.asarray(g)
             if j.ndim == 3:
                 out = np.repeat(out[..., None], j.shape[-1], axis=-1)
@@ -167,7 +171,8 @@ def joint_bilateral_filter_u8(joint_u8, src_u8, d: int = -1,
             q = np.asarray(bilateral_packed_joint_batched(
                 jnp.asarray(np.moveaxis(jp, -1, 0)[None]),
                 jnp.asarray(np.moveaxis(sp, -1, 0)[None]),
-                d, sigma_color, sigma_space, mono_joint=mono))[0]
+                d, sigma_color, sigma_space,
+                joint_reps=j_reps if mono else 1))[0]
             out = np.moveaxis(q, 0, -1)
             if s.ndim == 2:
                 out = out[..., 0]

@@ -180,11 +180,12 @@ def joint_bilateral_planar(joint, src, d: int = -1,
 
 def _kernel_gray_self(x_hbm, out_ref, xscr, sem,
                       *, radius: int, th: int, wout: int, rows: int,
-                      gcc: float, gsc: float):
+                      gcc: float, gsc: float, reps: int = 3):
     """Specialized kernel: joint == src and all channels identical (the
     BF(CNN,CNN) headline config — the CNN's -r output is grayscale, and
-    cv2.imread replicates it to 3 channels, so diff = 3*|dx| and all
-    output channels are equal).  One plane instead of six."""
+    cv2.imread replicates it to 3 channels, so diff = reps*|dx| and all
+    output channels are equal).  One plane instead of six.  reps=1 is a
+    genuinely single-channel joint (diff = |dx|, cv2's 1-channel rule)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     d = 2 * radius + 1
@@ -196,8 +197,8 @@ def _kernel_gray_self(x_hbm, out_ref, xscr, sem,
 
     wpad = xscr.shape[1]
     center = xscr[radius:radius + th, :]
-    # range weight on 3*|delta| (three identical channels)
-    g9 = gcc * 9.0
+    # range weight on reps*|delta| (reps identical channels)
+    g9 = gcc * float(reps * reps)
 
     def make_dy_body(dxmax: int):
         def dy_body(dy, carry):
@@ -255,16 +256,17 @@ def _kernel_gray_self(x_hbm, out_ref, xscr, sem,
 
 
 @functools.partial(jax.jit, static_argnames=("d", "sigma_color",
-                                             "sigma_space", "th"))
+                                             "sigma_space", "th", "reps"))
 def bilateral_gray_self_batched(x, d: int = -1,
                                 sigma_color: float = 20.0,
                                 sigma_space: float = 22.0,
-                                th: int = 64):
+                                th: int = 64, reps: int = 3):
     """Self-guided grayscale bilateral: x [N, H, W] float32 (0-255 units,
-    interpreted as 3 identical channels) -> [N, H, W].
+    interpreted as ``reps`` identical channels) -> [N, H, W].
 
-    Bit-compatible with joint_bilateral_filter(joint=stack([x]*3), src=
-    same) up to f32 rounding; ~3x the throughput of the color kernel."""
+    Bit-compatible with joint_bilateral_filter(joint=stack([x]*reps),
+    src=same) up to f32 rounding (reps=1: a genuinely single-channel
+    joint); ~3x the throughput of the color kernel."""
     radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
                                                   sigma_space)
     n, h, wid = x.shape
@@ -283,7 +285,7 @@ def bilateral_gray_self_batched(x, d: int = -1,
     out = pl.pallas_call(
         functools.partial(_kernel_gray_self, radius=radius, th=th,
                           wout=wid, rows=rows, gcc=float(gcc),
-                          gsc=float(gsc)),
+                          gsc=float(gsc), reps=reps),
         out_shape=jax.ShapeDtypeStruct((n, hpad, wid), jnp.float32),
         grid=(n, hp_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -517,22 +519,22 @@ def _kernel_packed_joint(x_hbm, out_ref, scr, sem,
 
 
 @functools.partial(jax.jit, static_argnames=("d", "sigma_color",
-                                             "sigma_space", "mono_joint",
+                                             "sigma_space", "joint_reps",
                                              "th"))
 def bilateral_packed_joint_batched(joint, src, d: int = -1,
                                    sigma_color: float = 20.0,
                                    sigma_space: float = 22.0,
-                                   mono_joint: bool = False,
+                                   joint_reps: int = 1,
                                    th: int = 32):
     """Mantissa-packed joint bilateral for u8-integer-valued planar
     inputs: joint [N,cj,H,W], src [N,cs,H,W] float32 holding 0-255 ints
-    -> [N,cs,H,W].  cj/cs in {1,3}; mono_joint=True means the joint
-    plane stands for 3 identical channels (diff = 3|delta|, matching
-    cv2's summed-abs over replicated channels)."""
+    -> [N,cs,H,W].  cj/cs in {1,3}; joint_reps=k means each joint plane
+    stands for k identical channels (diff = k|delta|, matching cv2's
+    summed-abs over replicated channels; 1 = the planes are the actual
+    channels)."""
     radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
                                                   sigma_space)
-    if mono_joint:
-        gcc = gcc * 9.0
+    gcc = gcc * float(joint_reps * joint_reps)
     n, cj, h, wid = joint.shape
     cs = src.shape[1]
     m = cj + cs
@@ -586,7 +588,11 @@ def joint_bilateral_filter_fast(joint, src, d: int = -1,
     src = jnp.asarray(src, jnp.float32)
     squeeze = src.ndim == 2
     if joint.ndim == 2:
+        # the 3-plane kernel sums |delta| over channels; replicating a
+        # true 1-channel joint triples the diff, so compensate with
+        # 3x sigma_color (gcc/9) to keep cv2's 1-channel semantics
         joint = jnp.stack([joint] * 3, axis=0)
+        sigma_color = 3.0 * (sigma_color if sigma_color > 0 else 1.0)
     else:
         joint = jnp.moveaxis(joint, -1, 0)
     if src.ndim == 2:

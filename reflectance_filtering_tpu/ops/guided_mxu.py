@@ -111,8 +111,12 @@ def _kernel(I_ref, p_ref, Bw_ref, BhT_ref, out_ref, *,
     inv_det = 1.0 / (v[(0, 0)] * c00 + v[(0, 1)] * c01 + v[(0, 2)] * c02)
 
     for c in range(c_src):
+        # src may be a float intermediate (iterated chains feed the
+        # previous output back in; fast_guided_filter feeds resized
+        # floats), so it always gets the hi/lo split — only the guide
+        # rides the u8 pipeline contract (0-255 integer photo values).
         p = p_ref[0, c]
-        mp = box_u8(p)
+        mp = box_f(p)
         cov = [box_f(I[i] * p) - mI[i] * mp for i in range(3)]
         a0 = (c00 * cov[0] + c01 * cov[1] + c02 * cov[2]) * inv_det
         a1 = (c01 * cov[0] + c11 * cov[1] + c12 * cov[2]) * inv_det

@@ -20,6 +20,7 @@ Gate: every uint8 output within 1 level of the oracle everywhere, small
 flipped-pixel fraction, WHDR delta < 0.1% absolute.
 """
 import os
+import zlib
 
 import numpy as np
 import pytest
@@ -82,7 +83,9 @@ def gallery(tmp_path_factory):
     root = tmp_path_factory.mktemp("gate")
     out = {}
     for name, make in IMAGES.items():
-        rng = np.random.RandomState(abs(hash(name)) % (2 ** 31))
+        # crc32, not hash(): str hash is salted per interpreter, which
+        # would make the gate images (and any failure) unreproducible
+        rng = np.random.RandomState(zlib.crc32(name.encode()) % (2 ** 31))
         img = make(rng)
         path = str(root / (name + ".png"))
         cv2.imwrite(path, img)

@@ -98,7 +98,7 @@ def test_bilateral_packed_joint_matches_xla(cj, cs, rng):
     got = np.asarray(bilateral_packed_joint_batched(
         jnp.asarray(np.moveaxis(jp, -1, 0)[None]),
         jnp.asarray(np.moveaxis(s, -1, 0)[None]),
-        -1, 15.0, 2.0, mono_joint=(cj == 1)))[0]
+        -1, 15.0, 2.0, joint_reps=(3 if cj == 1 else 1)))[0]
     np.testing.assert_allclose(np.moveaxis(got, 0, -1), exp,
                                rtol=1e-4, atol=2e-3)
 
@@ -326,7 +326,11 @@ def test_bilateral_u8_joint_neq_src_dispatch(rng, monkeypatch):
     color = (rng.rand(24, 40, 3) * 255).astype(np.uint8)
     gray2d = (rng.rand(24, 40) * 255).astype(np.uint8)
     cases = [(photo, mono3), (mono3, color), (photo, color),
-             (photo, gray2d)]
+             (photo, gray2d),
+             # genuinely 1-channel joints: diff must stay |delta|
+             # (NOT the 3x of a replicated joint) on both backends
+             (gray2d, color), (gray2d[..., None], color),
+             (gray2d, gray2d.copy())]
     exp = [B.joint_bilateral_filter_u8(j, s, -1, 15.0, 3.0)
            for j, s in cases]
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -337,3 +341,16 @@ def test_bilateral_u8_joint_neq_src_dispatch(rng, monkeypatch):
         assert np.abs(g.astype(int) - e.astype(int)).max() <= 1
     # mono src stays mono across replicated channels
     assert (got[0][..., 0] == got[0][..., 2]).all()
+
+
+def test_bilateral_u8_true_gray_self_dispatch(rng, monkeypatch):
+    """joint == src with a genuinely 2-D array: the self kernel must use
+    the 1-channel diff (reps=1), matching the XLA scan path."""
+    import reflectance_filtering_tpu.ops.bilateral as B
+
+    g = (rng.rand(24, 40) * 255).astype(np.uint8)
+    exp = B.joint_bilateral_filter_u8(g, g, -1, 15.0, 3.0)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = B.joint_bilateral_filter_u8(g, g, -1, 15.0, 3.0)
+    assert got.shape == exp.shape
+    assert np.abs(got.astype(int) - exp.astype(int)).max() <= 1
