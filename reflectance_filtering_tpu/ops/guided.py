@@ -223,10 +223,11 @@ def guided_filter_planar(guide, src, radius: int, eps):
         # whole-plane VMEM residency + MXU band-matmul boxes: fastest
         if fits_mxu_guided(h, wid, radius, c):
             return guided_filter_mxu(g32, s32, radius, float(eps))
-        if c == 1:
-            if fits_fused_guided(h, wid, radius):
-                return guided_filter_fused(g32, s32, radius, float(eps))
-            return guided_filter_fused_banded(g32, s32, radius, float(eps))
+        if c == 1 and fits_fused_guided(h, wid, radius):
+            return guided_filter_fused(g32, s32, radius, float(eps))
+        # big frames: band-tiled kernels (any channel count; guide
+        # statistics shared across src channels)
+        return guided_filter_fused_banded(g32, s32, radius, float(eps))
     return _guided_filter_planar_xla(guide, src, radius, eps)
 
 
@@ -263,15 +264,21 @@ def guided_filter_iterated(guide, src, radius: int, eps,
     Zoran-style '3x iterated GF' chain of BASELINE.json config 4
     (reference README.md:88).  planar=True takes/returns [N,C,H,W].
 
-    On TPU the planar single-channel case computes the guide statistics
-    (means, covariance cofactors, 1/det) ONCE and reuses them every
-    iteration — they depend only on the guide."""
-    if (planar and src.shape[1] == 1 and jax.default_backend() == "tpu"
+    On TPU, big planar frames compute the guide statistics (means,
+    covariance cofactors, 1/det) ONCE and reuse them every iteration
+    and src channel — they depend only on the guide.  Frames whose
+    planes fit VMEM iterate the (faster) whole-plane MXU filter
+    instead; its per-application stats recompute is cheaper than the
+    band-tiled kernels."""
+    if (planar and jax.default_backend() == "tpu"
             and not isinstance(eps, jax.core.Tracer)):
+        from .guided_mxu import fits_mxu_guided
         from .guided_pallas import guided_filter_fused_iterated
-        return guided_filter_fused_iterated(
-            guide.astype(jnp.float32), src.astype(jnp.float32),
-            radius, float(eps), iterations)
+        if not fits_mxu_guided(src.shape[2], src.shape[3], radius,
+                               src.shape[1]):
+            return guided_filter_fused_iterated(
+                guide.astype(jnp.float32), src.astype(jnp.float32),
+                radius, float(eps), iterations)
     out = src
     for _ in range(iterations):
         if planar:

@@ -665,10 +665,12 @@ def _fused_apply_call(ipad, ppad, st, gpad, n, geo, w):
 def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                                  iterations: int = 3, th: int = None):
     """Zoran-style iterated chain: guide statistics computed once and
-    reused every iteration (they depend only on the guide), and all
-    intermediates kept in the PADDED tile layout — at 4K the HBM pad /
-    slice copies otherwise cost as much as the box kernels themselves."""
+    reused every iteration AND every src channel (they depend only on
+    the guide), and all intermediates kept in the PADDED tile layout —
+    at 4K the HBM pad / slice copies otherwise cost as much as the box
+    kernels themselves.  src [N,C,H,W]; channels filter independently."""
     n, _, h, wid = guide.shape
+    c_src = src.shape[1]
     w = 2 * radius + 1
     if _use_fused_mxu(h, radius, th):
         geo = _fused_geometry(h, wid, radius)
@@ -677,26 +679,32 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
         st = _stats_halo_call(ipad2, n, geo, w, float(eps))
         gpad = jnp.pad(guide, [(0, 0), (0, 0), (0, nh * th_ - h),
                                (0, nw * tw - wid)])
-        p = src
-        for _ in range(iterations):
-            ppad2 = _pad_fused(p, radius, geo, h, wid)
-            qp = _fused_apply_call(ipad2, ppad2, st, gpad, n, geo, w)
-            p = qp[:, :, :h, :wid]
-        return p
+        chans = []
+        for c in range(c_src):
+            p = src[:, c:c + 1]
+            for _ in range(iterations):
+                ppad2 = _pad_fused(p, radius, geo, h, wid)
+                qp = _fused_apply_call(ipad2, ppad2, st, gpad, n, geo, w)
+                p = qp[:, :, :h, :wid]
+            chans.append(p)
+        return chans[0] if c_src == 1 else jnp.concatenate(chans, axis=1)
     mxu, geo = _geometry(h, wid, radius, th)
     th_, nh, rows, tw, nw, lanes = geo
     ipad = _pad_banded(guide, radius, geo, h, wid)
     stp = _stats_call(ipad, n, geo, w, float(eps), mxu)
     gpad = jnp.pad(guide, [(0, 0), (0, 0), (0, nh * th_ - h),
                            (0, nw * tw - wid)])
-    p = src
-    for _ in range(iterations):
-        ppad = _pad_banded(p, radius, geo, h, wid)
-        abp = _apply_call(ipad, ppad, stp, n, geo, w, mxu)
-        abpad = _pad_banded(abp[:, :, :h, :wid], radius, geo, h, wid)
-        qp = _stage2_call(abpad, gpad, n, geo, w, mxu)
-        p = qp[:, :, :h, :wid]
-    return p
+    chans = []
+    for c in range(c_src):
+        p = src[:, c:c + 1]
+        for _ in range(iterations):
+            ppad = _pad_banded(p, radius, geo, h, wid)
+            abp = _apply_call(ipad, ppad, stp, n, geo, w, mxu)
+            abpad = _pad_banded(abp[:, :, :h, :wid], radius, geo, h, wid)
+            qp = _stage2_call(abpad, gpad, n, geo, w, mxu)
+            p = qp[:, :, :h, :wid]
+        chans.append(p)
+    return chans[0] if c_src == 1 else jnp.concatenate(chans, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps"))

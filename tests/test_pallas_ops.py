@@ -204,6 +204,22 @@ def test_guided_fused_single_kernel_matches_xla(rng):
     np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-3, atol=0.05)
 
 
+def test_guided_banded_multichannel_src(rng):
+    """Big-frame banded paths accept multi-channel src (channels filter
+    independently, guide stats shared)."""
+    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        guided_filter_fused_banded)
+    for (h, wd, r) in [(256, 272, 45), (136, 200, 8)]:
+        I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                        .astype(np.float32))
+        p = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                        .astype(np.float32))
+        exp = np.asarray(_guided_filter_planar_xla(I, p, r, 9.0))
+        got = np.asarray(guided_filter_fused_banded(I, p, r, 9.0))
+        np.testing.assert_allclose(got, exp, rtol=1e-3, atol=0.05)
+
+
 def test_guided_iterated_stat_cache_matches_naive(rng):
     """Cached guide stats across iterations == recomputing them."""
     from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
