@@ -34,6 +34,53 @@ from jax.experimental.pallas import tpu as pltpu
 from .bilateral import opencv_bilateral_params
 
 
+def _banded_dy_sweep(radius: int, make_dy_body, carry):
+    """Run the dy loop in |fy| bands so columns statically outside the
+    disk for the WHOLE band are never emitted (~17% of the square at
+    r=33).  make_dy_body(dxmax) returns a fori_loop body restricted to
+    |dx| <= dxmax; the per-tap -inf disk mask still zeroes the residual
+    corners, so results stay bitwise identical to a full-square loop."""
+    nbands = 5 if radius >= 10 else 1
+    step = -(-(radius + 1) // nbands)
+    for lo in range(0, radius + 1, step):
+        hi = min(lo + step - 1, radius)
+        dxmax = int(np.floor(np.sqrt(float(radius * radius - lo * lo))))
+        body = make_dy_body(dxmax)
+        if lo == 0:
+            carry = jax.lax.fori_loop(radius - hi, radius + hi + 1,
+                                      body, carry)
+        else:
+            carry = jax.lax.fori_loop(radius - hi, radius - lo + 1,
+                                      body, carry)
+            carry = jax.lax.fori_loop(radius + lo, radius + hi + 1,
+                                      body, carry)
+    return carry
+
+
+def _tile_geometry(h: int, wid: int, radius: int, th: int):
+    """(hp_tiles, hpad, rows, wpad): H-tile count, padded height, DMA'd
+    rows per tile (8-aligned sublanes), padded lane width (128-aligned
+    for Mosaic dynamic rotates)."""
+    hp_tiles = -(-h // th)
+    return (hp_tiles, hp_tiles * th,
+            -(-(th + 2 * radius) // 8) * 8,
+            -(-(wid + 2 * radius) // 128) * 128)
+
+
+def _pad_tiles(x, radius: int, th: int, h: int, wid: int,
+               hpad: int, rows: int, wpad: int):
+    """Reflect-101 pad the last two axes by radius, then zero-pad so
+    every tile's DMA window exists."""
+    lead = [(0, 0)] * (x.ndim - 2)
+    xp = jnp.pad(x, lead + [(radius, radius), (radius, radius)],
+                 mode="reflect")
+    extra_h = (hpad - h) + (rows - (th + 2 * radius))
+    extra_w = wpad - (wid + 2 * radius)
+    if extra_h or extra_w:
+        xp = jnp.pad(xp, lead + [(0, extra_h), (0, extra_w)])
+    return xp
+
+
 def _kernel(joint_hbm, src_hbm, out_ref, jscr, sscr, sem,
             *, radius: int, th: int, wout: int, rows: int,
             gcc: float, gsc: float):
@@ -95,25 +142,9 @@ def _kernel(joint_hbm, src_hbm, out_ref, jscr, sscr, sem,
             return a0, a1, a2, wsum
         return dy_body
 
-    # band dy by |fy| to skip statically-out-of-disk columns (the same
-    # ~17% tap/roll saving as the gray kernel; bitwise identical)
     zero = jnp.zeros((th, wpad), jnp.float32)
-    carry = (zero, zero, zero, zero)
-    nbands = 5 if radius >= 10 else 1
-    step = -(-(radius + 1) // nbands)
-    for lo in range(0, radius + 1, step):
-        hi = min(lo + step - 1, radius)
-        dxmax = int(np.floor(np.sqrt(float(radius * radius - lo * lo))))
-        body = make_dy_body(dxmax)
-        if lo == 0:
-            carry = jax.lax.fori_loop(radius - hi, radius + hi + 1,
-                                      body, carry)
-        else:
-            carry = jax.lax.fori_loop(radius - hi, radius - lo + 1,
-                                      body, carry)
-            carry = jax.lax.fori_loop(radius + lo, radius + hi + 1,
-                                      body, carry)
-    a0, a1, a2, wsum = carry
+    a0, a1, a2, wsum = _banded_dy_sweep(radius, make_dy_body,
+                                        (zero, zero, zero, zero))
     inv = 1.0 / wsum
     out_ref[0, 0] = (a0 * inv)[:, radius:radius + wout]
     out_ref[0, 1] = (a1 * inv)[:, radius:radius + wout]
@@ -134,22 +165,9 @@ def joint_bilateral_planar_batched(joint, src, d: int = -1,
         d, sigma_color, sigma_space)
     n, _, h, wid = joint.shape
 
-    hp_tiles = -(-h // th)
-    hpad = hp_tiles * th
-    # sublane block dim (rows DMA'd per tile) must be a multiple of 8
-    rows = -(-(th + 2 * radius) // 8) * 8
-    # lane dim must be a multiple of 128 for dynamic rotates
-    wpad = -(-(wid + 2 * radius) // 128) * 128
-
-    jp = jnp.pad(joint, [(0, 0), (0, 0), (radius, radius),
-                         (radius, radius)], mode="reflect")
-    sp = jnp.pad(src, [(0, 0), (0, 0), (radius, radius),
-                       (radius, radius)], mode="reflect")
-    extra_h = (hpad - h) + (rows - (th + 2 * radius))
-    extra_w = wpad - (wid + 2 * radius)
-    if extra_h or extra_w:
-        jp = jnp.pad(jp, [(0, 0), (0, 0), (0, extra_h), (0, extra_w)])
-        sp = jnp.pad(sp, [(0, 0), (0, 0), (0, extra_h), (0, extra_w)])
+    hp_tiles, hpad, rows, wpad = _tile_geometry(h, wid, radius, th)
+    jp = _pad_tiles(joint, radius, th, h, wid, hpad, rows, wpad)
+    sp = _pad_tiles(src, radius, th, h, wid, hpad, rows, wpad)
 
     out = pl.pallas_call(
         functools.partial(_kernel, radius=radius, th=th, wout=wid,
@@ -231,27 +249,8 @@ def _kernel_gray_self(x_hbm, out_ref, xscr, sem,
             return acc, wsum
         return dy_body
 
-    # Band the dy loop by |fy| so columns that are statically outside the
-    # disk for the WHOLE band are never emitted (~17% of the square at
-    # r=33); the per-tap -inf mask still zeroes the residual corners, so
-    # results stay bitwise identical to the full-square loop.
     zero = jnp.zeros((th, wpad), jnp.float32)
-    carry = (zero, zero)
-    nbands = 5 if radius >= 10 else 1
-    step = -(-(radius + 1) // nbands)
-    for lo in range(0, radius + 1, step):
-        hi = min(lo + step - 1, radius)
-        dxmax = int(np.floor(np.sqrt(float(radius * radius - lo * lo))))
-        body = make_dy_body(dxmax)
-        if lo == 0:
-            carry = jax.lax.fori_loop(radius - hi, radius + hi + 1,
-                                      body, carry)
-        else:
-            carry = jax.lax.fori_loop(radius - hi, radius - lo + 1,
-                                      body, carry)
-            carry = jax.lax.fori_loop(radius + lo, radius + hi + 1,
-                                      body, carry)
-    acc, wsum = carry
+    acc, wsum = _banded_dy_sweep(radius, make_dy_body, (zero, zero))
     out_ref[0] = (acc / wsum)[:, radius:radius + wout]
 
 
@@ -270,17 +269,8 @@ def bilateral_gray_self_batched(x, d: int = -1,
     radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
                                                   sigma_space)
     n, h, wid = x.shape
-    hp_tiles = -(-h // th)
-    hpad = hp_tiles * th
-    rows = -(-(th + 2 * radius) // 8) * 8
-    wpad = -(-(wid + 2 * radius) // 128) * 128
-
-    xp = jnp.pad(x, [(0, 0), (radius, radius), (radius, radius)],
-                 mode="reflect")
-    extra_h = (hpad - h) + (rows - (th + 2 * radius))
-    extra_w = wpad - (wid + 2 * radius)
-    if extra_h or extra_w:
-        xp = jnp.pad(xp, [(0, 0), (0, extra_h), (0, extra_w)])
+    hp_tiles, hpad, rows, wpad = _tile_geometry(h, wid, radius, th)
+    xp = _pad_tiles(x, radius, th, h, wid, hpad, rows, wpad)
 
     out = pl.pallas_call(
         functools.partial(_kernel_gray_self, radius=radius, th=th,
@@ -363,22 +353,8 @@ def _kernel_color_self(x_hbm, out_ref, pscr, cscr, sem,
         return dy_body
 
     zero = jnp.zeros((th, wpad), jnp.float32)
-    carry = (zero, zero, zero, zero)
-    nbands = 5 if radius >= 10 else 1
-    step = -(-(radius + 1) // nbands)
-    for lo in range(0, radius + 1, step):
-        hi = min(lo + step - 1, radius)
-        dxmax = int(np.floor(np.sqrt(float(radius * radius - lo * lo))))
-        body = make_dy_body(dxmax)
-        if lo == 0:
-            carry = jax.lax.fori_loop(radius - hi, radius + hi + 1,
-                                      body, carry)
-        else:
-            carry = jax.lax.fori_loop(radius - hi, radius - lo + 1,
-                                      body, carry)
-            carry = jax.lax.fori_loop(radius + lo, radius + hi + 1,
-                                      body, carry)
-    a0, a1, a2, wsum = carry
+    a0, a1, a2, wsum = _banded_dy_sweep(radius, make_dy_body,
+                                        (zero, zero, zero, zero))
     inv = 1.0 / wsum
     out_ref[0, 0] = (a0 * inv)[:, radius:radius + wout]
     out_ref[0, 1] = (a1 * inv)[:, radius:radius + wout]
@@ -399,18 +375,9 @@ def bilateral_color_self_batched(x, d: int = -1,
     radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
                                                   sigma_space)
     n, _, h, wid = x.shape
-    hp_tiles = -(-h // th)
-    hpad = hp_tiles * th
-    rows = -(-(th + 2 * radius) // 8) * 8
-    wpad = -(-(wid + 2 * radius) // 128) * 128
-
+    hp_tiles, hpad, rows, wpad = _tile_geometry(h, wid, radius, th)
     packed = jnp.stack([x[:, 0] + 512.0 * x[:, 1], x[:, 2]], axis=1)
-    xp = jnp.pad(packed, [(0, 0), (0, 0), (radius, radius),
-                          (radius, radius)], mode="reflect")
-    extra_h = (hpad - h) + (rows - (th + 2 * radius))
-    extra_w = wpad - (wid + 2 * radius)
-    if extra_h or extra_w:
-        xp = jnp.pad(xp, [(0, 0), (0, 0), (0, extra_h), (0, extra_w)])
+    xp = _pad_tiles(packed, radius, th, h, wid, hpad, rows, wpad)
 
     out = pl.pallas_call(
         functools.partial(_kernel_color_self, radius=radius, th=th,
@@ -460,16 +427,19 @@ def _kernel_packed_joint(x_hbm, out_ref, scr, sem,
 
     def unpack(planes):
         streams = []
-        for p in range(npk):
+        for p, v in enumerate(planes):
             if 2 * p + 1 < m:
-                hi = jnp.floor(planes[p] * inv512)
-                streams.append(planes[p] - 512.0 * hi)
+                hi = jnp.floor(v * inv512)
+                streams.append(v - 512.0 * hi)
                 streams.append(hi)
             else:
-                streams.append(planes[p])
+                streams.append(v)
         return streams
 
-    cen = unpack([scr[p, radius:radius + th, :] for p in range(npk)])
+    # centers: only the joint streams feed the range diff, so skip
+    # planes that hold src streams exclusively
+    cen = unpack([scr[p, radius:radius + th, :]
+                  for p in range((cj + 1) // 2)])
 
     def make_dy_body(dxmax: int):
         def dy_body(dy, carry):
@@ -498,21 +468,8 @@ def _kernel_packed_joint(x_hbm, out_ref, scr, sem,
         return dy_body
 
     zero = jnp.zeros((th, wpad), jnp.float32)
-    carry = tuple(zero for _ in range(cs + 1))
-    nbands = 5 if radius >= 10 else 1
-    step = -(-(radius + 1) // nbands)
-    for lo in range(0, radius + 1, step):
-        hi = min(lo + step - 1, radius)
-        dxmax = int(np.floor(np.sqrt(float(radius * radius - lo * lo))))
-        body = make_dy_body(dxmax)
-        if lo == 0:
-            carry = jax.lax.fori_loop(radius - hi, radius + hi + 1,
-                                      body, carry)
-        else:
-            carry = jax.lax.fori_loop(radius - hi, radius - lo + 1,
-                                      body, carry)
-            carry = jax.lax.fori_loop(radius + lo, radius + hi + 1,
-                                      body, carry)
+    carry = _banded_dy_sweep(radius, make_dy_body,
+                             tuple(zero for _ in range(cs + 1)))
     inv = 1.0 / carry[cs]
     for c in range(cs):
         out_ref[0, c] = (carry[c] * inv)[:, radius:radius + wout]
@@ -548,17 +505,8 @@ def bilateral_packed_joint_batched(joint, src, d: int = -1,
         else:
             planes.append(streams[2 * p])
     packed = jnp.stack(planes, axis=1)
-
-    hp_tiles = -(-h // th)
-    hpad = hp_tiles * th
-    rows = -(-(th + 2 * radius) // 8) * 8
-    wpad = -(-(wid + 2 * radius) // 128) * 128
-    xp = jnp.pad(packed, [(0, 0), (0, 0), (radius, radius),
-                          (radius, radius)], mode="reflect")
-    extra_h = (hpad - h) + (rows - (th + 2 * radius))
-    extra_w = wpad - (wid + 2 * radius)
-    if extra_h or extra_w:
-        xp = jnp.pad(xp, [(0, 0), (0, 0), (0, extra_h), (0, extra_w)])
+    hp_tiles, hpad, rows, wpad = _tile_geometry(h, wid, radius, th)
+    xp = _pad_tiles(packed, radius, th, h, wid, hpad, rows, wpad)
 
     out = pl.pallas_call(
         functools.partial(_kernel_packed_joint, radius=radius, th=th,

@@ -8,11 +8,12 @@ every intermediate plane in VMEM:
     box(x) along W  =  x @ B_w        box along H  =  B_h^T @ x
 
 Precision: the band-count entries are small integers — exactly
-representable in bf16 — so only the data side needs splitting.  A box
-axis is therefore TWO bf16 passes (hi/lo split, f32 accumulation), or ONE
-for planes holding integers <= 2^16 (u8 guide/src and first-axis partial
-sums).  Max abs error vs a float64 oracle is ~2e-4 in 0-255 output units
-— 2500x inside the <=0.5 uint8 parity threshold (gate-tested).
+representable in bf16 — so only the data side needs splitting: every box
+axis is TWO bf16 passes (hi/lo split, f32 accumulation), valid for
+arbitrary float inputs (the public planar APIs accept float guides, so
+no plane may assume bf16-exact u8 ints).  Max abs error vs a float64
+oracle is ~2e-4 in 0-255 output units — 2500x inside the <=0.5 uint8
+parity threshold (gate-tested).
 
 Measured v5e, batch 32 x 256x256, color guide, r=45: 1552 MP/s vs 623 for
 the chain-doubling two-kernel fused path (2.5x) — ~64 MXU passes/image vs
@@ -82,16 +83,15 @@ def _kernel(I_ref, p_ref, Bw_ref, BhT_ref, out_ref, *,
         tlo = (t - thi.astype(F32)).astype(BF)
         return (coldot(thi) + coldot(tlo)) * inv_area
 
-    def box_u8(x):   # ints <= 2^16: single exact bf16 pass along rows
-        return colbox2(rowdot(x.astype(BF)))
-
-    def box_f(x):    # generic f32: hi/lo split along rows too
+    def box_f(x):    # hi/lo split on both axes: handles any f32 input
         xhi = x.astype(BF)
         xlo = (x - xhi.astype(F32)).astype(BF)
         return colbox2(rowdot(xhi) + rowdot(xlo))
 
+    # every plane is split — the public planar APIs accept arbitrary
+    # float guides/srcs, so no plane may assume bf16-exact u8 ints
     I = [I_ref[0, c] for c in range(3)]
-    mI = [box_u8(c) for c in I]
+    mI = [box_f(c) for c in I]
     mII = {}
     for i in range(3):
         for j in range(i, 3):
@@ -111,10 +111,6 @@ def _kernel(I_ref, p_ref, Bw_ref, BhT_ref, out_ref, *,
     inv_det = 1.0 / (v[(0, 0)] * c00 + v[(0, 1)] * c01 + v[(0, 2)] * c02)
 
     for c in range(c_src):
-        # src may be a float intermediate (iterated chains feed the
-        # previous output back in; fast_guided_filter feeds resized
-        # floats), so it always gets the hi/lo split — only the guide
-        # rides the u8 pipeline contract (0-255 integer photo values).
         p = p_ref[0, c]
         mp = box_f(p)
         cov = [box_f(I[i] * p) - mI[i] * mp for i in range(3)]

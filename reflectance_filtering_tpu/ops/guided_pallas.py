@@ -37,13 +37,12 @@ from .box_pallas import _window_sum_tile, _PAD_MODE
 def _mkbox(w: int, hout: int, wout: int):
     scale = 1.0 / (w * w)
 
-    def box(t, exact=False):
-        del exact  # VPU f32 sums are exact either way
+    def box(t):
         s = _window_sum_tile(t, w, axis=1)
         s = _window_sum_tile(s[:, :wout], w, axis=0)
         return s[:hout, :] * scale
 
-    box.multi = lambda planes, exact=False: [box(t) for t in planes]
+    box.multi = lambda planes: [box(t) for t in planes]
     return box
 
 
@@ -54,9 +53,10 @@ def _mkbox(w: int, hout: int, wout: int):
 # pixel are kb*128 MACs per axis pass regardless of image width (a dense
 # band matrix would scale with W, which is why it lost at 4K).  The 0/1
 # entries are exact in bf16, so only the data side splits (hi/lo, f32
-# accumulation) — the scheme gate-tested in ops/guided_mxu.py.  u8-valued
-# planes (ints <= 255) skip the split on the first axis; their row sums
-# (ints <= w*255 < 2^16) still split exactly, so u8 boxes are EXACT.
+# accumulation — ~2e-4 max err in 0-255 units vs a float64 oracle, the
+# scheme gate-tested in ops/guided_mxu.py).  Every plane gets the split:
+# the public planar APIs accept arbitrary float guides, so no path may
+# assume u8-integer (bf16-exact) inputs.
 # ---------------------------------------------------------------------------
 
 _BF = jnp.bfloat16
@@ -107,18 +107,14 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int):
         return (jnp.dot(a, xhi, preferred_element_type=F32) +
                 jnp.dot(a, xlo, preferred_element_type=F32))
 
-    def box_multi(planes, exact=False):
+    def box_multi(planes):
         p = len(planes)
         x = planes[0] if p == 1 else jnp.concatenate(planes, axis=0)
         kw = (g + kb - 1) * 128
         blocks = []
         for j in range(tw // (g * 128)):
             sl = x[:, j * g * 128:j * g * 128 + kw]
-            if exact:  # values exactly representable in bf16 (u8 ints)
-                blocks.append(jnp.dot(sl.astype(_BF), S,
-                                      preferred_element_type=F32))
-            else:
-                blocks.append(dot_split(sl, S, lhs_split=True))
+            blocks.append(dot_split(sl, S, lhs_split=True))
         rs = jnp.concatenate(blocks, axis=1)        # [p*rows, tw]
         # restack planes along lanes so the col pass shares dots too
         if p > 1:
@@ -136,8 +132,8 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int):
             return [out]
         return [out[:, i * tw:(i + 1) * tw] for i in range(p)]
 
-    def box(x, exact=False):
-        return box_multi([x], exact)[0]
+    def box(x):
+        return box_multi([x])[0]
 
     box.multi = box_multi
     return box
@@ -219,8 +215,7 @@ def _stats_kernel(ipad_hbm, out_st, iscr, sem, *, w: int, eps: float,
     cp.wait()
     box = _mkbox_mxu(w, th, wout, rows) if mxu else _mkbox(w, th, wout)
     I0, I1, I2 = iscr[0], iscr[1], iscr[2]
-    # guide planes hold u8 ints (0-255 pipeline contract): exact bf16
-    m0, m1, m2 = box.multi([I0, I1, I2], exact=True)
+    m0, m1, m2 = box.multi([I0, I1, I2])
     b00, b01, b02, b11, b12, b22 = box.multi(
         [I0 * I0, I0 * I1, I0 * I2, I1 * I1, I1 * I2, I2 * I2])
     rr = b00 - m0 * m0 + eps
@@ -543,7 +538,7 @@ def _stats_halo_kernel(ipad_hbm, out_st, iscr, isem, *, w: int, eps: float,
     fetch(t, slot).wait()
     box = _mkbox_mxu(w, thA, twA, rowsA)
     I0, I1, I2 = iscr[slot, 0], iscr[slot, 1], iscr[slot, 2]
-    m0, m1, m2 = box.multi([I0, I1, I2], exact=True)
+    m0, m1, m2 = box.multi([I0, I1, I2])
     b00, b01, b02 = box.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = box.multi([I1 * I1, I1 * I2, I2 * I2])
     rr = b00 - m0 * m0 + eps
