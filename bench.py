@@ -112,7 +112,7 @@ def main():
         return x + 1e-12 * jnp.sum(refl)
 
     t_cnn = _timed_loop(cnn_only, imgs, 50)
-    t_gf = _timed_loop(gf_pipeline, imgs, 20)
+    t_gf = _timed_loop(gf_pipeline, imgs, 40)
     t_bf = _timed_loop(bf_pipeline, imgs, 8)
 
     # color self-guided bilateral (cv2.bilateralFilter semantics on the
@@ -145,12 +145,28 @@ def main():
     t_bfj = _timed_loop(bf_joint_photo, refl_u8p, 4)
     bfj_mps = (8 * H * W / 1e6) / t_bfj
 
+    # OPTIONAL approximate fast mode (bilateral grid; p99 error ~2 u8
+    # levels vs exact — NOT the parity path, reported for context)
+    from reflectance_filtering_tpu.ops.bilateral_grid import (
+        bilateral_grid_gray)
+    gj = jax.device_put(np.floor(rng.rand(BATCH, H, W) * 256)
+                        .astype(np.float32))
+    gs = jax.device_put(np.floor(rng.rand(BATCH, 1, H, W) * 256)
+                        .astype(np.float32))
+
+    def bf_grid(x):
+        out = bilateral_grid_gray(x, gs, 20.0 / 3.0, 22.0)
+        return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
+
+    t_grid = _timed_loop(bf_grid, gj, 20)
+    grid_mps = MP / t_grid
+
     # config 4: 3x iterated GF chain (Zoran-style) on one 4K frame
     from reflectance_filtering_tpu.ops.guided import guided_filter_iterated
     h4k, w4k = 2160, 3840
     g4k = jax.device_put(rng.rand(1, 3, h4k, w4k).astype(np.float32) * 255)
     s4k = jax.device_put(rng.rand(1, 1, h4k, w4k).astype(np.float32) * 255)
-    reps = 5
+    reps = 8
 
     @jax.jit
     def chain_many(g, s):
@@ -216,6 +232,7 @@ def main():
         "cnn_decompose_mps": round(cnn_mps, 2),
         "bf_color_self_mps": round(bfc_mps, 2),
         "bf_joint_photo_mps": round(bfj_mps, 2),
+        "bf_grid_approx_mps": round(grid_mps, 2),
         "gf_3x_4k_mps": round(h4k * w4k / t_4k / 1e6, 2),
         "train_imgs_per_s": round(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],
