@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import sys
 import timeit
@@ -290,15 +291,33 @@ def fit_predict_net(args, results_dir: str):
                 cname[:-4], batch_size=args.batch_size,
                 predict_fn=predict_fn)
 
+        if run_training:
+            final_samples = (iterations // args.batch_size) * args.batch_size
+            intermediates = list(range(checkpoint_interval, iterations + 1,
+                                       checkpoint_interval))
+        else:
+            # training skipped (already complete): the expected
+            # iteration grid may not match what a previous run with
+            # different --iterations/--batch_size wrote — evaluate the
+            # snapshots that actually exist
+            pat = re.compile(re.escape(description)
+                             + r"_barrista_iter_(\d+)\.npz$")
+            intermediates = sorted(
+                int(m.group(1)) for f in os.listdir(snapshot_dir)
+                for m in [pat.match(f)] if m)
+            if not intermediates:
+                raise FileNotFoundError(
+                    "no snapshots found in {} for description {}".format(
+                        snapshot_dir, description))
+            final_samples = intermediates[-1]
+
         print("Now predict data from val and evaluate the WHDR on it.")
-        score = eval_checkpoint((iterations // args.batch_size)
-                                * args.batch_size)
+        score = eval_checkpoint(final_samples)
 
         print("Test all intermediate caffemodels.")
         json_val = []
         scores = []
-        for i in range(checkpoint_interval, iterations + 1,
-                       checkpoint_interval):
+        for i in intermediates:
             val_score = eval_checkpoint(i)
             json_val.append({"NumIters": i, "WHDR": val_score})
             scores.append(val_score)

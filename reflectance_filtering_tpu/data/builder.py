@@ -96,10 +96,19 @@ def parse_iiw_json(json_path: str) -> Tuple[List, Dict]:
     switch = {"1": 1, "2": 2, "E": 0}
     comparisons = []
     for comparison in data["intrinsic_comparisons"]:
+        score = comparison["darker_score"]
+        # Bell's official scorer skips judgments with a null or
+        # non-positive confidence (iiw whdr.py / losses/bell.py:48); the
+        # reference builder packs the raw value, so a null would become
+        # a NaN weight that poisons the whole image's hinge loss and
+        # blob-path WHDR.  Guard here: documented deviation, the blob
+        # only drops rows the referee metric ignores anyway.
+        if score is None or score <= 0:
+            continue
         comparisons.append([comparison["point1"],
                             comparison["point2"],
                             switch[comparison["darker"]],
-                            comparison["darker_score"]])
+                            score])
     return comparisons, points
 
 

@@ -45,6 +45,16 @@ MAX_EVALUATED_COMPARISONS = 1500  # whdr_hinge_loss_layer.py:36
 DENSE_SKIP_THRESHOLD = 300        # whdr_hinge_loss_layer.py:136-138
 
 
+def _ratio_ceil(num_eval, ratio: float, k: int):
+    """Exact reference subsample count: int(np.ceil(ratio * n)) in
+    float64 (whdr_hinge_loss_layer.py:139-140), via a host-precomputed
+    table — an in-graph float32 ceil diverges on ~120 (ratio, n) pairs
+    (e.g. 0.6*25 -> 16 instead of 15)."""
+    table = jnp.asarray(np.ceil(
+        ratio * np.arange(k + 1, dtype=np.float64)).astype(np.int32))
+    return table[num_eval]
+
+
 def comparisons_to_pixel_indices(comparisons, height: int, width: int):
     """Split a [K+1, 6] padded comparisons blob into gather-ready pieces.
 
@@ -181,8 +191,7 @@ def _eval_selection_mask(valid, num, ratio: float, eval_dense: bool,
     if not eval_dense:
         num_eval = jnp.where(num > DENSE_SKIP_THRESHOLD, 1, num_eval)
     if ratio < 1.0:
-        num_eval = jnp.ceil(ratio * num_eval.astype(jnp.float32)
-                            ).astype(jnp.int32)
+        num_eval = _ratio_ceil(num_eval, ratio, k)
     idx = jnp.arange(k)
     mask = idx < num_eval
     if k > MAX_EVALUATED_COMPARISONS:
@@ -242,8 +251,7 @@ def whdr_hinge_batch(reflectance, comparisons, delta: float = 0.1,
     if not eval_dense:
         num_eval = jnp.where(num > DENSE_SKIP_THRESHOLD, 1, num_eval)
     if ratio < 1.0:
-        num_eval = jnp.ceil(ratio * num_eval.astype(jnp.float32)
-                            ).astype(jnp.int32)
+        num_eval = _ratio_ceil(num_eval, ratio, k)
     mask = jnp.arange(k)[None, :] < num_eval[:, None]
     if k > MAX_EVALUATED_COMPARISONS:
         if key is None:

@@ -169,7 +169,7 @@ def load_reference_weights(path: str = None) -> Dict[str, Dict[str, np.ndarray]]
         raise ValueError(
             "caffemodel at {} is missing expected layers: {}".format(
                 path, missing))
-    total = sum(w["kernel"].size + w["bias"].size
+    total = sum(w["kernel"].size + w.get("bias", np.empty(0)).size
                 for w in weights.values())
     if total != 4513:
         raise ValueError(

@@ -512,12 +512,26 @@ def _apply_unet(params, images, cfg: NetworkConfig):
 # Public factory
 # ---------------------------------------------------------------------------
 
+def _force_bn_off(cfg: NetworkConfig) -> NetworkConfig:
+    """convStatic / convStaticWithSigmoid hardcode batch normalization
+    OFF in the reference regardless of --use_batch_normalization
+    (networks.py:560, :641); mirror that so these types cannot produce
+    an architecture the reference could not.  (The description string
+    still encodes the flag, as the reference's does.)"""
+    if not cfg.use_batch_normalization:
+        return cfg
+    import dataclasses
+    return dataclasses.replace(cfg, use_batch_normalization=False)
+
+
 def init_network(key, cfg: NetworkConfig) -> Params:
     t = cfg.network_type
     if t == "convStatic":
-        return _init_conv_static_like(key, cfg, with_head_1x1=True)
+        return _init_conv_static_like(key, _force_bn_off(cfg),
+                                      with_head_1x1=True)
     if t == "convStaticWithSigmoid":
-        return _init_conv_static_like(key, cfg, with_head_1x1=True)
+        return _init_conv_static_like(key, _force_bn_off(cfg),
+                                      with_head_1x1=True)
     if t == "convStaticSkipLayers":
         return _init_skip_layers(key, cfg)
     if t == "cascadeSkipLayers":
@@ -543,11 +557,11 @@ def apply_network(params: Params, images, cfg: NetworkConfig, *,
     'reflectance_level0' and 'shading_level0' (networks.py:853-1146)."""
     t = cfg.network_type
     if t == "convStatic":
-        return _apply_conv_static(params, images, cfg, sigmoid=False,
-                                  train=train)
+        return _apply_conv_static(params, images, _force_bn_off(cfg),
+                                  sigmoid=False, train=train)
     if t == "convStaticWithSigmoid":
-        return _apply_conv_static(params, images, cfg, sigmoid=True,
-                                  train=train)
+        return _apply_conv_static(params, images, _force_bn_off(cfg),
+                                  sigmoid=True, train=train)
     if t == "convStaticSkipLayers":
         return _apply_skip_layers(params, images, cfg, train=train)
     if t == "cascadeSkipLayers":

@@ -22,6 +22,7 @@ program.
 """
 from __future__ import annotations
 
+import functools as _functools
 import os
 import timeit
 import traceback
@@ -78,7 +79,8 @@ def predict_batched(predict_fn, params, images: np.ndarray,
     Data-parallel by default: each batch is sharded across all local
     devices (params replicated), so the product eval path rides the mesh —
     on one chip this degenerates to plain batching.  SURVEY.md §5.8."""
-    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..parallel.mesh import (make_mesh, pad_to_multiple, replicate,
+                                 shard_batch)
 
     if mesh is None:
         mesh = make_mesh()
@@ -89,16 +91,22 @@ def predict_batched(predict_fn, params, images: np.ndarray,
     n = images.shape[0]
     outs: Dict[str, List[np.ndarray]] = {}
     for start in range(0, n, batch_size):
-        chunk = images[start:start + batch_size]
-        pad = batch_size - chunk.shape[0]
-        if pad:
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
+        chunk, take = pad_to_multiple(images[start:start + batch_size],
+                                      batch_size)
         res = predict_fn(params_r, shard_batch(jnp.asarray(chunk), mesh))
-        take = batch_size - pad
         for k, v in res.items():
             outs.setdefault(k, []).append(np.asarray(v[:take]))
     return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+
+@_functools.lru_cache(maxsize=8)
+def _whdr_program(delta: float, spec):
+    """jit-compiled sharded WHDR, cached per (delta, sharding) — a fresh
+    jit(partial(...)) per call would recompile for every checkpoint
+    evaluated (the post-fit sweep calls this once per snapshot, and
+    remote compiles are slow on the axon tunnel)."""
+    return jax.jit(_functools.partial(whdr_per_image, delta=delta),
+                   in_shardings=(spec, spec), out_shardings=spec)
 
 
 def score_whdr_per_image(reflectances: np.ndarray, comps: np.ndarray,
@@ -106,8 +114,6 @@ def score_whdr_per_image(reflectances: np.ndarray, comps: np.ndarray,
     """Per-image WHDR over a whole prediction set as ONE device program,
     batch axis sharded across all local devices (replaces the reference's
     per-image host loop, helper:565-583)."""
-    import functools
-
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
@@ -118,8 +124,7 @@ def score_whdr_per_image(reflectances: np.ndarray, comps: np.ndarray,
     r_p, n = pad_to_multiple(np.asarray(reflectances, np.float32), n_dev)
     c_p, _ = pad_to_multiple(np.asarray(comps, np.float32), n_dev)
     spec = NamedSharding(mesh, P(mesh.axis_names[0]))
-    fn = jax.jit(functools.partial(whdr_per_image, delta=delta),
-                 in_shardings=(spec, spec), out_shardings=spec)
+    fn = _whdr_program(float(delta), spec)
     out = fn(shard_batch(jnp.asarray(r_p), mesh),
              shard_batch(jnp.asarray(c_p), mesh))
     return np.asarray(out)[:n]
@@ -270,7 +275,10 @@ def decompose_single_image_in_full_size(img_path: str, params,
     if predict_fn is None:
         predict_fn = make_predict_fn(net_cfg)
     res = predict_fn(params, jnp.asarray(img[None]))
-    _write_decomposition(results_dir, os.path.basename(img_path)[:-4],
+    # splitext, not [:-4]: is_image accepts .tiff, which the reference's
+    # 4-char strip (helper:766) would mangle to 'name.-r.png'
+    _write_decomposition(results_dir,
+                         os.path.splitext(os.path.basename(img_path))[0],
                          np.asarray(res["reflectance"][0]),
                          np.asarray(res["shading"][0]),
                          np.asarray(res["RS_est"][0]))
@@ -306,9 +314,10 @@ def decompose_images_batched(paths: Sequence[str], params,
             shad = np.asarray(res["shading"])
             rs = np.asarray(res["RS_est"])
             for i, (p, _) in enumerate(chunk):
-                _write_decomposition(results_dir,
-                                     os.path.basename(p)[:-4],
-                                     refl[i], shad[i], rs[i])
+                _write_decomposition(
+                    results_dir,
+                    os.path.splitext(os.path.basename(p))[0],
+                    refl[i], shad[i], rs[i])
                 done.append(p)
     return done
 

@@ -200,7 +200,10 @@ def test_bn_train_step_folds_running_stats(tiny_data):
         BN_MOMENTUM, apply_network)
     from reflectance_filtering_tpu.train.loop import make_train_step
 
-    cfg = NetworkConfig(network_type="convStatic", num_layers=2,
+    # convStaticSkipLayers: the reference honors the BN flag only for
+    # the skip-layer/cascade families (convStatic hardcodes it off,
+    # networks.py:560 — init_network now mirrors that)
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
                         num_filters_log=3, kernel_pad=1,
                         rs_est_mode="rRelMax", use_batch_normalization=True)
     lcfg = LossConfig()
@@ -342,3 +345,17 @@ def test_predict_batched_pads_tail(tiny_data):
     fn = make_predict_fn(cfg)
     out = predict_batched(fn, params, tiny_data["images"], batch_size=4)
     assert out["reflectance"].shape[0] == tiny_data["images"].shape[0]
+
+
+def test_conv_static_hardcodes_bn_off():
+    """convStatic / convStaticWithSigmoid ignore --use_batch_normalization
+    (the reference sets do_batch_normalization = False locally,
+    networks.py:560, :641) — they must not grow bn params the reference
+    could never have."""
+    for t in ("convStatic", "convStaticWithSigmoid"):
+        cfg = NetworkConfig(network_type=t, num_layers=2,
+                            num_filters_log=3, kernel_pad=1,
+                            rs_est_mode="rRelMax",
+                            use_batch_normalization=True)
+        params = init_network(jax.random.PRNGKey(0), cfg)
+        assert not any(k.startswith("bn") for k in params), sorted(params)

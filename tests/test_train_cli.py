@@ -184,6 +184,29 @@ def test_resume_skips_when_complete(dataset, tmp_path, capsys):
     assert "skipping training" in capsys.readouterr().out
 
 
+def test_resume_skip_with_different_batch_size(dataset, tmp_path):
+    """Resume-complete with changed --batch_size: the expected final
+    checkpoint (iterations//bs*bs) was never written by the first run;
+    the eval must fall back to the snapshots that exist instead of
+    crashing with FileNotFoundError."""
+    import os
+
+    from reflectance_filtering_tpu.cli.train import main
+    root = str(tmp_path / "r")
+    common = ["--networkType=convStaticSkipLayers", "--numLayers=1",
+              "--num_filters_log=2", "--kernel_pad=0",
+              "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+              "--random_seed=0", "--data_root", dataset,
+              "--results_root", root, "--experiment=resk"]
+    main(["--stage=fit", "--iterations=8", "--batch_size=4",
+          "--checkpoint_interval=8"] + common)
+    # 8//3*3 = 6: no such snapshot; must evaluate the existing iter-8 one
+    main(["--stage=fit", "--iterations=8", "--batch_size=3",
+          "--checkpoint_interval=8", "--startOver=0"] + common)
+    scores = os.listdir(os.path.join(root, "resk", "scores"))
+    assert any("iter_8" in s for s in scores)
+
+
 def test_iterations_below_batch_size_raises(dataset, tmp_path):
     """iterations < batch_size would run zero steps and then crash on a
     missing checkpoint; it must fail loudly up front instead."""

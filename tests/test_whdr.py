@@ -266,3 +266,18 @@ def test_lambert_loss_euclidean_semantics(rng):
     got = float(lambert_loss(jnp.asarray(r), jnp.asarray(s), jnp.asarray(i)))
     exp = np.sum((r * s - i) ** 2) / (2 * 3)
     assert abs(got - exp) < 1e-4
+
+
+def test_ratio_subsample_count_matches_reference_float64():
+    """The subsample count must be int(np.ceil(ratio * n)) in float64
+    (whdr_hinge_loss_layer.py:139) — a float32 in-graph ceil overshoots
+    by one on ~120 (ratio, n) pairs (e.g. 0.6*25 -> 16, f64 gives 15)."""
+    import jax.numpy as jnp
+
+    from reflectance_filtering_tpu.losses.whdr import _ratio_ceil
+
+    n = np.arange(1182)
+    for ratio in [0.1, 0.25, 0.3, 0.5, 0.6, 0.7, 0.9]:
+        got = np.asarray(_ratio_ceil(jnp.asarray(n), ratio, 1181))
+        exp = np.ceil(ratio * n.astype(np.float64)).astype(np.int32)
+        np.testing.assert_array_equal(got, exp)
