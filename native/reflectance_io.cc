@@ -34,6 +34,11 @@ constexpr int kErrOpen = -1;
 constexpr int kErrFormat = -2;
 constexpr int kErrDecode = -3;
 constexpr int kErrArgs = -4;
+constexpr int kErrMemory = -5;
+
+// Reject absurd declared dimensions before allocating (a corrupt header
+// can claim terapixel images in a few KB of file).
+constexpr size_t kMaxPixels = size_t(1) << 28;  // 268 MP ~ 800 MB RGB
 
 struct Image {
   int h = 0, w = 0;
@@ -53,6 +58,11 @@ int decode_png(FILE* f, Image* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return kErrDecode;
   }
+  // declared BEFORE setjmp: a longjmp back across a scope that
+  // constructed non-trivial objects after setjmp is UB (and leaked the
+  // row buffer on every failed decode); alive-at-setjmp objects are
+  // destroyed normally when the function returns
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return kErrDecode;
@@ -64,6 +74,10 @@ int decode_png(FILE* f, Image* out) {
   png_uint_32 h = png_get_image_height(png, info);
   int color = png_get_color_type(png, info);
   int depth = png_get_bit_depth(png, info);
+  if (static_cast<size_t>(h) * w > kMaxPixels || h == 0 || w == 0) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErrDecode;
+  }
 
   // normalize every variant to 8-bit RGB
   if (depth == 16) png_set_strip_16(png);
@@ -78,8 +92,13 @@ int decode_png(FILE* f, Image* out) {
 
   out->h = static_cast<int>(h);
   out->w = static_cast<int>(w);
-  out->rgb.resize(static_cast<size_t>(h) * w * 3);
-  std::vector<png_bytep> rows(h);
+  try {
+    out->rgb.resize(static_cast<size_t>(h) * w * 3);
+    rows.resize(h);
+  } catch (const std::exception&) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErrMemory;
+  }
   for (png_uint_32 y = 0; y < h; ++y)
     rows[y] = out->rgb.data() + static_cast<size_t>(y) * w * 3;
   png_read_image(png, rows.data());
@@ -118,7 +137,17 @@ int decode_jpeg(FILE* f, Image* out) {
 
   out->h = static_cast<int>(cinfo.output_height);
   out->w = static_cast<int>(cinfo.output_width);
-  out->rgb.resize(static_cast<size_t>(out->h) * out->w * 3);
+  if (static_cast<size_t>(out->h) * out->w > kMaxPixels ||
+      out->h <= 0 || out->w <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return kErrDecode;
+  }
+  try {
+    out->rgb.resize(static_cast<size_t>(out->h) * out->w * 3);
+  } catch (const std::exception&) {
+    jpeg_destroy_decompress(&cinfo);
+    return kErrMemory;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row =
         out->rgb.data() +
@@ -130,7 +159,48 @@ int decode_jpeg(FILE* f, Image* out) {
   return 0;
 }
 
-int decode_any(const char* path, Image* out) {
+int probe_png(FILE* f, int* h, int* w) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return kErrDecode;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return kErrDecode;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErrDecode;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  *h = static_cast<int>(png_get_image_height(png, info));
+  *w = static_cast<int>(png_get_image_width(png, info));
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+int probe_jpeg(FILE* f, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return kErrDecode;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+enum class Op { kDecode, kProbe };
+
+int open_dispatch(const char* path, Op op, Image* out, int* h, int* w) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return kErrOpen;
   unsigned char magic[4] = {0, 0, 0, 0};
@@ -139,14 +209,18 @@ int decode_any(const char* path, Image* out) {
   int rc;
   if (got >= 4 && magic[0] == 0x89 && magic[1] == 'P' && magic[2] == 'N' &&
       magic[3] == 'G') {
-    rc = decode_png(f, out);
+    rc = op == Op::kDecode ? decode_png(f, out) : probe_png(f, h, w);
   } else if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    rc = decode_jpeg(f, out);
+    rc = op == Op::kDecode ? decode_jpeg(f, out) : probe_jpeg(f, h, w);
   } else {
     rc = kErrFormat;
   }
   std::fclose(f);
   return rc;
+}
+
+int decode_any(const char* path, Image* out) {
+  return open_dispatch(path, Op::kDecode, out, nullptr, nullptr);
 }
 
 // ---------------------------------------------------------------------------
@@ -195,27 +269,30 @@ extern "C" {
 
 const char* rio_version() { return "reflectance_io 1.0"; }
 
-// Probe dimensions without full decode cost amortization (decodes header
-// + image; fine for metadata scans).
+// Probe dimensions header-only (png_read_info / jpeg_read_header; no
+// pixel decode or allocation).
 int rio_image_size(const char* path, int* h, int* w) {
   if (!path || !h || !w) return kErrArgs;
-  Image img;
-  int rc = decode_any(path, &img);
-  if (rc) return rc;
-  *h = img.h;
-  *w = img.w;
-  return 0;
+  try {
+    return open_dispatch(path, Op::kProbe, nullptr, h, w);
+  } catch (...) {
+    return kErrDecode;  // contract: no exceptions cross the C ABI
+  }
 }
 
 // Decode one image into out[target_h * target_w * 3] (RGB, resized).
 int rio_decode_rgb(const char* path, unsigned char* out, int target_h,
                    int target_w) {
   if (!path || !out || target_h <= 0 || target_w <= 0) return kErrArgs;
-  Image img;
-  int rc = decode_any(path, &img);
-  if (rc) return rc;
-  resize_bilinear(img, out, target_h, target_w);
-  return 0;
+  try {
+    Image img;
+    int rc = decode_any(path, &img);
+    if (rc) return rc;
+    resize_bilinear(img, out, target_h, target_w);
+    return 0;
+  } catch (...) {
+    return kErrMemory;  // contract: no exceptions cross the C ABI
+  }
 }
 
 // Decode n images in parallel into out[n * h * w * 3].  Returns 0 if all
@@ -237,8 +314,13 @@ int rio_load_batch_rgb(const char** paths, int n, unsigned char* out,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      int rc = rio_decode_rgb(paths[i], out + stride * i, target_h,
-                              target_w);
+      int rc;
+      try {
+        rc = rio_decode_rgb(paths[i], out + stride * i, target_h,
+                            target_w);
+      } catch (...) {
+        rc = kErrMemory;  // an escaping exception would std::terminate
+      }
       if (rc) {
         int expected = -1;
         first_fail.compare_exchange_strong(expected, i);

@@ -186,24 +186,26 @@ def _eval_selection_mask(valid, num, ratio: float, eval_dense: bool,
     Selection is by *prefix*: the reference evaluates comparisons
     range(num_eval) (not random) unless num_eval > MAX_EVALUATED_COMPARISONS,
     in which case it uniformly samples MAX without replacement.
+
+    num may carry leading batch dims ([...]); returns a [..., k] mask
+    (before AND-ing with ``valid``, which must broadcast against it).
     """
     num_eval = num
     if not eval_dense:
         num_eval = jnp.where(num > DENSE_SKIP_THRESHOLD, 1, num_eval)
     if ratio < 1.0:
         num_eval = _ratio_ceil(num_eval, ratio, k)
-    idx = jnp.arange(k)
-    mask = idx < num_eval
+    mask = jnp.arange(k) < num_eval[..., None]
     if k > MAX_EVALUATED_COMPARISONS:
         if key is None:
             key = jax.random.PRNGKey(0)
         # rank the first num_eval rows by random keys; keep the MAX smallest
-        r = jax.random.uniform(key, (k,))
-        r = jnp.where(mask, r, 2.0)  # invalid rows rank last
-        order = jnp.argsort(r)
-        rank = jnp.zeros((k,), jnp.int32).at[order].set(jnp.arange(k))
+        r = jax.random.uniform(key, jnp.shape(num_eval) + (k,))
+        r = jnp.where(mask, r, 2.0)  # unselected rows rank last
+        # inverse permutation of argsort = the rank of each row
+        rank = jnp.argsort(jnp.argsort(r, axis=-1), axis=-1)
         cap_mask = rank < MAX_EVALUATED_COMPARISONS
-        mask = jnp.where(num_eval > MAX_EVALUATED_COMPARISONS,
+        mask = jnp.where((num_eval > MAX_EVALUATED_COMPARISONS)[..., None],
                          mask & cap_mask, mask)
     return mask & valid
 
@@ -241,31 +243,12 @@ def whdr_hinge_batch(reflectance, comparisons, delta: float = 0.1,
     single batched gather gives one scatter-add in the backward pass
     instead of a vmapped scatter per image.
     """
-    b = reflectance.shape[0]
     k = comparisons.shape[1] - 1
     l1, l2, darker, weight, valid, num = _batch_lightness_pairs(
         reflectance, comparisons)
 
     # evaluation-selection mask per image (dense-skip / ratio / cap)
-    num_eval = num
-    if not eval_dense:
-        num_eval = jnp.where(num > DENSE_SKIP_THRESHOLD, 1, num_eval)
-    if ratio < 1.0:
-        num_eval = _ratio_ceil(num_eval, ratio, k)
-    mask = jnp.arange(k)[None, :] < num_eval[:, None]
-    if k > MAX_EVALUATED_COMPARISONS:
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        r = jax.random.uniform(key, (b, k))
-        r = jnp.where(mask, r, 2.0)
-        order = jnp.argsort(r, axis=1)
-        rank = jnp.zeros((b, k), jnp.int32)
-        rank = rank.at[jnp.arange(b)[:, None], order].set(
-            jnp.broadcast_to(jnp.arange(k)[None, :], (b, k)))
-        cap_mask = rank < MAX_EVALUATED_COMPARISONS
-        mask = jnp.where((num_eval > MAX_EVALUATED_COMPARISONS)[:, None],
-                         mask & cap_mask, mask)
-    mask = mask & valid
+    mask = _eval_selection_mask(valid, num, ratio, eval_dense, key, k)
 
     y = l1 / l2
     loss = _hinge_per_comparison(y, darker, delta, margin)

@@ -67,7 +67,7 @@ def _sliding_sum_axis(xp, w: int, axis: int, n_out: int):
     crosses = ((i % B) + w) > B               # window leaves block(i)?
     crosses = jnp.asarray(crosses, dtype=xp.dtype)
 
-    out = (jnp.take(L, jnp.arange(w - 1, w - 1 + n_out), axis=-1)
+    out = (L[..., w - 1:w - 1 + n_out]
            - E[..., :n_out] + crosses * Tb[..., :n_out])
     return jnp.moveaxis(out, -1, axis)
 

@@ -128,8 +128,10 @@ def _kernel(x_ref, w0, b0, wm, bm, wf, bfs, out_ref, *,
             srgb_input: bool, precise: bool):
     x = x_ref[...]                        # [8, T]; rows 0..2 = RGB
     if srgb_input:
-        x = jnp.where(x <= 0.04045, x / 12.92,
-                      jnp.power(jnp.maximum((x + 0.055) / 1.055, 0.0), 2.4))
+        # shared gamma math (utils/image.py) — pure jnp, traces inside
+        # the kernel; keeps the fused path pinned to the parity curve
+        from ..utils.image import srgb_to_rgb_jnp
+        x = srgb_to_rgb_jnp(x)
     stack = _stack6 if precise else _stack3
 
     def dot(w, v):

@@ -233,12 +233,14 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
 
         host_metrics = {k: float(v) for k, v in metrics.items()
                         if np.ndim(v) == 0}
+        # callbacks see the GLOBAL step so a resumed run keeps the step
+        # sequence monotonic (JsonlLogger records / print cadence)
         for cb in callbacks:  # each: (step, metrics) -> metrics | None
-            out = cb(s, host_metrics)
+            out = cb(base_steps + s, host_metrics)
             if isinstance(out, dict):
                 host_metrics = out
         if progress is not None:
-            progress(s, state.samples, host_metrics)
+            progress(base_steps + s, state.samples, host_metrics)
         if checkpointer is not None:
             saved = checkpointer.maybe_save(state.samples, state.params,
                                             state.opt_state)

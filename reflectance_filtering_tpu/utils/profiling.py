@@ -57,6 +57,8 @@ def device_trace(log_dir: str):
 def write_rate_artifact(path: str, num_items: int, seconds: float):
     """Persist an items/second rate the way the reference wrote
     framerates/*.txt (helper:548-552)."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    parent = os.path.dirname(path)
+    if parent:  # bare filename: write to the current directory
+        os.makedirs(parent, exist_ok=True)
     with open(path, "w") as f:
         f.write(str(num_items / seconds))
