@@ -609,6 +609,100 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, gtile, out_q, iscr, pscr,
                    ma2 * gtile[0, 2] + mb)
 
 
+def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, gtile, st_hbm, out_q,
+                           iscr, pscr, stscr, isem, psem, stsem,
+                           *, w: int, eps: float, geo):
+    """First GF iteration: guide stats computed in-kernel (into the
+    per-tile haloed slot layout), DMA'd out for later iterations, and
+    used immediately for a,b -> q — one kernel instead of stats+apply.
+    The stats scratch doubles as the m/d working planes, and its HBM
+    write drains while the apply-phase dots run."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nsteps = pl.num_programs(0) * nh * nw
+    t = (b * nh + i) * nw + j
+    slot = jax.lax.rem(t, 2)
+
+    def st_copy(tt):
+        b2 = tt // (nh * nw)
+        rr = tt % (nh * nw)
+        i2 = rr // nw
+        j2 = rr % nw
+        return pltpu.make_async_copy(
+            stscr,
+            st_hbm.at[b2, :, pl.ds(i2 * thA, thA), pl.ds(j2 * twA, twA)],
+            stsem)
+
+    def fetch(tt, isl):
+        return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
+                                 th, tw, rowsA, lanesA, nh, nw),
+                _prefetch_window(ppad_hbm, pscr, psem, tt, isl,
+                                 th, tw, rowsA, lanesA, nh, nw))
+
+    @pl.when(t == 0)
+    def _():
+        for cp in fetch(t, slot):
+            cp.start()
+
+    @pl.when(t + 1 < nsteps)
+    def _():
+        for cp in fetch(t + 1, 1 - slot):
+            cp.start()
+
+    for cp in fetch(t, slot):
+        cp.wait()
+    # the previous tile's stats write must drain before we overwrite
+    @pl.when(t > 0)
+    def _():
+        st_copy(t - 1).wait()
+
+    I0, I1, I2 = iscr[slot, 0], iscr[slot, 1], iscr[slot, 2]
+    p = pscr[slot, 0]
+    boxA = _mkbox_mxu(w, thA, twA, rowsA)
+    m0, m1, m2 = boxA.multi([I0, I1, I2])
+    b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
+    b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
+    rr = b00 - m0 * m0 + eps
+    rg = b01 - m0 * m1
+    rb = b02 - m0 * m2
+    gg = b11 - m1 * m1 + eps
+    gb = b12 - m1 * m2
+    bb = b22 - m2 * m2 + eps
+    c00 = gg * bb - gb * gb
+    c01 = gb * rb - rg * bb
+    c02 = rg * gb - gg * rb
+    c11 = rr * bb - rb * rb
+    c12 = rb * rg - rr * gb
+    c22 = rr * gg - rg * rg
+    inv_det = 1.0 / (rr * c00 + rg * c01 + rb * c02)
+    for kk, plane in enumerate((m0, m1, m2, c00 * inv_det, c01 * inv_det,
+                                c02 * inv_det, c11 * inv_det,
+                                c12 * inv_det, c22 * inv_det)):
+        stscr[kk] = plane
+    st_copy(t).start()   # drains while the apply dots run
+
+    m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
+    d00, d01, d02 = stscr[3], stscr[4], stscr[5]
+    d11, d12, d22 = stscr[6], stscr[7], stscr[8]
+    cov0 = bip0 - stscr[0] * m_p
+    cov1 = bip1 - stscr[1] * m_p
+    cov2 = bip2 - stscr[2] * m_p
+    a0 = d00 * cov0 + d01 * cov1 + d02 * cov2
+    a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
+    a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
+    bf = m_p - a0 * stscr[0] - a1 * stscr[1] - a2 * stscr[2]
+    boxB = _mkbox_mxu(w, th, tw, thA)
+    ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
+    out_q[0, 0] = (ma0 * gtile[0, 0] + ma1 * gtile[0, 1] +
+                   ma2 * gtile[0, 2] + mb)
+
+    # the stats DMA started above is waited on by the NEXT grid step;
+    # the last step drains its own
+    @pl.when(t + 1 == nsteps)
+    def _():
+        st_copy(t).wait()
+
+
 _VMEM_FUSED = pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024)
 
 
@@ -627,6 +721,37 @@ def _stats_halo_call(ipad, n, geo, w, eps):
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_VMEM_FUSED,
     )(ipad)
+
+
+def _fused_iter1_call(ipad, ppad, gpad, n, geo, w, eps):
+    """One kernel: guide stats (emitted in the haloed slot layout for
+    later iterations) + the first a,b -> q application."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    return pl.pallas_call(
+        functools.partial(_fused_gf_iter1_kernel, w=w, eps=float(eps),
+                          geo=geo),
+        out_shape=(jax.ShapeDtypeStruct((n, 9, nh * thA, nw * twA),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1, nh * th, nw * tw),
+                                        jnp.float32)),
+        grid=(n, nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, 3, th, tw),
+                               lambda b, i, j: (b, 0, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec((1, 1, th, tw),
+                                lambda b, i, j: (b, 0, i, j),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), jnp.float32),
+                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
+                        pltpu.VMEM((9, thA, twA), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=_VMEM_FUSED,
+    )(ipad, ppad, gpad)
 
 
 def _fused_apply_call(ipad, ppad, st, gpad, n, geo, w):
@@ -671,15 +796,22 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
         geo = _fused_geometry(h, wid, radius)
         th_, tw, thA, twA, rowsA, lanesA, nh, nw = geo
         ipad2 = _pad_fused(guide, radius, geo, h, wid)
-        st = _stats_halo_call(ipad2, n, geo, w, float(eps))
         gpad = jnp.pad(guide, [(0, 0), (0, 0), (0, nh * th_ - h),
                                (0, nw * tw - wid)])
+        st = None
         chans = []
         for c in range(c_src):
             p = src[:, c:c + 1]
-            for _ in range(iterations):
+            for it in range(iterations):
                 ppad2 = _pad_fused(p, radius, geo, h, wid)
-                qp = _fused_apply_call(ipad2, ppad2, st, gpad, n, geo, w)
+                if st is None:
+                    # first application computes the stats in-kernel and
+                    # emits them for every later iteration/channel
+                    st, qp = _fused_iter1_call(ipad2, ppad2, gpad, n,
+                                               geo, w, float(eps))
+                else:
+                    qp = _fused_apply_call(ipad2, ppad2, st, gpad, n,
+                                           geo, w)
                 p = qp[:, :, :h, :wid]
             chans.append(p)
         return chans[0] if c_src == 1 else jnp.concatenate(chans, axis=1)
