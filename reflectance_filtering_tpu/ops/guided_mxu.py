@@ -15,9 +15,12 @@ no plane may assume bf16-exact u8 ints).  Max abs error vs a float64
 oracle is ~2e-4 in 0-255 output units — 2500x inside the <=0.5 uint8
 parity threshold (gate-tested).
 
-Measured v5e, batch 32 x 256x256, color guide, r=45: 1552 MP/s vs 623 for
-the chain-doubling two-kernel fused path (2.5x) — ~64 MXU passes/image vs
-~17 serial O(log w) shift/add chains, and one HBM round trip.
+Measured v5e, batch 32 x 256x256, color guide, r=45: ~1170 MP/s vs 623
+for the chain-doubling two-kernel fused path — ~64 MXU passes/image vs
+~17 serial O(log w) shift/add chains, and one HBM round trip.  Boxes are
+issued in GROUPS sharing dots (planes ride M in the row pass, lanes in
+the col pass): at these tile sizes the kernel is dot-issue-overhead
+bound, not FLOP bound, and grouping is worth ~5% over per-plane dots.
 
 Applicability: whole image planes must fit VMEM (fits_mxu_guided); larger
 frames fall back to the banded/tiled path (ops/guided_pallas.py).
@@ -71,31 +74,43 @@ def _kernel(I_ref, p_ref, Bw_ref, BhT_ref, out_ref, *,
             eps: float, inv_area: float, c_src: int):
     Bw = Bw_ref[...].astype(BF)
     BhT = BhT_ref[...].astype(BF)
+    hp = I_ref.shape[2]
+    wp = I_ref.shape[3]
 
-    def rowdot(x):
-        return jnp.dot(x, Bw, preferred_element_type=F32)
-
-    def coldot(x):
-        return jnp.dot(BhT, x, preferred_element_type=F32)
-
-    def colbox2(t):
-        thi = t.astype(BF)
-        tlo = (t - thi.astype(F32)).astype(BF)
-        return (coldot(thi) + coldot(tlo)) * inv_area
-
-    def box_f(x):    # hi/lo split on both axes: handles any f32 input
+    def split(x):
         xhi = x.astype(BF)
-        xlo = (x - xhi.astype(F32)).astype(BF)
-        return colbox2(rowdot(xhi) + rowdot(xlo))
+        return xhi, (x - xhi.astype(F32)).astype(BF)
 
-    # every plane is split — the public planar APIs accept arbitrary
-    # float guides/srcs, so no plane may assume bf16-exact u8 ints
+    def boxes(planes):
+        """Box-filter a GROUP of planes with shared dots: planes ride M
+        in the row pass and N (lanes) in the col pass — the kernel is
+        dot-issue-overhead bound, not FLOP bound, at these tile sizes.
+        Every plane is hi/lo split (the public planar APIs accept
+        arbitrary float guides/srcs, so no plane may assume bf16-exact
+        u8 ints)."""
+        np_ = len(planes)
+        x = planes[0] if np_ == 1 else jnp.concatenate(planes, axis=0)
+        xhi, xlo = split(x)
+        rs = (jnp.dot(xhi, Bw, preferred_element_type=F32) +
+              jnp.dot(xlo, Bw, preferred_element_type=F32))
+        if np_ > 1:   # restack along lanes so the col pass shares dots
+            rs = jnp.concatenate(
+                [rs[i * hp:(i + 1) * hp] for i in range(np_)], axis=1)
+        chi, clo = split(rs)
+        out = (jnp.dot(BhT, chi, preferred_element_type=F32) +
+               jnp.dot(BhT, clo, preferred_element_type=F32)) * inv_area
+        if np_ == 1:
+            return [out]
+        return [out[:, i * wp:(i + 1) * wp] for i in range(np_)]
+
+    def box_f(x):
+        return boxes([x])[0]
+
     I = [I_ref[0, c] for c in range(3)]
-    mI = [box_f(c) for c in I]
-    mII = {}
-    for i in range(3):
-        for j in range(i, 3):
-            mII[(i, j)] = box_f(I[i] * I[j])
+    mI = boxes(I)
+    pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    mII_list = boxes([I[i] * I[j] for i, j in pairs])
+    mII = {pr: m for pr, m in zip(pairs, mII_list)}
 
     v = {}
     for i in range(3):
@@ -110,16 +125,17 @@ def _kernel(I_ref, p_ref, Bw_ref, BhT_ref, out_ref, *,
     c22 = v[(0, 0)] * v[(1, 1)] - v[(0, 1)] * v[(0, 1)]
     inv_det = 1.0 / (v[(0, 0)] * c00 + v[(0, 1)] * c01 + v[(0, 2)] * c02)
 
+    del box_f  # every remaining box rides a group
     for c in range(c_src):
         p = p_ref[0, c]
-        mp = box_f(p)
-        cov = [box_f(I[i] * p) - mI[i] * mp for i in range(3)]
+        mp, mip0, mip1, mip2 = boxes([p, I[0] * p, I[1] * p, I[2] * p])
+        cov = [mip0 - mI[0] * mp, mip1 - mI[1] * mp, mip2 - mI[2] * mp]
         a0 = (c00 * cov[0] + c01 * cov[1] + c02 * cov[2]) * inv_det
         a1 = (c01 * cov[0] + c11 * cov[1] + c12 * cov[2]) * inv_det
         a2 = (c02 * cov[0] + c12 * cov[1] + c22 * cov[2]) * inv_det
         b = mp - a0 * mI[0] - a1 * mI[1] - a2 * mI[2]
-        out_ref[0, c] = (box_f(a0) * I[0] + box_f(a1) * I[1] +
-                         box_f(a2) * I[2] + box_f(b))
+        ma0, ma1, ma2, mb = boxes([a0, a1, a2, b])
+        out_ref[0, c] = ma0 * I[0] + ma1 * I[1] + ma2 * I[2] + mb
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps"))
