@@ -312,6 +312,20 @@ def _apply_skip_layers(params, images, cfg: NetworkConfig, *,
                        suffix: str = "", train: bool):
     blobs: Dict[str, Any] = {"__bn_stats__": {}}
     if cfg.num_layers >= 1:
+        from ..ops.cnn_train_pallas import fits_fused_trunk, skip_trunk_pre
+        if (jax.default_backend() == "tpu"
+                and fits_fused_trunk(cfg, images.shape[-1])):
+            # fused VMEM-resident trunk with custom fwd+bwd kernels
+            # (ops/cnn_train_pallas.py) — the XLA per-layer form is
+            # HBM-bound on the skip activations.  Matches the HIGHEST
+            # path to ~1e-5 relative (grads gate-tested).  The
+            # 'concat_skip_layers' blob is not materialized here (no
+            # consumer outside this function).
+            pre = skip_trunk_pre(params, images,
+                                 num_layers=cfg.num_layers, suffix=suffix)
+            blobs["RS_est_before_sigmoid" + suffix] = pre
+            blobs["RS_est" + suffix] = jax.nn.sigmoid(pre)
+            return blobs
         x = images
         skips = []
         for i in range(cfg.num_layers):

@@ -1,0 +1,296 @@
+"""Fused forward+backward Pallas kernels for TRAINING the skip-layers CNN.
+
+The training step's cost is the trunk, not the losses: the XLA per-layer
+formulation round-trips five [B,H,W,32] float32 activation tensors
+(~170 MB each at batch 20 x 256x256) through HBM in both directions —
+measured 12.0 of the 12.1 ms step on v5e.  The same trunk runs at
+1200+ MP/s in the fused inference kernel (ops/cnn_pallas.py), so training
+gets the same treatment:
+
+  * forward: one kernel, all layers chained through VMEM, K-concat bf16x3
+    dots (see cnn_pallas.py's scheme) with *dynamic* weights packed
+    per-step by XLA (tiny [32,96] reshuffles).
+  * backward: one kernel that REMATERIALIZES the forward activations
+    tile-by-tile in VMEM (8.7 Kflop/pixel — far cheaper than storing
+    them), then back-propagates through fuse/concat/ReLU chain and
+    accumulates weight/bias gradients across grid steps with MXU
+    A @ B^T dots (contraction over the pixel axis).
+
+The pair is wired as a jax.custom_vjp around the pre-sigmoid head
+(models/networks.py:_apply_skip_layers dispatches here on TPU), so the
+sigmoid, losses and optimizer stay ordinary XLA.  Gradients match the
+XLA HIGHEST-precision autodiff path to ~1e-5 relative (bf16x3 splits;
+gate-tested in tests/test_cnn_train_pallas.py).
+
+Replaces the reference's per-step Python<->C++ solver round trip
+(SURVEY.md §3.3, train_with_barrista_helper.py:286-294) — here one
+compiled program per step, with the trunk in VMEM end to end.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+BF = jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# dynamic weight packing (XLA-side, per step; all tiny)
+# ---------------------------------------------------------------------------
+
+def _kc3(w_io):
+    """[in, out] f32 -> K-concat bf16x3 layout [out, 3*in] (f32 storage of
+    exactly-bf16 values): W @ x ~= [Whi|Whi|Wlo] @ [xhi; xlo; xhi]."""
+    hi = w_io.astype(BF).astype(F32)
+    lo = (w_io - hi).astype(BF).astype(F32)
+    return jnp.concatenate([hi.T, hi.T, lo.T], axis=1)
+
+
+def _stack3(v):
+    hi = v.astype(BF)
+    lo = (v - hi.astype(F32)).astype(BF)
+    return jnp.concatenate([hi, lo, hi], axis=0)
+
+
+def _dot3(w, v):
+    """K-concat bf16x3 dot: w [m, 3k] (exactly-bf16 f32), v [k, T] f32."""
+    return jnp.dot(w.astype(BF), _stack3(v), preferred_element_type=F32)
+
+
+def _dotT3(a, b):
+    """bf16x3 A @ B^T with contraction over the lane (pixel) axis:
+    a [m, T], b [k, T] f32 -> [m, k] f32."""
+    ahi = a.astype(BF)
+    alo = (a - ahi.astype(F32)).astype(BF)
+    bhi = b.astype(BF)
+    blo = (b - bhi.astype(F32)).astype(BF)
+    dn = (((1,), (1,)), ((), ()))
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dn, preferred_element_type=F32)
+
+    return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_tile(x, w0, b0, wm, bm, n: int, ci: int):
+    """Shared fwd recompute: returns list of activations h_0..h_{n-1}."""
+    h = jnp.maximum(_dot3(w0, x[:ci]) + b0, 0.0)
+    hs = [h]
+    for i in range(n - 1):
+        h = jnp.maximum(_dot3(wm[i], h) + bm[i], 0.0)
+        hs.append(h)
+    return hs
+
+
+def _fwd_kernel(x_ref, w0, b0, wm, bm, wf, bf, pre_ref, *, n: int, ci: int):
+    hs = _fwd_tile(x_ref[...], w0[...], b0[...], wm, bm, n, ci)
+    cat = hs[0] if n == 1 else jnp.concatenate(hs, axis=0)
+    pre_ref[...] = _dot3(wf[...], cat) + bf[...]
+
+
+def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfT, wmT,
+                dw0_ref, dwm_ref, dwf_ref, *, n: int, ci: int, f: int):
+    """Recompute fwd, backprop, accumulate param grads across grid steps.
+
+    Output layout (lane-padded to 128):
+      dw0_ref [f, 128]        cols 0..ci-1 = dW0^T(io->oi), col ci = db0
+      dwm_ref [n-1, f, 128]   cols 0..f-1  = dW_i,          col f  = db_i
+      dwf_ref [8, nf+128pad]  rows 0..C-1: cols 0..nf-1 = dWf, col nf = dbf
+    """
+    x = x_ref[...]
+    g = g_ref[...]                       # [8, T] cotangent wrt pre
+    hs = _fwd_tile(x, w0[...], b0[...], wm, bm, n, ci)
+    cat = hs[0] if n == 1 else jnp.concatenate(hs, axis=0)
+
+    # fuse head
+    dwf = _dotT3(g, cat)                 # [8, nf]
+    dbf = jnp.sum(g, axis=1, keepdims=True)
+    dcat = _dot3(wfT[...], g)            # [nf, T]
+
+    # conv chain, last to first
+    dz = None
+    dws = []
+    for i in range(n - 1, -1, -1):
+        dh = dcat[i * f:(i + 1) * f]
+        if i < n - 1:
+            dh = dh + _dot3(wmT[i], dz)
+        dz = jnp.where(hs[i] > 0.0, dh, 0.0)
+        a_prev = hs[i - 1] if i > 0 else x[:ci]
+        dws.append((_dotT3(dz, a_prev), jnp.sum(dz, axis=1, keepdims=True)))
+    dws.reverse()
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw0_ref[...] = jnp.zeros_like(dw0_ref)
+        dwm_ref[...] = jnp.zeros_like(dwm_ref)
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+
+    def lanepad(a, width):
+        # full-lane accumulate: Mosaic dislikes sub-128-lane stores
+        return jnp.pad(a, ((0, 0), (0, width - a.shape[1])))
+
+    dw0, db0 = dws[0]
+    dw0_ref[...] += lanepad(jnp.concatenate([dw0, db0], axis=1), 128)
+    for i in range(1, n):
+        dwi, dbi = dws[i]
+        dwm_ref[i - 1] += lanepad(
+            jnp.concatenate([dwi, dbi], axis=1), 128)
+    dwf_ref[...] += lanepad(
+        jnp.concatenate([dwf, dbf], axis=1), dwf_ref.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+def _pack_fwd(kernels, biases, n, f, cout):
+    """kernels: list of [in, out] f32; biases: list of [out]."""
+    w0 = _kc3(kernels[0])                              # [f, 3ci]
+    b0 = biases[0].reshape(f, 1)
+    if n > 1:
+        wm = jnp.stack([_kc3(k) for k in kernels[1:n]])   # [n-1, f, 3f]
+        bm = jnp.stack([b.reshape(f, 1) for b in biases[1:n]])
+    else:  # dummy (unused) — keeps the pallas signature static
+        wm = jnp.zeros((1, f, 3 * f), F32)
+        bm = jnp.zeros((1, f, 1), F32)
+    wf8 = jnp.zeros((8, n * f), F32).at[:cout].set(kernels[n].T)
+    wf = _kc3(wf8.T)                                   # [8, 3nf]
+    bf = jnp.zeros((8, 1), F32).at[:cout, 0].set(biases[n])
+    return w0, b0, wm, bm, wf, bf
+
+
+def _pack_bwd(kernels, n, f, cout):
+    wfT8 = jnp.zeros((8, n * f), F32).at[:cout].set(kernels[n].T)
+    wfT = _kc3(wfT8)                                   # [nf, 24]
+    if n > 1:
+        wmT = jnp.stack([_kc3(k.T) for k in kernels[1:n]])
+    else:
+        wmT = jnp.zeros((1, f, 3 * f), F32)
+    return wfT, wmT
+
+
+@functools.lru_cache(maxsize=16)
+def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
+    """Returns trunk(kernels, biases, x8) -> pre [8, P] with custom VJP.
+
+    kernels: tuple of n+1 [in, out] f32 (conv0..conv_{n-1}, fuse);
+    biases: tuple of n+1 [out]; x8: [8, P] (rows 0..ci-1 = input).
+    """
+
+    def fwd_impl(kernels, biases, x8):
+        p = x8.shape[1]
+        w0, b0, wm, bm, wf, bf = _pack_fwd(kernels, biases, n, f, cout)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, n=n, ci=ci),
+            out_shape=jax.ShapeDtypeStruct((8, p), F32),
+            grid=(p // tile,),
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x8, w0, b0, wm, bm, wf, bf)
+
+    @jax.custom_vjp
+    def trunk(kernels, biases, x8):
+        return fwd_impl(kernels, biases, x8)
+
+    def trunk_fwd(kernels, biases, x8):
+        return fwd_impl(kernels, biases, x8), (kernels, biases, x8)
+
+    def trunk_bwd(res, g):
+        kernels, biases, x8 = res
+        p = x8.shape[1]
+        w0, b0, wm, bm, _wf, _bf = _pack_fwd(kernels, biases, n, f, cout)
+        wfT, wmT = _pack_bwd(kernels, n, f, cout)
+        nf = n * f
+        nfpad = -(-(nf + 1) // 128) * 128
+        fpad = -(-(f + 1) // 128) * 128
+        dw0, dwm, dwf = pl.pallas_call(
+            functools.partial(_bwd_kernel, n=n, ci=ci, f=f),
+            out_shape=[
+                jax.ShapeDtypeStruct((f, 128), F32),
+                jax.ShapeDtypeStruct((max(n - 1, 1), f, fpad), F32),
+                jax.ShapeDtypeStruct((8, nfpad), F32),
+            ],
+            grid=(p // tile,),
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=[
+                pl.BlockSpec((f, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((max(n - 1, 1), f, fpad), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, nfpad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x8, g, w0, b0, wm, bm, wfT, wmT)
+
+        dkernels = [dw0[:, :ci].T]                    # back to [in, out]
+        dbiases = [dw0[:, ci]]
+        for i in range(1, n):
+            dkernels.append(dwm[i - 1, :, :f].T)
+            dbiases.append(dwm[i - 1, :, f])
+        dkernels.append(dwf[:cout, :nf].T)            # [nf, cout]
+        dbiases.append(dwf[:cout, nf])
+        return (tuple(dkernels), tuple(dbiases), jnp.zeros_like(x8))
+
+    trunk.defvjp(trunk_fwd, trunk_bwd)
+    return trunk
+
+
+def skip_trunk_pre(params: Dict, images, *, num_layers: int,
+                   suffix: str = "", tile: int = 8192):
+    """Fused pre-sigmoid forward of the skip-layers trunk, differentiable
+    w.r.t. params (custom VJP; zero cotangent to images — the trunk input
+    is data).  images [..., ci] f32 -> pre [..., cout] f32.
+
+    Mirrors models/networks.py:_apply_skip_layers for kernel 1x1, no BN
+    (reference factory: training/networks.py:722-850).
+    """
+    n = num_layers
+    names = ["conv{}{}".format(i, suffix) for i in range(n)]
+    names.append("fuse_skip_layers" + suffix)
+    kernels = tuple(params[m]["kernel"][0, 0] for m in names)
+    biases = tuple(params[m]["bias"] for m in names)
+    ci = kernels[0].shape[0]
+    f = kernels[0].shape[1]
+    cout = kernels[-1].shape[1]
+
+    lead = images.shape[:-1]
+    p = int(np.prod(lead))
+    ppad = -(-p // tile) * tile
+    x8 = jnp.zeros((8, ppad), F32).at[:ci, :p].set(
+        jnp.moveaxis(images.reshape(p, ci), -1, 0))
+    pre = _make_trunk(n, ci, f, cout, tile)(kernels, biases, x8)
+    return jnp.moveaxis(pre[:cout, :p], 0, -1).reshape(lead + (cout,))
+
+
+def fits_fused_trunk(cfg, in_channels: int) -> bool:
+    """Eligibility: 1x1 kernels, no padding, no batch-norm, small channel
+    counts (the whole flagship family)."""
+    return (cfg.kernel == 1 and cfg.pad == 0
+            and not cfg.use_batch_normalization
+            and cfg.num_layers >= 1 and in_channels <= 8
+            and cfg.num_filters % 8 == 0 and 8 <= cfg.num_filters <= 256
+            and cfg.num_output_final <= 8)

@@ -1,0 +1,91 @@
+"""Fused training trunk (ops/cnn_train_pallas.py) vs XLA autodiff.
+
+The custom-vjp pair must reproduce the HIGHEST-precision XLA path's
+forward AND parameter gradients (the reference's hand-derived layer
+gradients are replaced by autodiff — SURVEY.md §4.6; this kernel must
+not reintroduce silent gradient drift)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from reflectance_filtering_tpu.models.networks import (
+    NetworkConfig, apply_network, init_network)
+from reflectance_filtering_tpu.ops.cnn_train_pallas import (
+    fits_fused_trunk, skip_trunk_pre)
+
+
+def _grad_pair(cfg, seed=1, shape=(2, 48, 64)):
+    params = init_network(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.RandomState(0)
+    b, h, w = shape
+    imgs = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    cot = jnp.asarray(
+        rng.rand(b, h, w, cfg.num_output_final).astype(np.float32))
+
+    def xla_loss(p):
+        blobs = apply_network(p, imgs, cfg, train=True)
+        return jnp.sum(blobs["RS_est_before_sigmoid"] * cot)
+
+    def fused_loss(p):
+        pre = skip_trunk_pre(p, imgs, num_layers=cfg.num_layers, tile=512)
+        return jnp.sum(pre * cot)
+
+    lx, gx = jax.value_and_grad(xla_loss)(params)
+    with pltpu.force_tpu_interpret_mode():
+        lf, gf = jax.value_and_grad(fused_loss)(params)
+    return (lx, gx), (lf, gf)
+
+
+def _assert_close(gx, gf, tol=5e-5):
+    for k in gx:
+        for part in ("kernel", "bias"):
+            a = np.asarray(gx[k][part])
+            b = np.asarray(gf[k][part])
+            scale = np.abs(a).max() + 1e-30
+            err = np.abs(a - b).max() / scale
+            assert err < tol, (k, part, err)
+
+
+@pytest.mark.parametrize("num_layers,nfl", [(5, 5), (2, 4), (1, 5)])
+def test_fused_trunk_grads_match_autodiff(num_layers, nfl):
+    cfg = NetworkConfig(network_type="convStaticSkipLayers",
+                        num_layers=num_layers, num_filters_log=nfl,
+                        kernel_pad=0, rs_est_mode="rDirectly")
+    assert fits_fused_trunk(cfg, 3)
+    (lx, gx), (lf, gf) = _grad_pair(cfg)
+    assert abs(float(lx) - float(lf)) / (abs(float(lx)) + 1e-30) < 1e-5
+    _assert_close(gx, gf)
+
+
+def test_fused_trunk_multi_output_head():
+    """RS mode: 6-channel head (networks.py:95-111 channel table)."""
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=3,
+                        num_filters_log=4, kernel_pad=0, rs_est_mode="RS")
+    assert cfg.num_output_final == 6
+    assert fits_fused_trunk(cfg, 3)
+    (lx, gx), (lf, gf) = _grad_pair(cfg)
+    assert abs(float(lx) - float(lf)) / (abs(float(lx)) + 1e-30) < 1e-5
+    _assert_close(gx, gf, tol=2e-4)  # 6-ch head: larger bf16x3 roundoff
+
+
+def test_fused_trunk_odd_pixel_count():
+    """Non-tile-multiple pixel counts exercise the zero-padded tail."""
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    (lx, gx), (lf, gf) = _grad_pair(cfg, shape=(1, 37, 53))
+    assert abs(float(lx) - float(lf)) / (abs(float(lx)) + 1e-30) < 1e-5
+    _assert_close(gx, gf)
+
+
+def test_fused_trunk_eligibility_gates():
+    bn = NetworkConfig(network_type="convStaticSkipLayers",
+                       use_batch_normalization=True, kernel_pad=0)
+    assert not fits_fused_trunk(bn, 3)
+    k3 = NetworkConfig(network_type="convStaticSkipLayers", kernel_pad=1)
+    assert not fits_fused_trunk(k3, 3)
+    assert not fits_fused_trunk(
+        NetworkConfig(network_type="convStaticSkipLayers", kernel_pad=0), 9)
