@@ -99,14 +99,20 @@ def _fwd_kernel(x_ref, w0, b0, wm, bm, wf, bf, pre_ref, *, n: int, ci: int):
     pre_ref[...] = _dot3(wf[...], cat) + bf[...]
 
 
-def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfT, wmT,
-                dw0_ref, dwm_ref, dwf_ref, *, n: int, ci: int, f: int):
+def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfT, wmT, w0T,
+                dw0_ref, dwm_ref, dwf_ref, dx_ref, *,
+                n: int, ci: int, f: int):
     """Recompute fwd, backprop, accumulate param grads across grid steps.
 
     Output layout (lane-padded to 128):
       dw0_ref [f, 128]        cols 0..ci-1 = dW0^T(io->oi), col ci = db0
       dwm_ref [n-1, f, 128]   cols 0..f-1  = dW_i,          col f  = db_i
       dwf_ref [8, nf+128pad]  rows 0..C-1: cols 0..nf-1 = dWf, col nf = dbf
+      dx_ref  [8, T]          input cotangent (rows 0..ci-1) — REQUIRED
+                              for cascadeSkipLayers, whose level-1 input
+                              is level-0's recovered reflectance: the
+                              final loss must reach level-0's params
+                              through this path (networks.py:853-1146).
     """
     x = x_ref[...]
     g = g_ref[...]                       # [8, T] cotangent wrt pre
@@ -129,6 +135,8 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfT, wmT,
         a_prev = hs[i - 1] if i > 0 else x[:ci]
         dws.append((_dotT3(dz, a_prev), jnp.sum(dz, axis=1, keepdims=True)))
     dws.reverse()
+    dx = _dot3(w0T[...], dz)                 # [ci, T]
+    dx_ref[...] = jnp.pad(dx, ((0, 8 - ci), (0, 0)))
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -170,14 +178,15 @@ def _pack_fwd(kernels, biases, n, f, cout):
     return w0, b0, wm, bm, wf, bf
 
 
-def _pack_bwd(kernels, n, f, cout):
+def _pack_bwd(kernels, n, f, cout, ci):
     wfT8 = jnp.zeros((8, n * f), F32).at[:cout].set(kernels[n].T)
     wfT = _kc3(wfT8)                                   # [nf, 24]
     if n > 1:
         wmT = jnp.stack([_kc3(k.T) for k in kernels[1:n]])
     else:
         wmT = jnp.zeros((1, f, 3 * f), F32)
-    return wfT, wmT
+    w0T = _kc3(kernels[0].T)                           # [ci, 3f]
+    return wfT, wmT, w0T
 
 
 @functools.lru_cache(maxsize=16)
@@ -216,16 +225,17 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
         kernels, biases, x8 = res
         p = x8.shape[1]
         w0, b0, wm, bm, _wf, _bf = _pack_fwd(kernels, biases, n, f, cout)
-        wfT, wmT = _pack_bwd(kernels, n, f, cout)
+        wfT, wmT, w0T = _pack_bwd(kernels, n, f, cout, ci)
         nf = n * f
         nfpad = -(-(nf + 1) // 128) * 128
         fpad = -(-(f + 1) // 128) * 128
-        dw0, dwm, dwf = pl.pallas_call(
+        dw0, dwm, dwf, dx8 = pl.pallas_call(
             functools.partial(_bwd_kernel, n=n, ci=ci, f=f),
             out_shape=[
                 jax.ShapeDtypeStruct((f, 128), F32),
                 jax.ShapeDtypeStruct((max(n - 1, 1), f, fpad), F32),
                 jax.ShapeDtypeStruct((8, nfpad), F32),
+                jax.ShapeDtypeStruct((8, p), F32),
             ],
             grid=(p // tile,),
             in_specs=[
@@ -233,7 +243,7 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
             out_specs=[
                 pl.BlockSpec((f, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -241,10 +251,12 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, nfpad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(x8, g, w0, b0, wm, bm, wfT, wmT)
+        )(x8, g, w0, b0, wm, bm, wfT, wmT, w0T)
 
         dkernels = [dw0[:, :ci].T]                    # back to [in, out]
         dbiases = [dw0[:, ci]]
@@ -253,7 +265,7 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
             dbiases.append(dwm[i - 1, :, f])
         dkernels.append(dwf[:cout, :nf].T)            # [nf, cout]
         dbiases.append(dwf[:cout, nf])
-        return (tuple(dkernels), tuple(dbiases), jnp.zeros_like(x8))
+        return (tuple(dkernels), tuple(dbiases), dx8)
 
     trunk.defvjp(trunk_fwd, trunk_bwd)
     return trunk
@@ -262,8 +274,8 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
 def skip_trunk_pre(params: Dict, images, *, num_layers: int,
                    suffix: str = "", tile: int = 8192):
     """Fused pre-sigmoid forward of the skip-layers trunk, differentiable
-    w.r.t. params (custom VJP; zero cotangent to images — the trunk input
-    is data).  images [..., ci] f32 -> pre [..., cout] f32.
+    w.r.t. params AND images (cascadeSkipLayers feeds level-1 from
+    level-0's output).  images [..., ci] f32 -> pre [..., cout] f32.
 
     Mirrors models/networks.py:_apply_skip_layers for kernel 1x1, no BN
     (reference factory: training/networks.py:722-850).

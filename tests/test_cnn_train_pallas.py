@@ -81,6 +81,74 @@ def test_fused_trunk_odd_pixel_count():
     _assert_close(gx, gf)
 
 
+def test_fused_trunk_input_cotangent():
+    """Gradients must flow through the trunk INPUT: cascadeSkipLayers
+    feeds level-1 from level-0's recovered reflectance, so a zero input
+    cotangent would silently starve level-0 of the final loss's signal."""
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(1, 24, 40, 3).astype(np.float32))
+    cot = jnp.asarray(rng.rand(1, 24, 40, 1).astype(np.float32))
+
+    def xla_loss(im):
+        blobs = apply_network(params, im, cfg, train=True)
+        return jnp.sum(blobs["RS_est_before_sigmoid"] * cot)
+
+    def fused_loss(im):
+        pre = skip_trunk_pre(params, im, num_layers=cfg.num_layers,
+                             tile=512)
+        return jnp.sum(pre * cot)
+
+    gx = jax.grad(xla_loss)(imgs)
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(fused_loss)(imgs)
+    a, b = np.asarray(gx), np.asarray(gf)
+    assert np.abs(a).max() > 0
+    assert np.abs(a - b).max() / np.abs(a).max() < 5e-5
+
+
+def test_fused_trunk_cascade_level0_gets_final_loss_grads():
+    """End-to-end cascade: level-0 params receive gradient from a loss on
+    the level-1 output (through recover + the level-1 trunk input)."""
+    cfg = NetworkConfig(network_type="cascadeSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.rand(1, 24, 40, 3).astype(np.float32))
+
+    def xla_loss(p):
+        return jnp.sum(apply_network(p, imgs, cfg, train=True)["RS_est"])
+
+    gx = jax.grad(xla_loss)(params)
+
+    def fused_loss(p):
+        # route both levels through the fused trunk by monkeypatching
+        # the backend gate is CPU here; call skip_trunk_pre directly to
+        # mirror what the TPU dispatch builds
+        from reflectance_filtering_tpu.models.networks import (
+            recover_reflectance_shading)
+        pre0 = skip_trunk_pre(p, imgs, num_layers=cfg.num_layers,
+                              suffix="_level0", tile=512)
+        refl0, _ = recover_reflectance_shading(
+            jax.nn.sigmoid(pre0), imgs, "rRelMax")
+        pre1 = skip_trunk_pre(p, refl0, num_layers=cfg.num_layers,
+                              suffix="_level1", tile=512)
+        return jnp.sum(jax.nn.sigmoid(pre1))
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(fused_loss)(params)
+    for name in ("conv0_level0", "conv1_level0", "fuse_skip_layers_level0"):
+        a = np.asarray(gx[name]["kernel"])
+        b = np.asarray(gf[name]["kernel"])
+        assert np.abs(a).max() > 0, name
+        err = np.abs(a - b).max() / np.abs(a).max()
+        assert err < 1e-4, (name, err)
+
+
 def test_fused_trunk_eligibility_gates():
     bn = NetworkConfig(network_type="convStaticSkipLayers",
                        use_batch_normalization=True, kernel_pad=0)
