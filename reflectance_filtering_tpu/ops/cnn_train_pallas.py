@@ -45,18 +45,15 @@ BF = jnp.bfloat16
 # dynamic weight packing (XLA-side, per step; all tiny)
 # ---------------------------------------------------------------------------
 
+from .cnn_pallas import _stack3  # [xhi; xlo; xhi] — shared with inference
+
+
 def _kc3(w_io):
     """[in, out] f32 -> K-concat bf16x3 layout [out, 3*in] (f32 storage of
     exactly-bf16 values): W @ x ~= [Whi|Whi|Wlo] @ [xhi; xlo; xhi]."""
     hi = w_io.astype(BF).astype(F32)
     lo = (w_io - hi).astype(BF).astype(F32)
     return jnp.concatenate([hi.T, hi.T, lo.T], axis=1)
-
-
-def _stack3(v):
-    hi = v.astype(BF)
-    lo = (v - hi.astype(F32)).astype(BF)
-    return jnp.concatenate([hi, lo, hi], axis=0)
 
 
 def _dot3(w, v):
@@ -149,11 +146,12 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfT, wmT, w0T,
         return jnp.pad(a, ((0, 0), (0, width - a.shape[1])))
 
     dw0, db0 = dws[0]
-    dw0_ref[...] += lanepad(jnp.concatenate([dw0, db0], axis=1), 128)
+    dw0_ref[...] += lanepad(jnp.concatenate([dw0, db0], axis=1),
+                            dw0_ref.shape[1])
     for i in range(1, n):
         dwi, dbi = dws[i]
         dwm_ref[i - 1] += lanepad(
-            jnp.concatenate([dwi, dbi], axis=1), 128)
+            jnp.concatenate([dwi, dbi], axis=1), dwm_ref.shape[2])
     dwf_ref[...] += lanepad(
         jnp.concatenate([dwf, dbf], axis=1), dwf_ref.shape[1])
 
@@ -162,8 +160,9 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfT, wmT, w0T,
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
-def _pack_fwd(kernels, biases, n, f, cout):
-    """kernels: list of [in, out] f32; biases: list of [out]."""
+def _pack_convs(kernels, biases, n, f):
+    """Conv-chain operands shared by fwd and bwd recompute.
+    kernels: list of [in, out] f32; biases: list of [out]."""
     w0 = _kc3(kernels[0])                              # [f, 3ci]
     b0 = biases[0].reshape(f, 1)
     if n > 1:
@@ -172,15 +171,22 @@ def _pack_fwd(kernels, biases, n, f, cout):
     else:  # dummy (unused) — keeps the pallas signature static
         wm = jnp.zeros((1, f, 3 * f), F32)
         bm = jnp.zeros((1, f, 1), F32)
-    wf8 = jnp.zeros((8, n * f), F32).at[:cout].set(kernels[n].T)
-    wf = _kc3(wf8.T)                                   # [8, 3nf]
+    return w0, b0, wm, bm
+
+
+def _fuse_t8(kernels, n, f, cout):
+    """Fuse weight as [8, nf] (rows 0..cout-1 = Wf^T, rest zero)."""
+    return jnp.zeros((8, n * f), F32).at[:cout].set(kernels[n].T)
+
+
+def _pack_head(kernels, biases, n, f, cout):
+    wf = _kc3(_fuse_t8(kernels, n, f, cout).T)         # [8, 3nf]
     bf = jnp.zeros((8, 1), F32).at[:cout, 0].set(biases[n])
-    return w0, b0, wm, bm, wf, bf
+    return wf, bf
 
 
-def _pack_bwd(kernels, n, f, cout, ci):
-    wfT8 = jnp.zeros((8, n * f), F32).at[:cout].set(kernels[n].T)
-    wfT = _kc3(wfT8)                                   # [nf, 24]
+def _pack_bwd(kernels, n, f, cout):
+    wfT = _kc3(_fuse_t8(kernels, n, f, cout))          # [nf, 24]
     if n > 1:
         wmT = jnp.stack([_kc3(k.T) for k in kernels[1:n]])
     else:
@@ -199,7 +205,8 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
 
     def fwd_impl(kernels, biases, x8):
         p = x8.shape[1]
-        w0, b0, wm, bm, wf, bf = _pack_fwd(kernels, biases, n, f, cout)
+        w0, b0, wm, bm = _pack_convs(kernels, biases, n, f)
+        wf, bf = _pack_head(kernels, biases, n, f, cout)
         return pl.pallas_call(
             functools.partial(_fwd_kernel, n=n, ci=ci),
             out_shape=jax.ShapeDtypeStruct((8, p), F32),
@@ -224,8 +231,8 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
     def trunk_bwd(res, g):
         kernels, biases, x8 = res
         p = x8.shape[1]
-        w0, b0, wm, bm, _wf, _bf = _pack_fwd(kernels, biases, n, f, cout)
-        wfT, wmT, w0T = _pack_bwd(kernels, n, f, cout, ci)
+        w0, b0, wm, bm = _pack_convs(kernels, biases, n, f)
+        wfT, wmT, w0T = _pack_bwd(kernels, n, f, cout)
         nf = n * f
         nfpad = -(-(nf + 1) // 128) * 128
         fpad = -(-(f + 1) // 128) * 128

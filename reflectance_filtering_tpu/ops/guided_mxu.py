@@ -15,12 +15,16 @@ no plane may assume bf16-exact u8 ints).  Max abs error vs a float64
 oracle is ~2e-4 in 0-255 output units — 2500x inside the <=0.5 uint8
 parity threshold (gate-tested).
 
-Measured v5e, batch 32 x 256x256, color guide, r=45: ~1170 MP/s vs 623
-for the chain-doubling two-kernel fused path — ~64 MXU passes/image vs
-~17 serial O(log w) shift/add chains, and one HBM round trip.  Boxes are
-issued in GROUPS sharing dots (planes ride M in the row pass, lanes in
-the col pass): at these tile sizes the kernel is dot-issue-overhead
-bound, not FLOP bound, and grouping is worth ~5% over per-plane dots.
+Measured v5e, batch 32 x 256x256, color guide, r=45, same-session
+head-to-head: per-plane dots 1117 MP/s, grouped dots 1171 MP/s (+5%),
+vs 623 for the chain-doubling two-kernel fused path — ~64 MXU
+passes/image vs ~17 serial O(log w) shift/add chains, and one HBM round
+trip.  (An earlier session recorded 1552 for the per-plane form; the
+axon tunnel's absolute rates vary day to day — trust same-session
+ratios, not cross-session absolutes.)  Boxes are issued in GROUPS
+sharing dots (planes ride M in the row pass, lanes in the col pass): at
+these tile sizes the kernel is dot-issue-overhead bound, not FLOP
+bound.
 
 Applicability: whole image planes must fit VMEM (fits_mxu_guided); larger
 frames fall back to the banded/tiled path (ops/guided_pallas.py).
@@ -103,9 +107,6 @@ def _kernel(I_ref, p_ref, Bw_ref, BhT_ref, out_ref, *,
             return [out]
         return [out[:, i * wp:(i + 1) * wp] for i in range(np_)]
 
-    def box_f(x):
-        return boxes([x])[0]
-
     I = [I_ref[0, c] for c in range(3)]
     mI = boxes(I)
     pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
@@ -125,7 +126,6 @@ def _kernel(I_ref, p_ref, Bw_ref, BhT_ref, out_ref, *,
     c22 = v[(0, 0)] * v[(1, 1)] - v[(0, 1)] * v[(0, 1)]
     inv_det = 1.0 / (v[(0, 0)] * c00 + v[(0, 1)] * c01 + v[(0, 2)] * c02)
 
-    del box_f  # every remaining box rides a group
     for c in range(c_src):
         p = p_ref[0, c]
         mp, mip0, mip1, mip2 = boxes([p, I[0] * p, I[1] * p, I[2] * p])

@@ -49,15 +49,17 @@ def _assert_close(gx, gf, tol=5e-5):
             assert err < tol, (k, part, err)
 
 
-@pytest.mark.parametrize("num_layers,nfl", [(5, 5), (2, 4), (1, 5)])
+@pytest.mark.parametrize("num_layers,nfl", [(5, 5), (2, 4), (1, 5),
+                                            (2, 7)])  # 7: f=128 lanepad
 def test_fused_trunk_grads_match_autodiff(num_layers, nfl):
     cfg = NetworkConfig(network_type="convStaticSkipLayers",
                         num_layers=num_layers, num_filters_log=nfl,
                         kernel_pad=0, rs_est_mode="rDirectly")
     assert fits_fused_trunk(cfg, 3)
     (lx, gx), (lf, gf) = _grad_pair(cfg)
-    assert abs(float(lx) - float(lf)) / (abs(float(lx)) + 1e-30) < 1e-5
-    _assert_close(gx, gf)
+    # wider nets accumulate more bf16x3 roundoff in the summed loss
+    assert abs(float(lx) - float(lf)) / (abs(float(lx)) + 1e-30) < 1e-4
+    _assert_close(gx, gf, tol=2e-4)
 
 
 def test_fused_trunk_multi_output_head():
