@@ -63,6 +63,30 @@ class TrainState:
     samples: int = 0       # samples processed (the reference's 'iter')
 
 
+# Whole-dataset device residency cap for fit()'s feeding path: the v5e
+# has 16 GB HBM; leave headroom for params/activations/compiler scratch.
+DEVICE_FEED_BUDGET_BYTES = 8 * 1024 ** 3
+
+# Steps per jitted scan chunk in fit()'s device-resident trainer.  Large
+# enough to amortize the per-dispatch host round trip, small enough that
+# checkpoint-boundary remainder chunks stay few (one compile per
+# distinct length).
+TRAIN_CHUNK_STEPS = 32
+
+
+def _drain_chunk(pending, fan_out_metrics, maybe_checkpoint,
+                 batch_size: int):
+    """Host-side fan-out of one completed scan chunk: ONE device sync
+    for the stacked metrics, then per-step callback delivery in order."""
+    step0, k, samples0, stacked, st = pending
+    host = {key: np.asarray(v) for key, v in stacked.items()}
+    for j in range(k):
+        fan_out_metrics(step0 + j, samples0 + (j + 1) * batch_size,
+                        {key: float(a[j]) for key, a in host.items()
+                         if a.ndim == 1})
+    maybe_checkpoint(st)
+
+
 def make_optimizer(solver_type: str = "ADAM", base_lr: float = 0.001):
     """helper:447-460."""
     if solver_type in ("SGD", "sgd"):
@@ -138,13 +162,11 @@ def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
     return total, metrics
 
 
-def make_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
+def _make_step_body(net_cfg: NetworkConfig, loss_cfg: LossConfig,
                     optimizer) -> Callable:
-    """Build the jitted step: forward + autodiff backward + optax update
-    (+ BatchNorm running-stat EMA), one XLA program.
-
-    Signature: (params, opt_state, images, comparisons, key,
-    metric_comparisons=None) -> (params, opt_state, metrics)."""
+    """Pure (un-jitted) step body shared by the per-step and the
+    scan-chunked trainers: forward + autodiff backward + optax update
+    (+ BatchNorm running-stat EMA)."""
     from ..models.networks import update_bn_stats
 
     def loss_fn(params, images, comparisons, metric_comparisons, key):
@@ -152,9 +174,8 @@ def make_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
                               loss_cfg, key, train=True,
                               metric_comparisons=metric_comparisons)
 
-    @jax.jit
-    def _step(params, opt_state, images, comparisons, metric_comparisons,
-              key):
+    def body(params, opt_state, images, comparisons, metric_comparisons,
+             key):
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, images, comparisons,
                                    metric_comparisons, key)
@@ -165,6 +186,17 @@ def make_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
             params = update_bn_stats(params, bn_stats)
         return params, opt_state, metrics
 
+    return body
+
+
+def make_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
+                    optimizer) -> Callable:
+    """Build the jitted step — one XLA program.
+
+    Signature: (params, opt_state, images, comparisons, key,
+    metric_comparisons=None) -> (params, opt_state, metrics)."""
+    _step = jax.jit(_make_step_body(net_cfg, loss_cfg, optimizer))
+
     def step(params, opt_state, images, comparisons, key,
              metric_comparisons=None):
         if metric_comparisons is None:
@@ -173,6 +205,63 @@ def make_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
                      metric_comparisons, key)
 
     return step
+
+
+def make_train_chunk(net_cfg: NetworkConfig, loss_cfg: LossConfig,
+                     optimizer, images_v, comps_v, metric_v,
+                     batch_size: int) -> Callable:
+    """Scan-chunked trainer over a DEVICE-RESIDENT dataset.
+
+    Runs ``k`` consecutive steps inside one jitted lax.scan and returns
+    per-step metrics stacked along axis 0 — the host syncs once per
+    chunk instead of once per step (each readback is a full device
+    round trip; on the axon tunnel that sync dominated a 4 ms step).
+    Per-step values, batch order (sequential cycling, helper:286), and
+    per-step RNG (fold_in(root, global_step)) are identical to the
+    per-step trainer.
+
+    Signature: chunk(params, opt_state, root_key, step0, cursor0, k)
+    -> (params, opt_state, stacked_metrics); step0/cursor0 are traced
+    (one compile per distinct k).
+    """
+    body = _make_step_body(net_cfg, loss_cfg, optimizer)
+    n = images_v.shape[0]
+
+    # Sequential cycling means every batch is a CONTIGUOUS row range
+    # modulo n.  A jnp.take row gather inside the scan measured ~1 s per
+    # step on v5e (TPU gathers of large rows scalarize); wrap-pad the
+    # datasets by batch_size-1 rows once so every batch is ONE
+    # dynamic_slice (a single DMA).
+    def wrap_pad(a):
+        return jnp.concatenate([a, a[:batch_size - 1]], axis=0) \
+            if batch_size > 1 else a
+
+    images_e = wrap_pad(images_v)
+    comps_e = wrap_pad(comps_v)
+    metric_e = wrap_pad(metric_v)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chunk(params, opt_state, root_key, step0, cursor0, k: int):
+        def scan_body(carry, s):
+            params, opt_state = carry
+            start = (cursor0 + s * batch_size) % n
+            b_images = jax.lax.dynamic_slice_in_dim(
+                images_e, start, batch_size, 0)
+            b_comps = jax.lax.dynamic_slice_in_dim(
+                comps_e, start, batch_size, 0)
+            b_metric = jax.lax.dynamic_slice_in_dim(
+                metric_e, start, batch_size, 0)
+            key = jax.random.fold_in(root_key, step0 + s)
+            params, opt_state, metrics = body(
+                params, opt_state, b_images, b_comps, b_metric, key)
+            return (params, opt_state), metrics
+
+        (params, opt_state), stacked = jax.lax.scan(
+            scan_body, (params, opt_state),
+            jnp.arange(k, dtype=jnp.int32))
+        return params, opt_state, stacked
+
+    return chunk
 
 
 def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
@@ -220,32 +309,102 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
     state = TrainState(params, opt_state, base_steps, base_samples)
     num_steps = (iterations - base_samples) // batch_size
     cursor = base_samples % n
-    for s in range(num_steps):
-        idx = (cursor + np.arange(batch_size)) % n
-        cursor = (cursor + batch_size) % n
-        step_key = jax.random.fold_in(root_key, base_steps + s)
-        params, opt_state, metrics = step_fn(
-            state.params, state.opt_state,
-            jnp.asarray(images[idx]), jnp.asarray(comps[idx]), step_key,
-            jnp.asarray(metric_comps[idx]))
-        state = TrainState(params, opt_state, base_steps + s + 1,
-                           base_samples + (s + 1) * batch_size)
 
-        host_metrics = {k: float(v) for k, v in metrics.items()
-                        if np.ndim(v) == 0}
+    # Device-resident feeding: with the fused trunk the step is ~4 ms,
+    # so the per-step host->device copy of a ~16 MB batch (a ~3 GB/s
+    # tunnel on axon) would dominate.  Upload the whole set once when it
+    # fits comfortably in HBM and gather batches on device; 'augmented'
+    # IIW blobs (~9 GB with images) fall back to per-step feeding.
+    feed_bytes = images.nbytes + comps.nbytes + metric_comps.nbytes
+    on_device = feed_bytes <= DEVICE_FEED_BUDGET_BYTES
+    if on_device:
+        images_v = jax.device_put(jnp.asarray(images))
+        comps_v = jax.device_put(jnp.asarray(comps))
+        metric_v = jax.device_put(jnp.asarray(metric_comps))
+
+    def fan_out_metrics(s_global, samples, host_metrics):
         # callbacks see the GLOBAL step so a resumed run keeps the step
         # sequence monotonic (JsonlLogger records / print cadence)
         for cb in callbacks:  # each: (step, metrics) -> metrics | None
-            out = cb(base_steps + s, host_metrics)
+            out = cb(s_global, host_metrics)
             if isinstance(out, dict):
                 host_metrics = out
         if progress is not None:
-            progress(base_steps + s, state.samples, host_metrics)
+            progress(s_global, samples, host_metrics)
+
+    def maybe_checkpoint(st):
         if checkpointer is not None:
-            saved = checkpointer.maybe_save(state.samples, state.params,
-                                            state.opt_state)
+            saved = checkpointer.maybe_save(st.samples, st.params,
+                                            st.opt_state)
             if saved and on_checkpoint is not None:
-                on_checkpoint(state.samples, state.params)
+                on_checkpoint(st.samples, st.params)
+
+    if on_device and num_steps > 0:
+        # Scan-chunked trainer: k steps per device program, one host
+        # sync per chunk (stacked per-step metrics), chunk boundaries
+        # aligned so every checkpoint step is the LAST step of its chunk
+        # (params are only materialized at chunk ends).  Values, batch
+        # order, per-step RNG and callback order are identical to the
+        # per-step trainer (gate: the resume-equivalence tests).
+        chunk_fn = make_train_chunk(net_cfg, loss_cfg, optimizer,
+                                    images_v, comps_v, metric_v,
+                                    batch_size)
+
+        def chunk_len(s):
+            limit = min(s + TRAIN_CHUNK_STEPS, num_steps)
+            if checkpointer is not None:
+                for j in range(s, limit):
+                    if (base_samples + (j + 1) * batch_size) \
+                            % checkpointer.interval == 0:
+                        return j - s + 1
+            return limit - s
+
+        pending = None    # (step0, k, samples0, stacked_metrics, state)
+        s = 0
+        while s < num_steps:
+            k = chunk_len(s)
+            params, opt_state, stacked = chunk_fn(
+                state.params, state.opt_state, root_key,
+                base_steps + s, (base_samples + s * batch_size) % n, k)
+            state = TrainState(params, opt_state, base_steps + s + k,
+                               base_samples + (s + k) * batch_size)
+            if pending is not None:
+                _drain_chunk(pending, fan_out_metrics, maybe_checkpoint,
+                             batch_size)
+            pending = (base_steps + s, k,
+                       base_samples + s * batch_size, stacked, state)
+            s += k
+        if pending is not None:
+            _drain_chunk(pending, fan_out_metrics, maybe_checkpoint,
+                         batch_size)
+    else:
+        # Per-step trainer (host-fed datasets).  The host fan-out for
+        # step s (float() readbacks = device sync) runs after step s+1
+        # is DISPATCHED, so monitor work overlaps device compute.
+        pending = None
+        for s in range(num_steps):
+            idx = (cursor + np.arange(batch_size)) % n
+            cursor = (cursor + batch_size) % n
+            step_key = jax.random.fold_in(root_key, base_steps + s)
+            params, opt_state, metrics = step_fn(
+                state.params, state.opt_state,
+                jnp.asarray(images[idx]), jnp.asarray(comps[idx]),
+                step_key, jnp.asarray(metric_comps[idx]))
+            state = TrainState(params, opt_state, base_steps + s + 1,
+                               base_samples + (s + 1) * batch_size)
+            if pending is not None:
+                s_g, st, mets = pending
+                fan_out_metrics(s_g, st.samples,
+                                {k: float(v) for k, v in mets.items()
+                                 if np.ndim(v) == 0})
+                maybe_checkpoint(st)
+            pending = (base_steps + s, state, metrics)
+        if pending is not None:
+            s_g, st, mets = pending
+            fan_out_metrics(s_g, st.samples,
+                            {k: float(v) for k, v in mets.items()
+                             if np.ndim(v) == 0})
+            maybe_checkpoint(st)
     if checkpointer is not None and num_steps > 0:
         saved = checkpointer.maybe_save(state.samples, state.params,
                                         state.opt_state, finalize=True)
