@@ -210,7 +210,9 @@ def make_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
 def make_train_chunk(net_cfg: NetworkConfig, loss_cfg: LossConfig,
                      optimizer, images_v, comps_v, metric_v,
                      batch_size: int) -> Callable:
-    """Scan-chunked trainer over a DEVICE-RESIDENT dataset.
+    """Scan-chunked trainer over a DEVICE-RESIDENT dataset
+    (``images_v``/``comps_v``/``metric_v`` wrap-padded by batch_size-1
+    rows; the true dataset length is rows - (batch_size-1)).
 
     Runs ``k`` consecutive steps inside one jitted lax.scan and returns
     per-step metrics stacked along axis 0 — the host syncs once per
@@ -225,20 +227,12 @@ def make_train_chunk(net_cfg: NetworkConfig, loss_cfg: LossConfig,
     (one compile per distinct k).
     """
     body = _make_step_body(net_cfg, loss_cfg, optimizer)
-    n = images_v.shape[0]
-
-    # Sequential cycling means every batch is a CONTIGUOUS row range
-    # modulo n.  A jnp.take row gather inside the scan measured ~1 s per
-    # step on v5e (TPU gathers of large rows scalarize); wrap-pad the
-    # datasets by batch_size-1 rows once so every batch is ONE
-    # dynamic_slice (a single DMA).
-    def wrap_pad(a):
-        return jnp.concatenate([a, a[:batch_size - 1]], axis=0) \
-            if batch_size > 1 else a
-
-    images_e = wrap_pad(images_v)
-    comps_e = wrap_pad(comps_v)
-    metric_e = wrap_pad(metric_v)
+    # inputs arrive WRAP-PADDED by batch_size-1 rows (fit() pads on the
+    # host): sequential cycling makes every batch a contiguous row
+    # range, so each batch is ONE dynamic_slice — a jnp.take row gather
+    # inside the scan measured ~1 s/step on v5e (TPU gathers scalarize)
+    n = images_v.shape[0] - (batch_size - 1)
+    images_e, comps_e, metric_e = images_v, comps_v, metric_v
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def chunk(params, opt_state, root_key, step0, cursor0, k: int):
@@ -318,9 +312,18 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
     feed_bytes = images.nbytes + comps.nbytes + metric_comps.nbytes
     on_device = feed_bytes <= DEVICE_FEED_BUDGET_BYTES
     if on_device:
-        images_v = jax.device_put(jnp.asarray(images))
-        comps_v = jax.device_put(jnp.asarray(comps))
-        metric_v = jax.device_put(jnp.asarray(metric_comps))
+        # wrap-pad by batch_size-1 rows on the HOST so every sequential
+        # batch is one contiguous dynamic_slice on device, then upload
+        # exactly one copy (padding on device would briefly hold both
+        # the original and the padded buffer in HBM)
+        def _wrap_pad(a):
+            if batch_size > 1:
+                a = np.concatenate([a, a[:batch_size - 1]], axis=0)
+            return jax.device_put(jnp.asarray(a))
+
+        images_v = _wrap_pad(images)
+        comps_v = _wrap_pad(comps)
+        metric_v = _wrap_pad(metric_comps)
 
     def fan_out_metrics(s_global, samples, host_metrics):
         # callbacks see the GLOBAL step so a resumed run keeps the step
