@@ -91,11 +91,18 @@ class Checkpointer:
 
     _path = path  # backwards-compatible alias
 
+    def would_save(self, samples: int) -> bool:
+        """True if maybe_save(samples) would write (modulo the dedup
+        list).  fit()'s scan-chunked trainer aligns chunk boundaries on
+        this so saved params are exact — keep the rule HERE, in one
+        place."""
+        return samples % self.interval == 0
+
     def maybe_save(self, samples: int, params, opt_state=None,
                    metadata=None, finalize: bool = False):
         if samples in self.created:
             return None
-        if samples % self.interval == 0 or finalize:
+        if self.would_save(samples) or finalize:
             path = self._path(samples)
             save_checkpoint(path, params, opt_state, metadata)
             self.created.append(samples)

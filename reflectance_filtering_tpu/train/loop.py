@@ -232,7 +232,6 @@ def make_train_chunk(net_cfg: NetworkConfig, loss_cfg: LossConfig,
     # range, so each batch is ONE dynamic_slice — a jnp.take row gather
     # inside the scan measured ~1 s/step on v5e (TPU gathers scalarize)
     n = images_v.shape[0] - (batch_size - 1)
-    images_e, comps_e, metric_e = images_v, comps_v, metric_v
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def chunk(params, opt_state, root_key, step0, cursor0, k: int):
@@ -240,11 +239,11 @@ def make_train_chunk(net_cfg: NetworkConfig, loss_cfg: LossConfig,
             params, opt_state = carry
             start = (cursor0 + s * batch_size) % n
             b_images = jax.lax.dynamic_slice_in_dim(
-                images_e, start, batch_size, 0)
+                images_v, start, batch_size, 0)
             b_comps = jax.lax.dynamic_slice_in_dim(
-                comps_e, start, batch_size, 0)
+                comps_v, start, batch_size, 0)
             b_metric = jax.lax.dynamic_slice_in_dim(
-                metric_e, start, batch_size, 0)
+                metric_v, start, batch_size, 0)
             key = jax.random.fold_in(root_key, step0 + s)
             params, opt_state, metrics = body(
                 params, opt_state, b_images, b_comps, b_metric, key)
@@ -309,8 +308,16 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
     # tunnel on axon) would dominate.  Upload the whole set once when it
     # fits comfortably in HBM and gather batches on device; 'augmented'
     # IIW blobs (~9 GB with images) fall back to per-step feeding.
-    feed_bytes = images.nbytes + comps.nbytes + metric_comps.nbytes
-    on_device = feed_bytes <= DEVICE_FEED_BUDGET_BYTES
+    # metric_comps is the SAME array as comps unless training on
+    # 'augmented' — count and upload shared blobs once
+    shared_metric = metric_comps is comps
+    feed_bytes = images.nbytes + comps.nbytes + (
+        0 if shared_metric else metric_comps.nbytes)
+    # n >= batch_size keeps the wrap-pad slice equivalent to the
+    # per-step path's elementwise modulo (smaller sets would clamp
+    # silently); tiny debug sets use the per-step trainer instead
+    on_device = (feed_bytes <= DEVICE_FEED_BUDGET_BYTES
+                 and n >= batch_size and num_steps > 0)
     if on_device:
         # wrap-pad by batch_size-1 rows on the HOST so every sequential
         # batch is one contiguous dynamic_slice on device, then upload
@@ -319,11 +326,11 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         def _wrap_pad(a):
             if batch_size > 1:
                 a = np.concatenate([a, a[:batch_size - 1]], axis=0)
-            return jax.device_put(jnp.asarray(a))
+            return jnp.asarray(a)
 
         images_v = _wrap_pad(images)
         comps_v = _wrap_pad(comps)
-        metric_v = _wrap_pad(metric_comps)
+        metric_v = comps_v if shared_metric else _wrap_pad(metric_comps)
 
     def fan_out_metrics(s_global, samples, host_metrics):
         # callbacks see the GLOBAL step so a resumed run keeps the step
@@ -357,8 +364,8 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
             limit = min(s + TRAIN_CHUNK_STEPS, num_steps)
             if checkpointer is not None:
                 for j in range(s, limit):
-                    if (base_samples + (j + 1) * batch_size) \
-                            % checkpointer.interval == 0:
+                    if checkpointer.would_save(
+                            base_samples + (j + 1) * batch_size):
                         return j - s + 1
             return limit - s
 

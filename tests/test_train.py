@@ -359,3 +359,45 @@ def test_conv_static_hardcodes_bn_off():
                             use_batch_normalization=True)
         params = init_network(jax.random.PRNGKey(0), cfg)
         assert not any(k.startswith("bn") for k in params), sorted(params)
+
+
+def test_fit_chunked_matches_per_step_trainer(tiny_data):
+    """The scan-chunked device-resident trainer must reproduce the
+    per-step trainer exactly: same batches (dynamic_slice of the
+    wrap-padded set vs elementwise modulo), same per-step RNG, same
+    optimizer trajectory."""
+    from reflectance_filtering_tpu.train import loop as L
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    lcfg = LossConfig()
+    st_chunked = fit(cfg, lcfg, tiny_data, iterations=40, batch_size=4,
+                     base_lr=0.01, random_seed=7)
+    budget = L.DEVICE_FEED_BUDGET_BYTES
+    try:
+        L.DEVICE_FEED_BUDGET_BYTES = 0   # force the per-step path
+        st_step = fit(cfg, lcfg, tiny_data, iterations=40, batch_size=4,
+                      base_lr=0.01, random_seed=7)
+    finally:
+        L.DEVICE_FEED_BUDGET_BYTES = budget
+    la = jax.tree_util.tree_leaves(st_chunked.params)
+    lb = jax.tree_util.tree_leaves(st_step.params)
+    assert len(la) == len(lb)
+    for va, vb in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_fit_dataset_smaller_than_batch_wraps(tiny_data):
+    """n < batch_size uses the per-step trainer (the wrap-padded slice
+    is only equivalent for n >= batch_size) and cycles correctly."""
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=1,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    small = {"images": tiny_data["images"][:3],
+             "comparisons": tiny_data["comparisons"][:3]}
+    st = fit(cfg, LossConfig(), small, iterations=20, batch_size=4,
+             base_lr=0.01, random_seed=1)
+    assert st.samples == 20
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(st.params))
