@@ -196,7 +196,9 @@ def main():
     timgs = jax.device_put(rng.rand(tb, H, W, 3).astype(np.float32))
     tcomps = jax.device_put(np.broadcast_to(
         np.asarray(comps)[:1], (tb,) + comps.shape[1:]).copy())
-    titers = 10
+    # enough iterations that the tunnel's ~0.1-0.2 s dispatch+sync
+    # overhead amortizes below the ~4 ms/step signal
+    titers = 40
 
     @jax.jit
     def train_many(p0, o0, im, c):
