@@ -35,6 +35,8 @@ def get_data(dataset: str, description: str,
     rng = rng or np.random.RandomState()
     data: Dict = {}
     last_err = None
+    if retries < 1:
+        raise ValueError("retries must be >= 1, got {}".format(retries))
     for _attempt in range(retries):
         try:
             with np.load(full_path) as npz:

@@ -99,7 +99,12 @@ def load_batch_rgb(paths: Sequence[str], height: int, width: int,
     Raises IOError naming the first failing file.
     """
     n = len(paths)
+    if height <= 0 or width <= 0:
+        raise ValueError(
+            "height/width must be positive, got {}x{}".format(height, width))
     out = np.empty((n, height, width, 3), np.uint8)
+    if n == 0:
+        return out
     lib = _load()
     if lib is not None:
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
@@ -107,8 +112,11 @@ def load_batch_rgb(paths: Sequence[str], height: int, width: int,
             arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             height, width, nthreads)
         if rc:
-            idx = -rc - 1000 if rc <= -1000 else 0
-            raise IOError("failed to decode {}".format(paths[idx]))
+            if rc <= -1000:     # per-file decode failure: -1000 - index
+                raise IOError(
+                    "failed to decode {}".format(paths[-rc - 1000]))
+            raise IOError(
+                "native loader rejected the call (rc={})".format(rc))
         return out
     import cv2
     for i, p in enumerate(paths):

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.networks import NetworkConfig, apply_network
 from ..models.recover import recover_reflectance_shading
-from ..train.loop import LossConfig, compute_losses
+from ..train.loop import LossConfig
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
@@ -85,6 +85,8 @@ def make_sharded_eval(net_cfg: NetworkConfig, mesh: Mesh,
     (use pad_to_multiple + mask host-side).  The mean reduction rides ICI
     — the pmean of SURVEY.md §5.8 expressed through shardings.
     """
+    from ..losses.whdr import whdr_per_image
+
     batch_sharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
@@ -96,13 +98,12 @@ def make_sharded_eval(net_cfg: NetworkConfig, mesh: Mesh,
         else:
             refl, _ = recover_reflectance_shading(
                 blobs["RS_est"], images, net_cfg.rs_est_mode)
-        per_image = jax.vmap(
-            lambda r, c: _whdr_one(r, c, delta))(refl, comparisons)
+        # whdr_per_image: the flat-gather batched program (a vmapped
+        # scalar whdr re-creates the per-image gather shape that
+        # losses/whdr.py deliberately abandoned as pathologically slow
+        # to compile)
+        per_image = whdr_per_image(refl, comparisons, delta)
         return jnp.mean(per_image), per_image
-
-    def _whdr_one(r, c, d):
-        from ..losses.whdr import whdr
-        return whdr(r, c, d)
 
     return jax.jit(_eval,
                    in_shardings=(rep, batch_sharding, batch_sharding),
@@ -115,34 +116,48 @@ def make_sharded_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
 
     Params/opt-state replicated, batch sharded on 'data'; XLA inserts the
     gradient all-reduce.  Signature matches train.loop.make_train_step's
-    step: (params, opt_state, images, comparisons, key) ->
-    (params, opt_state, metrics).
+    step: (params, opt_state, images, comparisons, key,
+    metric_comparisons=None) -> (params, opt_state, metrics) — the step
+    body is the SAME _make_step_body the single-device trainer jits, so
+    augmented-comparisons training keeps the whdr_original metric wired
+    to the plain comparisons blob (networks.py:243-254).
     """
-    import optax
-
-    from ..models.networks import update_bn_stats
+    from ..train.loop import _make_step_body
 
     batch_sharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
-    def loss_fn(params, images, comparisons, key):
-        return compute_losses(params, images, comparisons, net_cfg,
-                              loss_cfg, key, train=True)
-
-    def step(params, opt_state, images, comparisons, key):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, images, comparisons, key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        bn_stats = metrics.pop("bn_stats", None)
-        if bn_stats:
-            params = update_bn_stats(params, bn_stats)
-        return params, opt_state, metrics
-
-    return jax.jit(
-        step,
-        in_shardings=(rep, rep, batch_sharding, batch_sharding, rep),
+    _step = jax.jit(
+        _make_step_body(net_cfg, loss_cfg, optimizer),
+        in_shardings=(rep, rep, batch_sharding, batch_sharding,
+                      batch_sharding, rep),
         out_shardings=(rep, rep, rep))
+
+    def step(params, opt_state, images, comparisons, key,
+             metric_comparisons=None):
+        if metric_comparisons is None:
+            metric_comparisons = comparisons
+        return _step(params, opt_state, images, comparisons,
+                     metric_comparisons, key)
+
+    return step
+
+
+# jit caches by function identity, so rebuilding the evaluator closure
+# per call would recompile every time (seconds per compile through the
+# axon tunnel); cache per logical config instead.
+_EVAL_CACHE: Dict = {}
+
+
+def _cached_sharded_eval(net_cfg: NetworkConfig, mesh: Mesh, delta: float):
+    key = (tuple(sorted(net_cfg.__dict__.items())), mesh, float(delta))
+    fn = _EVAL_CACHE.get(key)
+    if fn is None:
+        fn = make_sharded_eval(net_cfg, mesh, delta)
+        if len(_EVAL_CACHE) > 16:
+            _EVAL_CACHE.clear()
+        _EVAL_CACHE[key] = fn
+    return fn
 
 
 def eval_dataset_sharded(params, X: Dict, net_cfg: NetworkConfig,
@@ -155,7 +170,7 @@ def eval_dataset_sharded(params, X: Dict, net_cfg: NetworkConfig,
     images_p, n = pad_to_multiple(images, n_dev)
     comps_p, _ = pad_to_multiple(comps, n_dev)
 
-    eval_fn = make_sharded_eval(net_cfg, mesh, delta)
+    eval_fn = _cached_sharded_eval(net_cfg, mesh, delta)
     params_r = replicate(params, mesh)
     _, per_image = eval_fn(params_r,
                            shard_batch(jnp.asarray(images_p), mesh),

@@ -73,13 +73,17 @@ def sharded_apply_overlap(fn: Callable, halo: int, mesh: Mesh,
     region.  All array arguments are sharded on width.
     """
 
+    if halo < 0:
+        raise ValueError("halo must be >= 0, got {}".format(halo))
+
     def local_fn(*arrays):
+        if halo == 0:         # [:, -0:] / [:, :-0] would mis-slice
+            return fn(*arrays)
         haloed = [_exchange_halos_w(a, halo, axis, border) for a in arrays]
         out = fn(*haloed)
         return out[:, halo:-halo]
 
     w_shard = P(None, axis, None)
-    n_in = None
 
     def wrapper(*arrays):
         specs = tuple(w_shard for _ in arrays)
@@ -88,7 +92,6 @@ def sharded_apply_overlap(fn: Callable, halo: int, mesh: Mesh,
         return shard_map(local_fn, mesh=mesh, in_specs=specs,
                          out_specs=w_shard, check_vma=False)(*arrays)
 
-    del n_in
     return wrapper
 
 
