@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import functools
 import os
+import traceback
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -57,6 +58,19 @@ class ReflectanceCNN:
                                             jnp.asarray(img_bgr_u8)))
 
 
+def _write_outputs(path_out: str, basename: str, gray: np.ndarray,
+                   image_bgr_u8: np.ndarray) -> None:
+    """The three-output contract (decompose_with_trained_CNN.py:117-128):
+    -r.png linear, -r_colorized/-s_colorized sRGB — colorize works on the
+    RAW uint8 input image (reference quirk)."""
+    iu.imwrite(os.path.join(path_out, basename + "-r.png"), gray)
+    reflectance, shading = iu.colorize(gray, image_bgr_u8)
+    iu.imwrite(os.path.join(path_out, basename + "-r_colorized.png"),
+               reflectance, sRGB=True)
+    iu.imwrite(os.path.join(path_out, basename + "-s_colorized.png"),
+               shading, sRGB=True)
+
+
 def decompose_image(filename_in: str, path_out: str,
                     net: Optional[ReflectanceCNN] = None) -> np.ndarray:
     """Reference-compatible single-image decompose
@@ -68,17 +82,7 @@ def decompose_image(filename_in: str, path_out: str,
     basename = os.path.splitext(os.path.basename(filename_in))[0]
 
     reflectance_gray = net.reflectance_intensity(image)
-
-    iu.imwrite(os.path.join(path_out, basename + "-r.png"),
-               reflectance_gray)
-
-    # colorize with the RAW uint8 input image (reference quirk)
-    reflectance, shading = iu.colorize(reflectance_gray, image)
-    iu.imwrite(os.path.join(path_out, basename + "-r_colorized.png"),
-               reflectance, sRGB=True)
-    iu.imwrite(os.path.join(path_out, basename + "-s_colorized.png"),
-               shading, sRGB=True)
-
+    _write_outputs(path_out, basename, reflectance_gray, image)
     return reflectance_gray
 
 
@@ -92,7 +96,14 @@ def decompose_images(filenames: Sequence[str], path_out: str,
         net = ReflectanceCNN()
     groups: Dict = {}
     for fn in filenames:
-        img = iu.imread(fn)
+        # per-file containment: one unreadable file must not abort the
+        # batch (the reference's per-file try/except, helper:410-435)
+        try:
+            img = iu.imread(fn)
+        except Exception:
+            print("Decomposing file", fn, "was not possible")
+            traceback.print_exc()
+            continue
         groups.setdefault(img.shape, []).append((fn, img))
     out = {}
     for items in groups.values():
@@ -102,15 +113,7 @@ def decompose_images(filenames: Sequence[str], path_out: str,
             grays = np.asarray(_decompose_device(net.params, batch))
             for (fn, img), gray in zip(chunk, grays):
                 basename = os.path.splitext(os.path.basename(fn))[0]
-                iu.imwrite(os.path.join(path_out, basename + "-r.png"),
-                           gray)
-                refl, shad = iu.colorize(gray, img)
-                iu.imwrite(os.path.join(
-                    path_out, basename + "-r_colorized.png"),
-                    refl, sRGB=True)
-                iu.imwrite(os.path.join(
-                    path_out, basename + "-s_colorized.png"),
-                    shad, sRGB=True)
+                _write_outputs(path_out, basename, gray, img)
                 out[fn] = gray
     return out
 

@@ -125,6 +125,15 @@ def loss_config_from_args(args) -> LossConfig:
     )
 
 
+def _existing_snapshots(snapshot_dir: str, description: str):
+    """Sorted sample counts of on-disk snapshots for a description."""
+    pat = re.compile(re.escape(description) + r"_barrista_iter_(\d+)\.npz$")
+    if not os.path.isdir(snapshot_dir):
+        return []
+    return sorted(int(m.group(1)) for f in os.listdir(snapshot_dir)
+                  for m in [pat.match(f)] if m)
+
+
 def fit_predict_net(args, results_dir: str):
     """The experiment lifecycle (helper:141-439)."""
     net_params, description = get_description(args)
@@ -176,14 +185,18 @@ def fit_predict_net(args, results_dir: str):
         iterations = 1
 
     # data selection (helper:192-217)
-    X = X_val = None
+    # the training blob loads LAZILY: a --startOver=0 re-invocation whose
+    # checkpoint already covers the requested iterations never touches it
+    # (the augmented IIW blob is ~9 GB)
+    load_X = None
+    X_val = None
     if not args.test:
         if args.stage in FLAGS_FIT:
-            X = getData("trainValTest_train")
+            load_X = lambda: getData("trainValTest_train")  # noqa: E731
         X_val = getData("trainValTest_val")
     else:
         if args.stage in FLAGS_FIT:
-            X = getData("bigTrainMiniValTest_train")
+            load_X = lambda: getData("bigTrainMiniValTest_train")  # noqa
             X_val = getData("bigTrainMiniValTest_val")
         elif args.stage in FLAGS_PREDICT:
             X_val = getData("trainValTest_test")
@@ -208,15 +221,6 @@ def fit_predict_net(args, results_dir: str):
         print("Checkpointing every", checkpoint_interval, "iterations.")
         checkptr = Checkpointer(snapshot_dir, description,
                                 checkpoint_interval)
-
-        callbacks = [CombineLosses(args.loss_scale_whdr,
-                                   args.loss_scale_lambert),
-                     RunningAverage(X["images"].shape[0], args.batch_size),
-                     JsonlLogger(os.path.join(results_dir, "logs"),
-                                 description + "_" + str(iterations))]
-        progress = ProgressPrinter(iterations, args.loss_scale_whdr,
-                                   args.loss_scale_boundaries01,
-                                   args.loss_scale_lambert)
 
         # startOver=1: train from scratch (optionally warm-started from
         # --predictCaffemodel weights, helper:281-284).  startOver=0:
@@ -260,6 +264,16 @@ def fit_predict_net(args, results_dir: str):
                       "with file", cpath)
 
         if run_training:
+            X = load_X()
+            callbacks = [CombineLosses(args.loss_scale_whdr,
+                                       args.loss_scale_lambert),
+                         RunningAverage(X["images"].shape[0],
+                                        args.batch_size),
+                         JsonlLogger(os.path.join(results_dir, "logs"),
+                                     description + "_" + str(iterations))]
+            progress = ProgressPrinter(iterations, args.loss_scale_whdr,
+                                       args.loss_scale_boundaries01,
+                                       args.loss_scale_lambert)
             start_train = timeit.default_timer()
             print("Starting the training for", iterations, "iterations.")
             sys.stdout.flush()
@@ -292,19 +306,22 @@ def fit_predict_net(args, results_dir: str):
                 predict_fn=predict_fn)
 
         if run_training:
-            final_samples = (iterations // args.batch_size) * args.batch_size
-            intermediates = list(range(checkpoint_interval, iterations + 1,
-                                       checkpoint_interval))
+            # evaluate the snapshots that were actually written (plus any
+            # from earlier runs of the same description).  Deriving the
+            # grid arithmetically from the CURRENT batch_size breaks on a
+            # --startOver=0 resume with a different batch size: samples
+            # counts like base+32k never hit the old multiples, and the
+            # sweep would request files that were never written.
+            intermediates = sorted(
+                set(checkptr.created)
+                | set(_existing_snapshots(snapshot_dir, description)))
+            final_samples = intermediates[-1]
         else:
             # training skipped (already complete): the expected
             # iteration grid may not match what a previous run with
             # different --iterations/--batch_size wrote — evaluate the
             # snapshots that actually exist
-            pat = re.compile(re.escape(description)
-                             + r"_barrista_iter_(\d+)\.npz$")
-            intermediates = sorted(
-                int(m.group(1)) for f in os.listdir(snapshot_dir)
-                for m in [pat.match(f)] if m)
+            intermediates = _existing_snapshots(snapshot_dir, description)
             if not intermediates:
                 raise FileNotFoundError(
                     "no snapshots found in {} for description {}".format(
@@ -359,7 +376,8 @@ def fit_predict_net(args, results_dir: str):
                             batch_size=args.batch_size)
         elif X_val is not None:
             predict_and_score(X_val, params, net_cfg, results_dir,
-                              os.path.basename(ckpt_abs)[:-4],
+                              os.path.splitext(
+                                  os.path.basename(ckpt_abs))[0],
                               batch_size=args.batch_size)
 
 

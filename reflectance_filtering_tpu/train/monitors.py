@@ -113,8 +113,11 @@ class FilterVisualizer:
         self._last = -1
 
     def __call__(self, samples: int, params) -> None:
-        if samples // self.interval <= self._last // self.interval \
-                and self._last >= 0:
+        # fires only from on_checkpoint (actual saves), so dedupe by the
+        # exact sample count: an interval-bucket gate would skip the
+        # forced FINAL checkpoint whenever it shares a bucket with the
+        # previous save (e.g. interval 1000, finalize at 2500)
+        if samples == self._last:
             return
         self._last = samples
         conv0 = params.get("conv0") or params.get("conv0_level0")

@@ -308,11 +308,21 @@ def decompose_images_batched(paths: Sequence[str], params,
     for items in groups.values():
         for s in range(0, len(items), batch_size):
             chunk = items[s:s + batch_size]
-            batch = np.stack([im for _, im in chunk])
-            res = predict_fn(params, jnp.asarray(batch))
-            refl = np.asarray(res["reflectance"])
-            shad = np.asarray(res["shading"])
-            rs = np.asarray(res["RS_est"])
+            # per-chunk containment, like the reference's per-file loop
+            # (helper:410-435): one unpredictable group (device OOM on
+            # an 8K frame, a shape the net can't run) must not abort the
+            # remaining groups/movies/npz files
+            try:
+                batch = np.stack([im for _, im in chunk])
+                res = predict_fn(params, jnp.asarray(batch))
+                refl = np.asarray(res["reflectance"])
+                shad = np.asarray(res["shading"])
+                rs = np.asarray(res["RS_est"])
+            except Exception:
+                print("Decomposing files", [p for p, _ in chunk],
+                      "was not possible")
+                traceback.print_exc()
+                continue
             for i, (p, _) in enumerate(chunk):
                 _write_decomposition(
                     results_dir,
@@ -481,8 +491,12 @@ def decompose_files(files: Sequence[str], params, net_cfg: NetworkConfig,
     predict_fn = make_predict_fn(net_cfg)
     images = [f for f in files if is_image(f)]
     if images:
-        decompose_images_batched(images, params, net_cfg, results_dir,
-                                 predict_fn, batch_size)
+        try:
+            decompose_images_batched(images, params, net_cfg, results_dir,
+                                     predict_fn, batch_size)
+        except Exception:
+            print("Decomposing the image batch was not possible")
+            traceback.print_exc()
     for f in files:
         try:
             if is_image(f):

@@ -84,3 +84,18 @@ def test_batch_feeds_decompose_pipeline(images):
     refl = np.asarray(reflectance_net_apply(params, jnp.asarray(linear)))
     assert refl.shape == (len(paths), 32, 32, 1)
     assert np.all((refl > 0) & (refl < 1))
+
+
+def test_empty_batch_returns_empty_array():
+    from reflectance_filtering_tpu.data.native_loader import load_batch_rgb
+    out = load_batch_rgb([], 8, 8)
+    assert out.shape == (0, 8, 8, 3) and out.dtype == np.uint8
+
+
+def test_bad_dimensions_raise_value_error(images):
+    import pytest
+    from reflectance_filtering_tpu.data.native_loader import load_batch_rgb
+    with pytest.raises(ValueError):
+        load_batch_rgb([images[0]], 0, 64)
+    with pytest.raises(ValueError):
+        load_batch_rgb([images[0]], 64, -1)

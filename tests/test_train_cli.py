@@ -268,3 +268,33 @@ def test_filter_visualizations_written(dataset, tmp_path):
           "--data_root", dataset, "--results_root", results_root])
     imgs = os.listdir(os.path.join(results_root, "viz", "images"))
     assert any(i.startswith("filters_iter_") for i in imgs)
+
+
+def test_resume_with_different_batch_size_evals_real_snapshots(
+        dataset, tmp_path):
+    """A --startOver=0 resume with a new batch_size produces snapshot
+    sample counts off the old grid; the post-fit eval sweep must target
+    the snapshots that actually exist, not an arithmetic grid."""
+    from reflectance_filtering_tpu.cli.train import main
+    common = ["--networkType=convStaticSkipLayers", "--numLayers=1",
+              "--num_filters_log=2", "--kernel_pad=0",
+              "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+              "--random_seed=0", "--data_root", dataset]
+    root = str(tmp_path / "rb")
+    main(["--stage=fit", "--iterations=12", "--batch_size=4",
+          "--checkpoint_interval=8", "--experiment=rb",
+          "--results_root", root] + common)
+    # resume with batch_size=6: samples go 12 -> 18 -> 24 (never a
+    # multiple of the old interval grid except by luck)
+    main(["--stage=fit", "--iterations=24", "--batch_size=6",
+          "--checkpoint_interval=12", "--startOver=0",
+          "--experiment=rb", "--results_root", root] + common)
+    import json as _json
+    prog = os.path.join(root, "rb", "progressions")
+    data = _json.load(open(os.path.join(
+        prog, sorted(os.listdir(prog))[-1])))
+    evaluated = {e["NumIters"] for e in data["test"]}
+    snaps = {int(f.rsplit("_", 1)[1][:-4])
+             for f in os.listdir(os.path.join(root, "rb", "snapshots"))}
+    assert evaluated, "eval sweep produced no entries"
+    assert evaluated <= snaps  # only real snapshots were evaluated
