@@ -114,3 +114,22 @@ def test_decompose_images_batched_matches_single(tmp_path, rng):
             a = cv2.imread(str(bdir / fn))
             b = cv2.imread(str(sdir / fn))
             np.testing.assert_array_equal(a, b, err_msg=fn)
+
+
+def test_decompose_images_contains_unreadable_file(tmp_path, rng):
+    """One corrupt path must not abort the batch (helper:410-435
+    per-file containment)."""
+    import cv2
+    from reflectance_filtering_tpu.cli.decompose import (
+        ReflectanceCNN, decompose_images)
+    good = str(tmp_path / "good.png")
+    cv2.imwrite(good, (rng.rand(16, 20, 3) * 255).astype(np.uint8))
+    bad = str(tmp_path / "bad.png")
+    with open(bad, "wb") as f:
+        f.write(b"not a png")
+    outdir = tmp_path / "o"; outdir.mkdir()
+    out = decompose_images([bad, good], str(outdir),
+                           net=ReflectanceCNN())
+    assert good in out and bad not in out
+    assert (outdir / "good-r.png").exists()
+    assert not (outdir / "bad-r.png").exists()

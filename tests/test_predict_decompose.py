@@ -164,3 +164,36 @@ def test_decompose_files_error_containment(net, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "was not possible" in out
     assert "neither recognized" in out
+
+
+def test_decompose_files_contains_failing_image_chunk(net, tmp_path, rng):
+    """A predict failure on one image group must not abort the other
+    groups or the npz file in the same call (helper:410-435)."""
+    import cv2
+    cfg, params = net
+    img_ok = str(tmp_path / "ok.png")
+    cv2.imwrite(img_ok, (rng.rand(16, 20, 3) * 255).astype(np.uint8))
+    img_boom = str(tmp_path / "boom.png")
+    cv2.imwrite(img_boom, (rng.rand(24, 28, 3) * 255).astype(np.uint8))
+    npz = str(tmp_path / "blob.npz")
+    np.savez(npz, images=(rng.rand(2, 12, 16, 3) * 255).astype(np.float32))
+
+    real = P.make_predict_fn(cfg)
+
+    def exploding(params_, batch):
+        if batch.shape[1] == 24:      # the boom.png group
+            raise RuntimeError("synthetic predict failure")
+        return real(params_, batch)
+
+    resdir = tmp_path / "res"
+    for d in ("decompositions_linear", "decompositions_sRGB"):
+        (resdir / d).mkdir(parents=True)
+    import unittest.mock as mock
+    with mock.patch.object(P, "make_predict_fn",
+                           lambda cfg_: exploding):
+        P.decompose_files([img_boom, img_ok, npz], params, cfg,
+                          str(resdir))
+    lin = os.listdir(resdir / "decompositions_linear")
+    assert any(f.startswith("ok-") for f in lin)
+    assert not any(f.startswith("boom-") for f in lin)
+    assert os.path.exists(str(tmp_path / "blob_decomposed.npz"))
