@@ -287,8 +287,7 @@ def fit_predict_net(args, results_dir: str):
                     base_samples=base_samples,
                     callbacks=callbacks, checkpointer=checkptr,
                     progress=progress,
-                    on_checkpoint=FilterVisualizer(results_dir,
-                                                   checkpoint_interval))
+                    on_checkpoint=FilterVisualizer(results_dir))
             training_time = timeit.default_timer() - start_train
             print("Total training time is", training_time)
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import timeit
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -95,6 +96,7 @@ def parse_iiw_json(json_path: str) -> Tuple[List, Dict]:
         points[point["id"]] = [point["x"], point["y"], point["opaque"]]
     switch = {"1": 1, "2": 2, "E": 0}
     comparisons = []
+    dropped = 0
     for comparison in data["intrinsic_comparisons"]:
         score = comparison["darker_score"]
         # Bell's official scorer skips judgments with a null or
@@ -104,11 +106,19 @@ def parse_iiw_json(json_path: str) -> Tuple[List, Dict]:
         # blob-path WHDR.  Guard here: documented deviation, the blob
         # only drops rows the referee metric ignores anyway.
         if score is None or score <= 0:
+            dropped += 1
             continue
         comparisons.append([comparison["point1"],
                             comparison["point2"],
                             switch[comparison["darker"]],
                             score])
+    if dropped:
+        # make blob row-count mismatches vs reference-built data
+        # diagnosable (the reference packs these rows; we drop them)
+        print("parse_iiw_json: {} dropped {} null/non-positive-confidence "
+              "judgment(s) ({} kept)".format(
+                  os.path.basename(json_path), dropped, len(comparisons)),
+              file=sys.stderr)
     return comparisons, points
 
 

@@ -202,6 +202,31 @@ def _guided_filter_planar_xla(guide, src, radius: int, eps):
                                        radius, jnp.asarray(eps, jnp.float32))
 
 
+def guided_filter_planar_pallas(guide, src, radius: int, eps):
+    """Pallas/MXU planar dispatch WITHOUT the backend gate.
+
+    guide [N,3,H,W], src [N,C,H,W] -> [N,C,H,W].  Used by
+    :func:`guided_filter_planar` on TPU and by
+    ``parallel.spatial.sharded_guided_filter`` when ``impl`` forces the
+    Pallas kernels (tests run it under ``force_tpu_interpret_mode``).
+    eps must be concrete (it folds into the kernels)."""
+    from .guided_mxu import fits_mxu_guided, guided_filter_mxu
+    from .guided_pallas import (fits_fused_guided, guided_filter_fused,
+                                guided_filter_fused_banded)
+
+    c, h, wid = src.shape[1], src.shape[2], src.shape[3]
+    g32 = guide.astype(jnp.float32)
+    s32 = src.astype(jnp.float32)
+    # whole-plane VMEM residency + MXU band-matmul boxes: fastest
+    if fits_mxu_guided(h, wid, radius, c):
+        return guided_filter_mxu(g32, s32, radius, float(eps))
+    if c == 1 and fits_fused_guided(h, wid, radius):
+        return guided_filter_fused(g32, s32, radius, float(eps))
+    # big frames: band-tiled kernels (any channel count; guide
+    # statistics shared across src channels)
+    return guided_filter_fused_banded(g32, s32, radius, float(eps))
+
+
 def guided_filter_planar(guide, src, radius: int, eps):
     """TPU fast path: guide [N,3,H,W], src [N,C,H,W] channels-planar
     float32 -> [N,C,H,W].
@@ -210,24 +235,10 @@ def guided_filter_planar(guide, src, radius: int, eps):
     fused Pallas filter (ops/guided_pallas.py); everything else runs the
     Pallas-box + XLA-elementwise pipeline.  eps must be a concrete float
     for the fused path (it folds into the kernel)."""
-    from .guided_mxu import fits_mxu_guided, guided_filter_mxu
-    from .guided_pallas import (fits_fused_guided, guided_filter_fused,
-                                guided_filter_fused_banded)
-
-    c, h, wid = src.shape[1], src.shape[2], src.shape[3]
     if (src.shape[0] == guide.shape[0] and guide.shape[1] == 3
             and jax.default_backend() == "tpu"
             and not isinstance(eps, jax.core.Tracer)):
-        g32 = guide.astype(jnp.float32)
-        s32 = src.astype(jnp.float32)
-        # whole-plane VMEM residency + MXU band-matmul boxes: fastest
-        if fits_mxu_guided(h, wid, radius, c):
-            return guided_filter_mxu(g32, s32, radius, float(eps))
-        if c == 1 and fits_fused_guided(h, wid, radius):
-            return guided_filter_fused(g32, s32, radius, float(eps))
-        # big frames: band-tiled kernels (any channel count; guide
-        # statistics shared across src channels)
-        return guided_filter_fused_banded(g32, s32, radius, float(eps))
+        return guided_filter_planar_pallas(guide, src, radius, eps)
     return _guided_filter_planar_xla(guide, src, radius, eps)
 
 

@@ -160,24 +160,39 @@ def sharded_joint_bilateral(joint, src, mesh: Mesh, d: int = -1,
 
 
 def sharded_guided_filter(guide, src, radius: int, eps, mesh: Mesh,
-                          axis: str = "data"):
+                          axis: str = "data", impl: str = "auto"):
     """Width-sharded guided filter, matching ops.guided.guided_filter.
 
     guide [H, W, 3] or [H, W]; src [H, W, C] or [H, W].  Halo is 2*radius
     (means of a,b compose two box passes); OpenCV guidedFilter borders are
     BORDER_REFLECT (symmetric).  W divisible by mesh size and
     W/mesh >= 2*radius + 1.
+
+    impl: 'xla', 'pallas', or 'auto' (pallas on TPU) — same dispatch as
+    :func:`sharded_box_filter`.  With pallas, each shard runs the planar
+    MXU/fused kernels (``ops.guided.guided_filter_planar_pallas``); only
+    the 2r halo columns cross ICI.  Gray guides always take the XLA path
+    (the planar kernels are 3-channel-guide; replicating a gray guide
+    changes the covariance system, so it is not a valid fallback).
     """
-    from ..ops.guided import guided_filter
+    from ..ops.guided import guided_filter, guided_filter_planar_pallas
 
     gray_guide = guide.ndim == 2
     squeeze = src.ndim == 2
     guide3 = guide[..., None] if gray_guide else guide
     src3 = src[..., None] if squeeze else src
 
-    def local(guide_blk, src_blk):
-        g = guide_blk[..., 0] if gray_guide else guide_blk
-        return guided_filter(g, src_blk, radius, eps)
+    if _use_pallas(impl) and not gray_guide and not isinstance(
+            eps, jax.core.Tracer):
+        def local(guide_blk, src_blk):
+            gp = jnp.moveaxis(guide_blk, -1, 0)[None]   # [1,3,H,Wb]
+            sp = jnp.moveaxis(src_blk, -1, 0)[None]     # [1,C,H,Wb]
+            q = guided_filter_planar_pallas(gp, sp, radius, eps)
+            return jnp.moveaxis(q[0], 0, -1)
+    else:
+        def local(guide_blk, src_blk):
+            g = guide_blk[..., 0] if gray_guide else guide_blk
+            return guided_filter(g, src_blk, radius, eps)
 
     out = sharded_apply_overlap(local, 2 * radius, mesh, axis,
                                 "reflect")(guide3, src3)

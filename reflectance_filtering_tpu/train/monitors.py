@@ -107,9 +107,8 @@ class FilterVisualizer:
     conv kernels spatially larger than 1x1, or a weight-matrix heatmap
     for 1x1 stacks."""
 
-    def __init__(self, results_dir: str, interval: int):
+    def __init__(self, results_dir: str):
         self.dir = os.path.join(results_dir, "images")
-        self.interval = max(1, interval)
         self._last = -1
 
     def __call__(self, samples: int, params) -> None:
