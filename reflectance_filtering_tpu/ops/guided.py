@@ -317,6 +317,12 @@ def fast_guided_filter(guide, src, radius: int, eps, subsample: int = 4):
     hs, ws = max(1, h // subsample), max(1, wid // subsample)
     rs = max(1, int(round(radius / subsample)))
 
+    if jax.default_backend() == "tpu":
+        bx = _box_planar
+    else:  # CPU (CLI/tests): XLA box — no Pallas interpret needed
+        def bx(x, r):
+            return box_filter(x[..., None], r, border=_BORDER)[..., 0]
+
     def down(x):
         return jax.image.resize(x, x.shape[:2] + (hs, ws), "bilinear")
 
@@ -324,14 +330,14 @@ def fast_guided_filter(guide, src, radius: int, eps, subsample: int = 4):
     ps = down(src.astype(jnp.float32))
 
     # low-res exact filter, but capture mean_a/mean_b instead of q
-    mean_I = _box_planar(gs.reshape(n * 3, hs, ws), rs).reshape(gs.shape)
-    mean_p = _box_planar(ps.reshape(n * c, hs, ws), rs).reshape(ps.shape)
+    mean_I = bx(gs.reshape(n * 3, hs, ws), rs).reshape(gs.shape)
+    mean_p = bx(ps.reshape(n * c, hs, ws), rs).reshape(ps.shape)
     Ip = (gs[:, :, None] * ps[:, None]).reshape(n, 3 * c, hs, ws)
-    cov = _box_planar(Ip.reshape(n * 3 * c, hs, ws), rs).reshape(
+    cov = bx(Ip.reshape(n * 3 * c, hs, ws), rs).reshape(
         n, 3, c, hs, ws) - mean_I[:, :, None] * mean_p[:, None]
     pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
     II = jnp.stack([gs[:, a] * gs[:, b] for a, b in pairs], axis=1)
-    m = _box_planar(II.reshape(n * 6, hs, ws), rs).reshape(n, 6, hs, ws)
+    m = bx(II.reshape(n * 6, hs, ws), rs).reshape(n, 6, hs, ws)
     rr = m[:, 0] - mean_I[:, 0] ** 2 + eps
     rg = m[:, 1] - mean_I[:, 0] * mean_I[:, 1]
     rb = m[:, 2] - mean_I[:, 0] * mean_I[:, 2]
@@ -355,7 +361,7 @@ def fast_guided_filter(guide, src, radius: int, eps, subsample: int = 4):
     b = mean_p - (a0 * mean_I[:, 0:1] + a1 * mean_I[:, 1:2] +
                   a2 * mean_I[:, 2:3])
     stacked = jnp.concatenate([a0, a1, a2, b], axis=1)
-    means = _box_planar(stacked.reshape(n * 4 * c, hs, ws), rs).reshape(
+    means = bx(stacked.reshape(n * 4 * c, hs, ws), rs).reshape(
         n, 4 * c, hs, ws)
 
     up = jax.image.resize(means, (n, 4 * c, h, wid), "bilinear")
@@ -363,6 +369,37 @@ def fast_guided_filter(guide, src, radius: int, eps, subsample: int = 4):
                          up[:, 3 * c:])
     g32 = guide.astype(jnp.float32)
     return (ma0 * g32[:, 0:1] + ma1 * g32[:, 1:2] + ma2 * g32[:, 2:3] + mb)
+
+
+def fast_guided_filter_u8(guide_u8, src_u8, radius: int, eps,
+                          subsample: int = 4) -> np.ndarray:
+    """uint8 wrapper for :func:`fast_guided_filter` — the CLI's opt-in
+    approximate speed mode (``--subsample`` on filter_type=guided).
+
+    Gray guides are replicated to 3 channels: UNLIKE the exact filter
+    (where that changes the covariance system vs the scalar formulas),
+    here it matches the exact-filter product path — guided_filter_u8
+    feeds the CNN's replicated-gray -r.png through the 3-channel planar
+    kernels too, and the fast filter approximates THAT path."""
+    guide_u8 = np.asarray(guide_u8)
+    src_u8 = np.asarray(src_u8)
+    if subsample <= 1:
+        return guided_filter_u8(guide_u8, src_u8, radius, eps)
+    g = guide_u8 if guide_u8.ndim == 3 else np.repeat(
+        guide_u8[..., None], 3, axis=-1)
+    gp = jnp.asarray(np.moveaxis(g, -1, 0)[None].astype(np.float32))
+    sa = (np.moveaxis(src_u8, -1, 0) if src_u8.ndim == 3
+          else src_u8[None])[None]
+    mono = bool((sa[:, :1] == sa).all())
+    sp = jnp.asarray((sa[:, :1] if mono else sa).astype(np.float32))
+    q = np.asarray(fast_guided_filter(gp, sp, radius, float(eps),
+                                      subsample))
+    if mono:
+        q = np.broadcast_to(q, sa.shape)
+    q = np.moveaxis(q[0], 0, -1)
+    if src_u8.ndim == 2:
+        q = q[..., 0]
+    return np.clip(np.rint(q), 0, 255).astype(np.uint8)
 
 
 def guided_filter_u8(guide_u8, src_u8, radius: int, eps) -> np.ndarray:
