@@ -86,25 +86,35 @@ def decompose_image(filename_in: str, path_out: str,
     return reflectance_gray
 
 
+def _read_images_grouped(filenames: Sequence[str]) -> Dict:
+    """Read many images grouped by shape, through the native IO runtime
+    (data/native_loader.read_images_rgb: header-only size probe, one C++
+    thread-pool batch decode per same-size group — PNG decode is
+    bit-exact vs cv2).  Per-file containment as in the reference's
+    per-file try/except (helper:410-435)."""
+    from ..data.native_loader import read_images_rgb
+
+    items, failed = read_images_rgb(filenames)
+    for fn in failed:
+        print("Decomposing file", fn, "was not possible")
+    groups: Dict = {}
+    for fn, rgb in items:
+        # native returns RGB; the pipeline contract is cv2's BGR
+        img = rgb[:, :, ::-1]
+        groups.setdefault(img.shape, []).append((fn, img))
+    return groups
+
+
 def decompose_images(filenames: Sequence[str], path_out: str,
                      net: Optional[ReflectanceCNN] = None,
                      batch_size: int = 16) -> Dict[str, np.ndarray]:
     """Batched multi-image mode replacing the reference's per-file loop:
-    images are grouped by (H, W) and each group runs through the jitted
-    forward in device batches (one compile per shape, not per file)."""
+    images are read through the native thread-pool decoder, grouped by
+    (H, W), and each group runs through the jitted forward in device
+    batches (one compile per shape, not per file)."""
     if net is None:
         net = ReflectanceCNN()
-    groups: Dict = {}
-    for fn in filenames:
-        # per-file containment: one unreadable file must not abort the
-        # batch (the reference's per-file try/except, helper:410-435)
-        try:
-            img = iu.imread(fn)
-        except Exception:
-            print("Decomposing file", fn, "was not possible")
-            traceback.print_exc()
-            continue
-        groups.setdefault(img.shape, []).append((fn, img))
+    groups = _read_images_grouped(filenames)
     out = {}
     for items in groups.values():
         for s in range(0, len(items), batch_size):

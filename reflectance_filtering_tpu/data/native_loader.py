@@ -91,6 +91,48 @@ def image_size(path: str):
     return h.value, w.value
 
 
+def read_images_rgb(paths: Sequence[str]):
+    """Decode many images at native size to uint8 RGB via the thread pool.
+
+    Groups same-(H, W) files and decodes each group with ONE
+    load_batch_rgb call (same-size resize is a memcpy — PNG decode is
+    bit-exact vs cv2, tested in tests/test_native_io.py).  Returns
+    (items, failed): items is [(path, rgb_u8 [H,W,3]), ...], failed the
+    paths nothing could read.  Files the native probe rejects (formats
+    beyond PNG/JPEG) fall back to cv2; a failed batch decodes per-file
+    via cv2 so one bad file never takes down its group."""
+    import cv2
+
+    def cv2_rgb(path):
+        img = cv2.imread(path)
+        if img is None:
+            raise IOError("cannot read {}".format(path))
+        return img[:, :, ::-1]
+
+    size_groups = {}
+    items, failed = [], []
+    for p in paths:
+        try:
+            h, w = image_size(p)
+            size_groups.setdefault((h, w), []).append(p)
+        except Exception:
+            try:
+                items.append((p, cv2_rgb(p)))
+            except Exception:
+                failed.append(p)
+    for (h, w), group in size_groups.items():
+        try:
+            rgb = load_batch_rgb(group, h, w)
+            items.extend(zip(group, rgb))
+        except Exception:
+            for p in group:
+                try:
+                    items.append((p, cv2_rgb(p)))
+                except Exception:
+                    failed.append(p)
+    return items, failed
+
+
 def load_batch_rgb(paths: Sequence[str], height: int, width: int,
                    nthreads: int = 0) -> np.ndarray:
     """Decode+resize a list of image files to [N, H, W, 3] uint8 RGB.

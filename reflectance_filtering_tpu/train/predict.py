@@ -291,16 +291,20 @@ def decompose_images_batched(paths: Sequence[str], params,
     reference's per-file loop that rebuilt the whole net per image
     (helper:757-760, SURVEY.md §3.4).  Images are grouped by (H, W) so
     each group runs through one jitted program in device batches; reads
-    keep per-file error containment.  Returns the list of successfully
-    decomposed paths."""
+    go through the native thread-pool decoder (bit-exact PNG parity with
+    the cv2 path, data/native_loader.read_images_rgb) and keep per-file
+    error containment.  Returns the list of successfully decomposed
+    paths."""
+    from ..data.native_loader import read_images_rgb
+
+    raw, failed = read_images_rgb(paths)
+    for p in failed:
+        print("Decomposing file", p, "was not possible")
     groups: Dict = {}
-    for p in paths:
-        try:
-            img = _read_img_linear_hwc(p)
-        except Exception:
-            print("Decomposing file", p, "was not possible")
-            traceback.print_exc()
-            continue
+    for p, rgb in raw:
+        # helper:653-662 linearization, minus the cv2 BGR round-trip
+        img = srgb_to_rgb(rgb.astype(np.float64) / 255.0).astype(
+            np.float32)
         groups.setdefault(img.shape[:2], []).append((p, img))
     if predict_fn is None:
         predict_fn = make_predict_fn(net_cfg)
