@@ -19,6 +19,7 @@ one jitted fori_loop, and completion is forced by a host readback (the
 axon tunnel's block_until_ready is not a reliable fence).
 """
 import json
+import os
 import sys
 import time
 
@@ -32,6 +33,8 @@ BATCH = 32
 H = W = 256
 MP = BATCH * H * W / 1e6
 BASELINE_MPS = 0.5  # reference BF(CNN,CNN): ~0.37 MP / 0.693 s
+K_COMPS = 1181  # real IIW blob row count (createNumpy...:83) — the WHDR
+                # gather cost in the pipelines is the true metric workload
 
 
 def _timed_loop(fn, x, iters):
@@ -45,6 +48,88 @@ def _timed_loop(fn, x, iters):
     t0 = time.time()
     float(loop(x))
     return (time.time() - t0) / iters
+
+
+def run_gate():
+    """On-chip parity gate (VERDICT r2 item 2): run golden inputs through
+    the REAL dispatch users hit (Pallas/MXU kernels on the TPU backend)
+    and require every uint8 output within 1 level of its anchor.
+
+    Anchors:
+      * guided: the committed independent C++-transcription fixtures
+        (tests/fixtures/guided_golden.npz; see tests/guided_cpp_oracle.py)
+        — exercises the MXU band-matmul path at r in {3,45,52} and the
+        gray XLA path;
+      * bilateral gray-self (the BF(CNN,CNN) -r.png case): the REAL
+        cv2.bilateralFilter binary on the replicated-gray image;
+      * CNN: an f64 numpy forward straight off the caffemodel blobs.
+    Returns (parity_ok, {check: max_uint8_diff}).
+    """
+    import cv2
+    from reflectance_filtering_tpu.ops.guided import guided_filter_u8
+    from reflectance_filtering_tpu.ops.bilateral import (
+        joint_bilateral_filter_u8)
+    from reflectance_filtering_tpu.models.caffe_io import parse_caffemodel
+
+    diffs = {}
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "fixtures", "guided_golden.npz")
+    with np.load(fix) as z:
+        g = {kk: z[kk] for kk in z.files}
+    for tag, key, kind in [("r3_e3", "small", "color"),
+                           ("r45_e3", "big", "color"),
+                           ("r52_e7", "big", "color"),
+                           ("r45_e3", "big", "colorsrc"),
+                           ("r45_e3", "big", "gray")]:
+        radius = int(tag.split("_")[0][1:])
+        eps = float(tag.split("_e")[1])
+        guide = g["img_{}_guide_{}".format(
+            key, "gray" if kind == "gray" else "color")]
+        src = (guide if kind == "colorsrc" else g["img_{}_src".format(key)])
+        got = guided_filter_u8(guide, src, radius, eps)
+        exp = g["out_{}_{}".format(tag, kind)]
+        diffs["gf_{}_{}".format(tag, kind)] = int(
+            np.abs(got.astype(np.int32) - exp.astype(np.int32)).max())
+
+    # bilateral gray-self at the product sigmas (c20 s22) vs the cv2
+    # BINARY — -r.png decodes to 3 identical channels, for which
+    # bilateralFilter(joint==src) is the exact oracle
+    rngg = np.random.RandomState(7)
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+    gray = np.clip(120 + 70 * np.sin(xx / 14.0) * np.cos(yy / 10.0)
+                   + 12 * rngg.rand(96, 128), 0, 255).astype(np.uint8)
+    rep3 = np.repeat(gray[..., None], 3, axis=-1)
+    got_bf = joint_bilateral_filter_u8(rep3, rep3, -1, 20.0, 22.0)
+    exp_bf = cv2.bilateralFilter(rep3, -1, 20.0, 22.0)
+    diffs["bf_gray_self_cv2"] = int(
+        np.abs(got_bf.astype(np.int32) - exp_bf.astype(np.int32)).max())
+
+    # CNN -r.png byte path vs f64 numpy forward off the caffemodel blobs
+    from reflectance_filtering_tpu.cli.decompose import ReflectanceCNN
+    img = np.clip(np.stack([gray, np.roll(gray, 7, 0),
+                            np.roll(gray, 5, 1)], -1), 0, 255)
+    net = ReflectanceCNN()
+    got_r = np.floor(net.reflectance_intensity(img) * 255.0)
+    raw = parse_caffemodel("/root/reference/learned_weights.caffemodel")
+    x = img[:, :, ::-1].astype(np.float64) / 255.0
+    x = np.where(x <= 0.04045, x / 12.92,
+                 np.power((x + 0.055) / 1.055, 2.4))
+    skips = []
+    for i in range(5):
+        wgt = raw["conv%d" % i][0][:, :, 0, 0]
+        b = raw["conv%d" % i][1].reshape(-1)
+        x = np.maximum(x @ wgt.T + b, 0.0)
+        skips.append(x)
+    cat = np.concatenate(skips, axis=-1)
+    wf = raw["fuse_skip_layers"][0][:, :, 0, 0]
+    bf = raw["fuse_skip_layers"][1].reshape(-1)
+    exp_r = np.floor(
+        (1.0 / (1.0 + np.exp(-(cat @ wf.T + bf))))[..., 0] * 255.0)
+    diffs["cnn_r_png"] = int(np.abs(got_r - exp_r).max())
+
+    ok = all(d <= 1 for d in diffs.values())
+    return ok, diffs
 
 
 def main():
@@ -65,7 +150,7 @@ def main():
     rng = np.random.RandomState(0)
     imgs = jax.device_put(
         rng.rand(BATCH, H, W, 3).astype(np.float32))  # sRGB in [0,1]
-    k = 120
+    k = K_COMPS
     comps = np.full((BATCH, k + 1, 6), np.nan, np.float32)
     comps[:, :k, :4] = rng.rand(BATCH, k, 4)
     comps[:, :k, 4] = rng.randint(0, 3, (BATCH, k))
@@ -224,6 +309,14 @@ def main():
     gf_mps = MP / t_gf
     cnn_mps = MP / t_cnn
 
+    # on-chip parity bit: the golden gallery through the real TPU
+    # dispatch (VERDICT r2 item 2) — a gate failure must not lose the
+    # throughput numbers, so contain and report
+    try:
+        parity_ok, parity_diffs = run_gate()
+    except Exception as err:  # fixture missing, compile failure, ...
+        parity_ok, parity_diffs = False, {"error": repr(err)}
+
     print(json.dumps({
         "metric": "BF(CNN,CNN) end-to-end megapixels/sec/chip "
                   "(CNN+u8-write+joint-bilateral c20 s22+WHDR)",
@@ -238,8 +331,15 @@ def main():
         "gf_3x_4k_mps": round(h4k * w4k / t_4k / 1e6, 2),
         "train_imgs_per_s": round(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],
+        "whdr_comparisons_per_image": K_COMPS,
+        "parity_ok": parity_ok,
+        "parity_max_diffs": parity_diffs,
     }))
 
 
 if __name__ == "__main__":
+    if "--gate" in sys.argv:
+        ok, d = run_gate()
+        print(json.dumps({"parity_ok": ok, "parity_max_diffs": d}))
+        sys.exit(0 if ok else 1)
     main()
