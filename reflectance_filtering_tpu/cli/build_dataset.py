@@ -16,7 +16,7 @@ from ..data import builder as B
 
 def run_mode(mode: str, data_folder: str, save_to: str,
              height: int, width: int, augment_data: bool,
-             seed: int = 0):
+             seed: int = 0, workers: int = 1):
     os.makedirs(save_to, exist_ok=True)
     names = B.sorted_file_list(data_folder)
     if not names:
@@ -27,7 +27,8 @@ def run_mode(mode: str, data_folder: str, save_to: str,
         B.build_dataset(data_folder, file_list,
                         os.path.join(save_to, stem),
                         height=height, width=width,
-                        augment_data=augment_data, seed=seed)
+                        augment_data=augment_data, seed=seed,
+                        workers=workers)
 
     if mode == "dummy":                   # createNumpy...:752-767
         file_list = names[:20]
@@ -80,9 +81,14 @@ def main(argv=None):
     parser.add_argument("--augment", type=int, default=0,
                         help="add the transitive closure of comparisons")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--workers", type=int, default=1,
+                        help="process-pool width for the per-file build "
+                             "(race-free, deterministic; the reference's "
+                             "parallel mode corrupts output)")
     args = parser.parse_args(argv)
     run_mode(args.mode, args.data_folder, args.save_to,
-             args.height, args.width, bool(args.augment), args.seed)
+             args.height, args.width, bool(args.augment), args.seed,
+             workers=args.workers)
 
 
 if __name__ == "__main__":

@@ -285,12 +285,36 @@ def get_data_for_single_file(data_folder: str, file_name: str,
             len(comparisons), n_aug)
 
 
+def _build_one(args):
+    """Process-pool worker: one file, its own derived RNG.  Module-level
+    for pickling; returns only what build_dataset packs."""
+    data_folder, fn, augment_data, seed_i = args
+    rng = np.random.RandomState(seed_i)
+    img, cb, ab, _h, _w, _nc, _na = get_data_for_single_file(
+        data_folder, fn, augment_data, rng)
+    return img, cb, ab
+
+
 def build_dataset(data_folder: str, file_list: Sequence[str],
                   file_to_save: str, height: int = 256, width: int = 256,
                   augment_data: bool = False,
-                  seed: Optional[int] = None, verbose: bool = True):
+                  seed: Optional[int] = None, verbose: bool = True,
+                  workers: int = 1):
     """Build one .npz shard pair (sRGB + linear) for a file list
-    (createNumpy...:92-265)."""
+    (createNumpy...:92-265).
+
+    workers > 1 builds files on a process pool — RACE-FREE, unlike the
+    reference's multiprocessing path which it documents as corrupting
+    output (README.md:104): results come back via ``Executor.map`` in
+    input order and each lands at its own blob row, so scheduling can
+    never interleave rows.  Determinism: per-file RNG seeds are
+    pre-drawn from the master stream, so any worker count (and any
+    scheduling) gives bit-identical output for a given ``seed``.
+    Comparisons-only builds (augment_data=False) consume no RNG at all
+    and are additionally bit-identical to the workers=1 sequential
+    build; augmented builds with workers>1 use the per-file streams
+    (same within-file pruning semantics, different draws than the
+    single-stream sequential build — a documented deviation)."""
     rng = np.random.RandomState(seed)
     n = len(file_list)
     images_list = []
@@ -301,12 +325,24 @@ def build_dataset(data_folder: str, file_list: Sequence[str],
         augmented_blob = np.zeros((n, 1, 1, 6))
 
     start = timeit.default_timer()
-    for fc, fn in enumerate(file_list):
-        img, cb, ab, _h, _w, _nc, _na = get_data_for_single_file(
-            data_folder, fn, augment_data, rng)
-        images_list.append(img)
-        comparisons_blob[fc, :, 0, :] = cb
-        augmented_blob[fc, :, 0, :] = ab
+    if workers and workers > 1 and n > 0:
+        from concurrent.futures import ProcessPoolExecutor
+
+        seeds = rng.randint(0, 2 ** 31 - 1, size=n)
+        jobs = [(data_folder, fn, augment_data, int(seeds[i]))
+                for i, fn in enumerate(file_list)]
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for fc, (img, cb, ab) in enumerate(ex.map(_build_one, jobs)):
+                images_list.append(img)
+                comparisons_blob[fc, :, 0, :] = cb
+                augmented_blob[fc, :, 0, :] = ab
+    else:
+        for fc, fn in enumerate(file_list):
+            img, cb, ab, _h, _w, _nc, _na = get_data_for_single_file(
+                data_folder, fn, augment_data, rng)
+            images_list.append(img)
+            comparisons_blob[fc, :, 0, :] = cb
+            augmented_blob[fc, :, 0, :] = ab
 
     images_blob = np.empty((n, 3, height, width))
     for i, image in enumerate(images_list):

@@ -228,3 +228,35 @@ def test_augment_adds_transitive_edges():
     assert any(a == 3 and b == 1 and r == 2 for a, b, r, _ in aug)
     w = [w for a, b, r, w in aug if a == 3 and b == 1][0]
     assert w == 0.8
+
+
+def test_parallel_build_matches_sequential(iiw_dir, tmp_path):
+    """workers>1 is race-free AND bit-identical to the sequential build
+    for comparisons-only datasets (no RNG consumed) — unlike the
+    reference's multiprocessing path, which it documents as corrupting
+    output (README.md:104)."""
+    d, ids = iiw_dir
+    B.build_dataset(d, ids, str(tmp_path / "seq"), height=16, width=20,
+                    seed=3, verbose=False)
+    B.build_dataset(d, ids, str(tmp_path / "par"), height=16, width=20,
+                    seed=3, verbose=False, workers=3)
+    for variant in ("sRGB", "linear"):
+        a = np.load(str(tmp_path / "seq_16_20_{}.npz".format(variant)))
+        b = np.load(str(tmp_path / "par_16_20_{}.npz".format(variant)))
+        for key in ("images", "comparisons", "augmented"):
+            np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+
+def test_parallel_augmented_build_deterministic(iiw_dir, tmp_path):
+    """Augmented parallel builds use pre-drawn per-file seeds: any
+    worker count and any scheduling give the same bytes for a seed."""
+    d, ids = iiw_dir
+    B.build_dataset(d, ids[:3], str(tmp_path / "a"), height=16, width=20,
+                    augment_data=True, seed=5, verbose=False, workers=2)
+    B.build_dataset(d, ids[:3], str(tmp_path / "b"), height=16, width=20,
+                    augment_data=True, seed=5, verbose=False, workers=3)
+    a = np.load(str(tmp_path / "a_16_20_sRGB.npz"))
+    b = np.load(str(tmp_path / "b_16_20_sRGB.npz"))
+    for key in ("images", "comparisons", "augmented"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    assert np.isfinite(a["augmented"][:, :, 0, 4]).sum() > 0
