@@ -132,7 +132,7 @@ def run_gate():
     return ok, diffs
 
 
-def main():
+def main(profile_dir=None):
     from reflectance_filtering_tpu.models.caffe_io import (
         load_reference_weights)
     from reflectance_filtering_tpu.models.networks import (
@@ -199,6 +199,15 @@ def main():
     t_cnn = _timed_loop(cnn_only, imgs, 50)
     t_gf = _timed_loop(gf_pipeline, imgs, 40)
     t_bf = _timed_loop(bf_pipeline, imgs, 8)
+
+    if profile_dir:
+        # --profile <dir>: XLA-level trace of one BF and one GF pipeline
+        # step (view with xprof / tensorboard --logdir)
+        from reflectance_filtering_tpu.utils.profiling import device_trace
+        with device_trace(profile_dir):
+            float(jnp.sum(bf_pipeline(imgs)))
+            float(jnp.sum(gf_pipeline(imgs)))
+        print("wrote device trace to", profile_dir, file=sys.stderr)
 
     # color self-guided bilateral (cv2.bilateralFilter semantics on the
     # photo itself — the CLI's joint==src color path)
@@ -342,4 +351,9 @@ if __name__ == "__main__":
         ok, d = run_gate()
         print(json.dumps({"parity_ok": ok, "parity_max_diffs": d}))
         sys.exit(0 if ok else 1)
-    main()
+    prof = None
+    if "--profile" in sys.argv:
+        i = sys.argv.index("--profile")
+        prof = (sys.argv[i + 1] if i + 1 < len(sys.argv)
+                else "/tmp/reflectance_trace")
+    main(profile_dir=prof)

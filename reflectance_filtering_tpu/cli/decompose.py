@@ -138,9 +138,18 @@ def main(argv=None):
     parser.add_argument("--path_out",
                         help="""Where the resulting decompositions should be
                                 saved.""")
+    parser.add_argument("--profile_dir", default=None,
+                        help="""Write an XLA-level device trace of the
+                                decomposition here (open with xprof /
+                                tensorboard --logdir).""")
     args = parser.parse_args(argv)
     if args.filename_in and args.path_out:
-        decompose_image(args.filename_in, args.path_out)
+        if args.profile_dir:
+            from ..utils.profiling import device_trace
+            with device_trace(args.profile_dir):
+                decompose_image(args.filename_in, args.path_out)
+        else:
+            decompose_image(args.filename_in, args.path_out)
     else:
         parser.print_help()
 

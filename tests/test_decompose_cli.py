@@ -161,3 +161,19 @@ def test_decompose_images_uses_native_loader(tmp_path, rng, monkeypatch):
     out = decompose_images(paths, str(outdir), net=ReflectanceCNN())
     assert len(out) == 3
     assert sorted(len(c) for c in calls) == [1, 2]  # one call per group
+
+
+def test_cli_profile_dir_writes_trace(test_image, tmp_path):
+    """--profile_dir produces an XProf-openable device trace (SURVEY
+    §5.1 wired to a product surface, VERDICT r2 weak #7)."""
+    import os
+    from reflectance_filtering_tpu.cli.decompose import main
+    path, _ = test_image
+    outdir = tmp_path / "o"; outdir.mkdir()
+    tracedir = str(tmp_path / "trace")
+    main(["--filename_in", path, "--path_out", str(outdir),
+          "--profile_dir", tracedir])
+    files = [f for _, _, fs in os.walk(tracedir) for f in fs]
+    assert files, "no trace artifacts written"
+    assert (outdir / (os.path.splitext(os.path.basename(path))[0]
+                      + "-r.png")).exists()
