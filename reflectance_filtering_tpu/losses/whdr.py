@@ -210,6 +210,53 @@ def _eval_selection_mask(valid, num, ratio: float, eval_dense: bool,
     return mask & valid
 
 
+def select_comparisons_host(blob: np.ndarray, ratio: float,
+                            eval_dense: bool,
+                            rng: np.random.RandomState,
+                            cap: int = None) -> np.ndarray:
+    """Host-side evaluation selection for oversized comparison blobs
+    (the 'augmented' K=60,049 case).
+
+    Applies the same dense-skip / ratio / cap rules as
+    ``_eval_selection_mask`` in numpy and packs the selected rows into a
+    compact [B, cap+1, 6] blob (NaN padded, metadata row [m, file, 0]).
+    Feeding the compact blob (with the downstream loss told the
+    selection is done — ratio=1, eval_dense=True) is mathematically
+    identical to masking the full blob on device: the hinge is a
+    weighted mean over exactly the selected rows either way.  What it
+    removes from the device program is the 60k-row gather and the
+    2x argsort rank of the cap selection, and from the feed the 60k-row
+    per-step transfer — the reference itself selects host-side with
+    np.random.choice (whdr_hinge_loss_layer.py:142-148).
+
+    The cap draw uses ``rng`` (uniform, without replacement — reference
+    semantics); key it by the global step for resumable determinism.
+    """
+    if cap is None:
+        cap = MAX_EVALUATED_COMPARISONS
+    b, k1, _ = blob.shape
+    k = k1 - 1
+    out = np.full((b, cap + 1, 6), np.nan, blob.dtype)
+    for i in range(b):
+        num = int(blob[i, -1, 0])
+        num_eval = num
+        if not eval_dense and num > DENSE_SKIP_THRESHOLD:
+            num_eval = 1
+        if ratio < 1.0:
+            num_eval = int(np.ceil(ratio * float(num_eval)))
+        num_eval = min(num_eval, k)
+        if num_eval > cap:
+            sel = np.sort(rng.choice(num_eval, cap, replace=False))
+        else:
+            sel = np.arange(num_eval)
+        m = len(sel)
+        out[i, :m] = blob[i, sel]
+        out[i, cap, 0] = m
+        out[i, cap, 1] = blob[i, -1, 1]
+        out[i, cap, 2] = 0
+    return out
+
+
 def whdr_hinge(reflectance, comparisons, delta: float = 0.1,
                margin: float = 0.05, ratio: float = 1.0,
                eval_dense: bool = True,

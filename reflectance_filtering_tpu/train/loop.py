@@ -98,7 +98,7 @@ def make_optimizer(solver_type: str = "ADAM", base_lr: float = 0.001):
 
 def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
                    loss_cfg: LossConfig, key=None, train: bool = True,
-                   metric_comparisons=None
+                   metric_comparisons=None, preselected: bool = False
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Forward + full loss graph.  images NHWC, comparisons [B,K+1,6].
 
@@ -107,10 +107,16 @@ def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
     whdr_original accuracy — the reference always wires the metric to the
     plain 'comparisons' blob even when training on 'augmented'
     (networks.py:243-254).
+
+    ``preselected``: the blob already went through host-side evaluation
+    selection (losses.whdr.select_comparisons_host) — the hinge must not
+    re-apply dense-skip/ratio/cap, only the prefix mask.
     """
     if metric_comparisons is None:
         metric_comparisons = comparisons
     delta, margin, ratio, eval_dense = loss_cfg.wdm
+    if preselected:
+        ratio, eval_dense = 1.0, True
     blobs = apply_network(params, images, net_cfg, train=train)
     bn_stats = blobs.get("__bn_stats__", {})
     mode = net_cfg.rs_est_mode.split("-")[0]
@@ -163,7 +169,7 @@ def compute_losses(params, images, comparisons, net_cfg: NetworkConfig,
 
 
 def _make_step_body(net_cfg: NetworkConfig, loss_cfg: LossConfig,
-                    optimizer) -> Callable:
+                    optimizer, preselected: bool = False) -> Callable:
     """Pure (un-jitted) step body shared by the per-step and the
     scan-chunked trainers: forward + autodiff backward + optax update
     (+ BatchNorm running-stat EMA)."""
@@ -172,7 +178,8 @@ def _make_step_body(net_cfg: NetworkConfig, loss_cfg: LossConfig,
     def loss_fn(params, images, comparisons, metric_comparisons, key):
         return compute_losses(params, images, comparisons, net_cfg,
                               loss_cfg, key, train=True,
-                              metric_comparisons=metric_comparisons)
+                              metric_comparisons=metric_comparisons,
+                              preselected=preselected)
 
     def body(params, opt_state, images, comparisons, metric_comparisons,
              key):
@@ -190,12 +197,13 @@ def _make_step_body(net_cfg: NetworkConfig, loss_cfg: LossConfig,
 
 
 def make_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
-                    optimizer) -> Callable:
+                    optimizer, preselected: bool = False) -> Callable:
     """Build the jitted step — one XLA program.
 
     Signature: (params, opt_state, images, comparisons, key,
     metric_comparisons=None) -> (params, opt_state, metrics)."""
-    _step = jax.jit(_make_step_body(net_cfg, loss_cfg, optimizer))
+    _step = jax.jit(_make_step_body(net_cfg, loss_cfg, optimizer,
+                                    preselected))
 
     def step(params, opt_state, images, comparisons, key,
              metric_comparisons=None):
@@ -289,7 +297,6 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
     optimizer = make_optimizer(solver_type, base_lr)
     opt_state = (optimizer.init(params) if init_opt_state is None
                  else init_opt_state)
-    step_fn = make_train_step(net_cfg, loss_cfg, optimizer)
 
     images = np.asarray(X["images"], np.float32)
     comps = np.asarray(X[comparisons_type], np.float32)
@@ -297,6 +304,19 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
     # (networks.py:243-254), even when training on 'augmented'
     metric_comps = np.asarray(X["comparisons"], np.float32)
     n = images.shape[0]
+
+    # Oversized hinge blobs (augmented, K=60,049 > the 1500 cap): the
+    # evaluation selection moves HOST-side (select_comparisons_host) and
+    # the device sees a compact [B, 1501, 6] blob per step — removing
+    # the 60k-row device gather, the double-argsort cap rank, and ~98%
+    # of the per-step comparison-feed bytes.  The reference also selects
+    # host-side (np.random.choice, whdr_hinge_loss_layer.py:142-148).
+    from ..losses.whdr import (MAX_EVALUATED_COMPARISONS,
+                               select_comparisons_host)
+    host_select = comps.shape[1] - 1 > MAX_EVALUATED_COMPARISONS
+    step_fn = make_train_step(net_cfg, loss_cfg, optimizer,
+                              preselected=host_select)
+    _, _, sel_ratio, sel_dense = loss_cfg.wdm
 
     base_steps = base_samples // batch_size
     state = TrainState(params, opt_state, base_steps, base_samples)
@@ -317,20 +337,34 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
     # per-step path's elementwise modulo (smaller sets would clamp
     # silently); tiny debug sets use the per-step trainer instead
     on_device = (feed_bytes <= DEVICE_FEED_BUDGET_BYTES
-                 and n >= batch_size and num_steps > 0)
-    if on_device:
-        # wrap-pad by batch_size-1 rows on the HOST so every sequential
-        # batch is one contiguous dynamic_slice on device, then upload
-        # exactly one copy (padding on device would briefly hold both
-        # the original and the padded buffer in HBM)
-        def _wrap_pad(a):
-            if batch_size > 1:
-                a = np.concatenate([a, a[:batch_size - 1]], axis=0)
-            return jnp.asarray(a)
+                 and n >= batch_size and num_steps > 0
+                 and not host_select)
 
+    # wrap-pad by batch_size-1 rows on the HOST so every sequential
+    # batch is one contiguous dynamic_slice on device, then upload
+    # exactly one copy (padding on device would briefly hold both
+    # the original and the padded buffer in HBM)
+    def _wrap_pad(a):
+        if batch_size > 1:
+            a = np.concatenate([a, a[:batch_size - 1]], axis=0)
+        return jnp.asarray(a)
+
+    if on_device:
         images_v = _wrap_pad(images)
         comps_v = _wrap_pad(comps)
         metric_v = comps_v if shared_metric else _wrap_pad(metric_comps)
+
+    # host-select runs make the step device-cheap again, but the 9 GB
+    # augmented blob still pins the COMPACT comps to per-step host
+    # feeding; images + the plain metric blob are small — keep those
+    # device-resident when they fit so the per-step transfer is just the
+    # ~0.7 MB compact blob
+    half_resident = (host_select and num_steps > 0 and n >= batch_size
+                     and images.nbytes + metric_comps.nbytes
+                     <= DEVICE_FEED_BUDGET_BYTES)
+    if half_resident:
+        images_d = _wrap_pad(images)
+        metric_d = _wrap_pad(metric_comps)
 
     def fan_out_metrics(s_global, samples, host_metrics):
         # callbacks see the GLOBAL step so a resumed run keeps the step
@@ -393,13 +427,31 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         # is DISPATCHED, so monitor work overlaps device compute.
         pending = None
         for s in range(num_steps):
+            start = cursor
             idx = (cursor + np.arange(batch_size)) % n
             cursor = (cursor + batch_size) % n
             step_key = jax.random.fold_in(root_key, base_steps + s)
+            if host_select:
+                # selection keyed by the GLOBAL step: deterministic and
+                # resume-stable, like the device path's fold_in key
+                sel_rng = np.random.RandomState(
+                    np.array([seed & 0x7fffffff, base_steps + s],
+                             dtype=np.uint32))
+                b_comps = jnp.asarray(select_comparisons_host(
+                    comps[idx], sel_ratio, sel_dense, sel_rng))
+            else:
+                b_comps = jnp.asarray(comps[idx])
+            if half_resident:
+                b_images = jax.lax.dynamic_slice_in_dim(
+                    images_d, start, batch_size, 0)
+                b_metric = jax.lax.dynamic_slice_in_dim(
+                    metric_d, start, batch_size, 0)
+            else:
+                b_images = jnp.asarray(images[idx])
+                b_metric = jnp.asarray(metric_comps[idx])
             params, opt_state, metrics = step_fn(
-                state.params, state.opt_state,
-                jnp.asarray(images[idx]), jnp.asarray(comps[idx]),
-                step_key, jnp.asarray(metric_comps[idx]))
+                state.params, state.opt_state, b_images, b_comps,
+                step_key, b_metric)
             state = TrainState(params, opt_state, base_steps + s + 1,
                                base_samples + (s + 1) * batch_size)
             if pending is not None:

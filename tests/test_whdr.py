@@ -281,3 +281,96 @@ def test_ratio_subsample_count_matches_reference_float64():
         got = np.asarray(_ratio_ceil(jnp.asarray(n), ratio, 1181))
         exp = np.ceil(ratio * n.astype(np.float64)).astype(np.int32)
         np.testing.assert_array_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# host-side evaluation selection (the augmented K=60k fast path)
+# ---------------------------------------------------------------------------
+
+def _rand_blob(rng, b, k, num):
+    blob = np.full((b, k + 1, 6), np.nan, np.float32)
+    for i in range(b):
+        blob[i, :num, 0:4] = rng.rand(num, 4)
+        blob[i, :num, 4] = rng.randint(0, 3, num)
+        blob[i, :num, 5] = 0.1 + rng.rand(num)
+        blob[i, k, 0] = num
+        blob[i, k, 1] = 100 + i
+        blob[i, k, 2] = 0
+    return blob
+
+
+def test_host_select_uncapped_is_identity_loss():
+    """num <= cap: selection is the deterministic prefix, so the compact
+    blob gives the EXACT full-blob hinge loss."""
+    from reflectance_filtering_tpu.losses.whdr import (
+        select_comparisons_host, whdr_hinge_batch)
+    rng = np.random.RandomState(0)
+    refl = jnp.asarray(rng.rand(2, 8, 9, 1).astype(np.float32))
+    blob = _rand_blob(rng, 2, 40, 25)
+    compact = select_comparisons_host(blob, 1.0, True,
+                                      np.random.RandomState(1), cap=30)
+    full = float(whdr_hinge_batch(refl, jnp.asarray(blob)))
+    comp = float(whdr_hinge_batch(refl, jnp.asarray(compact)))
+    assert full == comp
+
+
+def test_host_select_cap_matches_manual_weighted_mean():
+    """num > cap: the compact-blob loss equals the weighted mean over
+    exactly the selected rows (and the selection is a uniform
+    no-replacement draw from the first num_eval rows)."""
+    from reflectance_filtering_tpu.losses.whdr import (
+        select_comparisons_host, whdr_hinge_batch)
+    rng = np.random.RandomState(3)
+    refl = jnp.asarray(rng.rand(1, 8, 9, 1).astype(np.float32))
+    blob = _rand_blob(rng, 1, 60, 50)
+    compact = select_comparisons_host(blob, 1.0, True,
+                                      np.random.RandomState(7), cap=20)
+    assert compact.shape == (1, 21, 6)
+    assert compact[0, 20, 0] == 20
+    # every selected row is one of the first 50 originals
+    orig = {tuple(r) for r in blob[0, :50].tolist()}
+    assert all(tuple(r) in orig for r in compact[0, :20].tolist())
+    # loss equals the masked full-blob loss for the SAME selection:
+    # rebuild the full blob keeping only the selected rows
+    kept = {tuple(r) for r in compact[0, :20].tolist()}
+    masked = blob.copy()
+    for j in range(50):
+        if tuple(blob[0, j].tolist()) not in kept:
+            masked[0, j, 5] = 0.0  # zero weight drops it from the mean
+    got = float(whdr_hinge_batch(refl, jnp.asarray(compact)))
+    exp = float(whdr_hinge_batch(refl, jnp.asarray(masked)))
+    np.testing.assert_allclose(got, exp, rtol=2e-6)
+
+
+def test_host_select_applies_dense_skip_and_ratio():
+    from reflectance_filtering_tpu.losses.whdr import (
+        select_comparisons_host, DENSE_SKIP_THRESHOLD)
+    rng = np.random.RandomState(5)
+    blob = _rand_blob(rng, 1, 400, DENSE_SKIP_THRESHOLD + 50)
+    out = select_comparisons_host(blob, 1.0, False,
+                                  np.random.RandomState(0), cap=500)
+    assert out[0, 500, 0] == 1  # dense-skip: one comparison only
+    out2 = select_comparisons_host(blob, 0.5, True,
+                                   np.random.RandomState(0), cap=500)
+    assert out2[0, 500, 0] == int(np.ceil(0.5 * (DENSE_SKIP_THRESHOLD
+                                                 + 50)))
+
+
+def test_fit_host_select_path_runs_and_is_deterministic():
+    """An oversized blob (K > 1500) routes fit() through the host-side
+    selection + compact-feed trainer; same seed => identical params."""
+    from reflectance_filtering_tpu.models.networks import NetworkConfig
+    from reflectance_filtering_tpu.train.loop import LossConfig, fit
+    rng = np.random.RandomState(2)
+    k = 1520
+    X = {"images": rng.rand(4, 16, 16, 3).astype(np.float32),
+         "augmented": _rand_blob(rng, 4, k, 1510),
+         "comparisons": _rand_blob(rng, 4, 30, 12)}
+    cfg = NetworkConfig(num_layers=2, num_filters_log=2)
+    kwargs = dict(iterations=4, batch_size=2, random_seed=11,
+                  comparisons_type="augmented")
+    s1 = fit(cfg, LossConfig(), X, **kwargs)
+    s2 = fit(cfg, LossConfig(), X, **kwargs)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
