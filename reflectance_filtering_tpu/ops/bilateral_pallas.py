@@ -289,6 +289,125 @@ def bilateral_gray_self_batched(x, d: int = -1,
     return out[:, :h, :]
 
 
+def _kernel_gray_self_packed(x_hbm, out_ref, xscr, sem,
+                             *, radius: int, th: int, wout: int,
+                             rows: int, wseg: int, pack: int,
+                             gcc: float, gsc: float, reps: int):
+    """Gray-self kernel with ``pack`` images lane-packed into one tile.
+
+    Each image occupies a self-contained segment of wseg = wout + 2r
+    lanes (its own reflect halo included), segments back to back from
+    lane 0.  Taps for output lanes [seg+r, seg+r+wout) read only
+    [seg, seg+wseg) — cyclic-roll contamination lands in other
+    segments' halo lanes, which are re-rolled fresh from scratch every
+    tap and never read.  Why: at W=256/r=33 a single image needs 322
+    lanes but pads to 384 (16% of every roll AND every ALU op wasted);
+    3x322 = 966 pads to 1024 (5.7% waste) — the ALU ceiling and the
+    XLU roll volume both improve ~12%.  The round-2 single-image
+    tight-packing attempt lost its gain to an XLA transpose; packing
+    WHOLE images along lanes is a plain concat (no transpose), and the
+    per-image output realignment is one in-kernel roll per tile."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * th, rows), :], xscr, sem)
+    cp.start()
+    cp.wait()
+
+    wpad = xscr.shape[1]
+    center = xscr[radius:radius + th, :]
+    g9 = gcc * float(reps * reps)
+
+    def make_dy_body(dxmax: int):
+        def dy_body(dy, carry):
+            acc, wsum = carry
+            plane = pltpu.roll(xscr[...], rows - dy, 0)[:th, :]
+            fy = (dy - radius).astype(jnp.float32)
+            fy2 = fy * fy
+            for dx in range(radius - dxmax, radius + dxmax + 1):
+                fx = float(dx - radius)
+                r2 = fy2 + fx * fx
+                cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
+                               r2 * gsc)
+                cur = pltpu.roll(plane, (radius - dx) % wpad, 1)
+                diff = cur - center
+                w = jnp.exp(diff * diff * g9 + cc)
+                acc = acc + w * cur
+                wsum = wsum + w
+            return acc, wsum
+        return dy_body
+
+    zero = jnp.zeros((th, wpad), jnp.float32)
+    acc, wsum = _banded_dy_sweep(radius, make_dy_body, (zero, zero))
+    res = acc / wsum
+    for k in range(pack):
+        # realign segment k's valid region to lane 0 (one roll per
+        # image per tile — ~1/1000 of the tap rolls), then a static
+        # aligned crop
+        shifted = pltpu.roll(res, (wpad - (k * wseg + radius)) % wpad, 1)
+        out_ref[0, k] = shifted[:, :wout]
+
+
+@functools.partial(jax.jit, static_argnames=("d", "sigma_color",
+                                             "sigma_space", "th", "reps",
+                                             "pack"))
+def bilateral_gray_self_packed_batched(x, d: int = -1,
+                                       sigma_color: float = 20.0,
+                                       sigma_space: float = 22.0,
+                                       th: int = 64, reps: int = 3,
+                                       pack: int = 3):
+    """Lane-packed variant of :func:`bilateral_gray_self_batched`
+    (bitwise-identical results): ``pack`` images share one kernel tile.
+    x [N, H, W] -> [N, H, W]; N is zero-padded up to a multiple of
+    ``pack`` internally (the pad images cost one partially-wasted
+    group)."""
+    radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
+                                                  sigma_space)
+    n, h, wid = x.shape
+    wseg = wid + 2 * radius
+    g = -(-n // pack)
+    if g * pack != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((g * pack - n, h, wid), x.dtype)], axis=0)
+
+    hp_tiles, hpad, rows, _ = _tile_geometry(h, wid, radius, th)
+    # per-image reflect pad to EXACTLY wseg lanes (no per-image 128
+    # rounding), H padded for the tile DMA windows as usual
+    lead = [(0, 0)]
+    xp = jnp.pad(x, lead + [(radius, radius), (radius, radius)],
+                 mode="reflect")
+    extra_h = (hpad - h) + (rows - (th + 2 * radius))
+    if extra_h:
+        xp = jnp.pad(xp, lead + [(0, extra_h), (0, 0)])
+    # lane-concat the pack group (plain copy, no transpose), pad to 128
+    grp = xp.reshape(g, pack, xp.shape[1], wseg)
+    packed = jnp.concatenate([grp[:, k] for k in range(pack)], axis=-1)
+    wpad = -(-(pack * wseg) // 128) * 128
+    if wpad != pack * wseg:
+        packed = jnp.pad(packed,
+                         [(0, 0), (0, 0), (0, wpad - pack * wseg)])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_gray_self_packed, radius=radius, th=th,
+                          wout=wid, rows=rows, wseg=wseg, pack=pack,
+                          gcc=float(gcc), gsc=float(gsc), reps=reps),
+        out_shape=jax.ShapeDtypeStruct((g, pack, hpad, wid), jnp.float32),
+        grid=(g, hp_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, pack, th, wid),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, wpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(packed)
+    return out.reshape(g * pack, hpad, wid)[:n, :h, :]
+
+
 def _kernel_color_self(x_hbm, out_ref, pscr, cscr, sem,
                        *, radius: int, th: int, wout: int, rows: int,
                        gcc: float, gsc: float):

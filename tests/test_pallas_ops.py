@@ -67,6 +67,20 @@ def test_bilateral_gray_self_matches_xla(rng):
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=2e-3)
 
 
+@pytest.mark.parametrize("n", [1, 3, 5])
+def test_bilateral_gray_self_packed_matches_unpacked(rng, n):
+    """Lane-packed (3 images/tile) gray-self kernel is BITWISE equal to
+    the single-image kernel, incl. the zero-padded partial group."""
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        bilateral_gray_self_packed_batched)
+    x = (rng.rand(n, 30, 40) * 255).astype(np.float32)
+    exp = np.asarray(bilateral_gray_self_batched(
+        jnp.asarray(x), -1, 20.0, 3.0))
+    got = np.asarray(bilateral_gray_self_packed_batched(
+        jnp.asarray(x), -1, 20.0, 3.0))
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_bilateral_batched_grid(rng):
     joint = (rng.rand(2, 3, 24, 32) * 255).astype(np.float32)
     src = (rng.rand(2, 3, 24, 32) * 255).astype(np.float32)
