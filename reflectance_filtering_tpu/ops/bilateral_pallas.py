@@ -518,6 +518,126 @@ def bilateral_color_self_batched(x, d: int = -1,
     return out[:, :, :h, :]
 
 
+def _kernel_color_self_packed(x_hbm, out_ref, pscr, cscr, sem,
+                              *, radius: int, th: int, wout: int,
+                              rows: int, wseg: int, pack: int,
+                              gcc: float, gsc: float):
+    """Color-self kernel with ``pack`` images lane-packed per tile (same
+    segment argument as _kernel_gray_self_packed; same mantissa packing
+    as _kernel_color_self — P = c0 + 512*c1 and c2 ride two planes, each
+    holding ``pack`` image segments)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, 0, pl.ds(i * th, rows), :], pscr, sem)
+    cp.start()
+    cp.wait()
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, 1, pl.ds(i * th, rows), :], cscr, sem)
+    cp.start()
+    cp.wait()
+
+    wpad = pscr.shape[1]
+    inv512 = jnp.float32(1.0 / 512.0)
+    Pc = pscr[radius:radius + th, :]
+    cen1 = jnp.floor(Pc * inv512)
+    cen0 = Pc - 512.0 * cen1
+    cen2 = cscr[radius:radius + th, :]
+
+    def make_dy_body(dxmax: int):
+        def dy_body(dy, carry):
+            P = pltpu.roll(pscr[...], rows - dy, 0)[:th, :]
+            C = pltpu.roll(cscr[...], rows - dy, 0)[:th, :]
+            fy = (dy - radius).astype(jnp.float32)
+            fy2 = fy * fy
+            a0, a1, a2, wsum = carry
+            for dx in range(radius - dxmax, radius + dxmax + 1):
+                fx = float(dx - radius)
+                r2 = fy2 + fx * fx
+                cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
+                               r2 * gsc)
+                Pr = pltpu.roll(P, (radius - dx) % wpad, 1)
+                c2 = pltpu.roll(C, (radius - dx) % wpad, 1)
+                u1 = jnp.floor(Pr * inv512)
+                u0 = Pr - 512.0 * u1
+                d = (jnp.abs(u0 - cen0) + jnp.abs(u1 - cen1) +
+                     jnp.abs(c2 - cen2))
+                w = jnp.exp(d * d * gcc + cc)
+                a0 = a0 + w * u0
+                a1 = a1 + w * u1
+                a2 = a2 + w * c2
+                wsum = wsum + w
+            return a0, a1, a2, wsum
+        return dy_body
+
+    zero = jnp.zeros((th, wpad), jnp.float32)
+    a0, a1, a2, wsum = _banded_dy_sweep(radius, make_dy_body,
+                                        (zero, zero, zero, zero))
+    inv = 1.0 / wsum
+    for k in range(pack):
+        s = (wpad - (k * wseg + radius)) % wpad
+        out_ref[0, k, 0] = pltpu.roll(a0 * inv, s, 1)[:, :wout]
+        out_ref[0, k, 1] = pltpu.roll(a1 * inv, s, 1)[:, :wout]
+        out_ref[0, k, 2] = pltpu.roll(a2 * inv, s, 1)[:, :wout]
+
+
+@functools.partial(jax.jit, static_argnames=("d", "sigma_color",
+                                             "sigma_space", "th",
+                                             "pack"))
+def bilateral_color_self_packed_batched(x, d: int = -1,
+                                        sigma_color: float = 20.0,
+                                        sigma_space: float = 22.0,
+                                        th: int = 32, pack: int = 3):
+    """Lane-packed variant of :func:`bilateral_color_self_batched`
+    (bitwise-identical; u8-integer-valued input contract)."""
+    radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
+                                                  sigma_space)
+    n, _, h, wid = x.shape
+    wseg = wid + 2 * radius
+    g = -(-n // pack)
+    if g * pack != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((g * pack - n,) + x.shape[1:], x.dtype)],
+            axis=0)
+    packed2 = jnp.stack([x[:, 0] + 512.0 * x[:, 1], x[:, 2]], axis=1)
+
+    hp_tiles, hpad, rows, _ = _tile_geometry(h, wid, radius, th)
+    lead = [(0, 0), (0, 0)]
+    xp = jnp.pad(packed2, lead + [(radius, radius), (radius, radius)],
+                 mode="reflect")
+    extra_h = (hpad - h) + (rows - (th + 2 * radius))
+    if extra_h:
+        xp = jnp.pad(xp, lead + [(0, extra_h), (0, 0)])
+    grp = xp.reshape(g, pack, 2, xp.shape[2], wseg)
+    packed = jnp.concatenate([grp[:, k] for k in range(pack)], axis=-1)
+    wpad = -(-(pack * wseg) // 128) * 128
+    if wpad != pack * wseg:
+        packed = jnp.pad(packed, [(0, 0), (0, 0), (0, 0),
+                                  (0, wpad - pack * wseg)])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_color_self_packed, radius=radius,
+                          th=th, wout=wid, rows=rows, wseg=wseg,
+                          pack=pack, gcc=float(gcc), gsc=float(gsc)),
+        out_shape=jax.ShapeDtypeStruct((g, pack, 3, hpad, wid),
+                                       jnp.float32),
+        grid=(g, hp_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, pack, 3, th, wid),
+                               lambda b, i: (b, 0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, wpad), jnp.float32),
+            pltpu.VMEM((rows, wpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(packed)
+    return out.reshape(g * pack, 3, hpad, wid)[:n, :, :h, :]
+
+
 def _kernel_packed_joint(x_hbm, out_ref, scr, sem,
                          *, radius: int, th: int, wout: int, rows: int,
                          gcc: float, gsc: float, cj: int, cs: int):

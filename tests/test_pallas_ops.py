@@ -81,6 +81,18 @@ def test_bilateral_gray_self_packed_matches_unpacked(rng, n):
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("n", [2, 3])
+def test_bilateral_color_self_packed_matches_unpacked(rng, n):
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        bilateral_color_self_batched, bilateral_color_self_packed_batched)
+    x = np.floor(rng.rand(n, 3, 24, 32) * 256).astype(np.float32)
+    exp = np.asarray(bilateral_color_self_batched(
+        jnp.asarray(x), -1, 20.0, 3.0))
+    got = np.asarray(bilateral_color_self_packed_batched(
+        jnp.asarray(x), -1, 20.0, 3.0))
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_bilateral_batched_grid(rng):
     joint = (rng.rand(2, 3, 24, 32) * 255).astype(np.float32)
     src = (rng.rand(2, 3, 24, 32) * 255).astype(np.float32)
