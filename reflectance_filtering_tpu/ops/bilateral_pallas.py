@@ -767,6 +767,145 @@ def bilateral_packed_joint_batched(joint, src, d: int = -1,
     return out[:, :, :h, :]
 
 
+def _kernel_packed_joint_lanes(x_hbm, out_ref, scr, sem,
+                               *, radius: int, th: int, wout: int,
+                               rows: int, wseg: int, pack: int,
+                               gcc: float, gsc: float, cj: int, cs: int):
+    """Joint!=src mantissa-packed kernel with ``pack`` images
+    lane-packed per tile (segments as in _kernel_gray_self_packed)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    m = cj + cs
+    npk = (m + 1) // 2
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(i * th, rows), :], scr, sem)
+    cp.start()
+    cp.wait()
+
+    wpad = scr.shape[2]
+    inv512 = jnp.float32(1.0 / 512.0)
+
+    def unpack(planes):
+        streams = []
+        for p, v in enumerate(planes):
+            if 2 * p + 1 < m:
+                hi = jnp.floor(v * inv512)
+                streams.append(v - 512.0 * hi)
+                streams.append(hi)
+            else:
+                streams.append(v)
+        return streams
+
+    cen = unpack([scr[p, radius:radius + th, :]
+                  for p in range((cj + 1) // 2)])
+
+    def make_dy_body(dxmax: int):
+        def dy_body(dy, carry):
+            shifted = [pltpu.roll(scr[p], rows - dy, 0)[:th, :]
+                       for p in range(npk)]
+            fy = (dy - radius).astype(jnp.float32)
+            fy2 = fy * fy
+            accs = list(carry[:cs])
+            wsum = carry[cs]
+            for dx in range(radius - dxmax, radius + dxmax + 1):
+                fx = float(dx - radius)
+                r2 = fy2 + fx * fx
+                cc = jnp.where(r2 > float(radius * radius), -jnp.inf,
+                               r2 * gsc)
+                cur = unpack([pltpu.roll(p, (radius - dx) % wpad, 1)
+                              for p in shifted])
+                diff = jnp.abs(cur[0] - cen[0])
+                for c in range(1, cj):
+                    diff = diff + jnp.abs(cur[c] - cen[c])
+                w = jnp.exp(diff * diff * gcc + cc)
+                for c in range(cs):
+                    accs[c] = accs[c] + w * cur[cj + c]
+                wsum = wsum + w
+            return tuple(accs) + (wsum,)
+        return dy_body
+
+    zero = jnp.zeros((th, wpad), jnp.float32)
+    carry = _banded_dy_sweep(radius, make_dy_body,
+                             tuple(zero for _ in range(cs + 1)))
+    inv = 1.0 / carry[cs]
+    for k in range(pack):
+        s = (wpad - (k * wseg + radius)) % wpad
+        for c in range(cs):
+            out_ref[0, k, c] = pltpu.roll(carry[c] * inv, s, 1)[:, :wout]
+
+
+@functools.partial(jax.jit, static_argnames=("d", "sigma_color",
+                                             "sigma_space", "joint_reps",
+                                             "th", "pack"))
+def bilateral_packed_joint_lanes_batched(joint, src, d: int = -1,
+                                         sigma_color: float = 20.0,
+                                         sigma_space: float = 22.0,
+                                         joint_reps: int = 1,
+                                         th: int = 32, pack: int = 3):
+    """Lane-packed variant of :func:`bilateral_packed_joint_batched`
+    (bitwise-identical): ``pack`` images share each mantissa-packed
+    plane's lanes."""
+    radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
+                                                  sigma_space)
+    gcc = gcc * float(joint_reps * joint_reps)
+    n, cj, h, wid = joint.shape
+    cs = src.shape[1]
+    m = cj + cs
+    npk = (m + 1) // 2
+    wseg = wid + 2 * radius
+    g = -(-n // pack)
+    if g * pack != n:
+        zj = jnp.zeros((g * pack - n,) + joint.shape[1:], joint.dtype)
+        zs = jnp.zeros((g * pack - n,) + src.shape[1:], src.dtype)
+        joint = jnp.concatenate([joint, zj], axis=0)
+        src = jnp.concatenate([src, zs], axis=0)
+    streams = [joint[:, c] for c in range(cj)] + [src[:, c]
+                                                  for c in range(cs)]
+    planes = []
+    for p in range(npk):
+        if 2 * p + 1 < m:
+            planes.append(streams[2 * p] + 512.0 * streams[2 * p + 1])
+        else:
+            planes.append(streams[2 * p])
+    packed2 = jnp.stack(planes, axis=1)
+
+    hp_tiles, hpad, rows, _ = _tile_geometry(h, wid, radius, th)
+    lead = [(0, 0), (0, 0)]
+    xp = jnp.pad(packed2, lead + [(radius, radius), (radius, radius)],
+                 mode="reflect")
+    extra_h = (hpad - h) + (rows - (th + 2 * radius))
+    if extra_h:
+        xp = jnp.pad(xp, lead + [(0, extra_h), (0, 0)])
+    grp = xp.reshape(g, pack, npk, xp.shape[2], wseg)
+    packed = jnp.concatenate([grp[:, k] for k in range(pack)], axis=-1)
+    wpad = -(-(pack * wseg) // 128) * 128
+    if wpad != pack * wseg:
+        packed = jnp.pad(packed, [(0, 0), (0, 0), (0, 0),
+                                  (0, wpad - pack * wseg)])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed_joint_lanes, radius=radius,
+                          th=th, wout=wid, rows=rows, wseg=wseg,
+                          pack=pack, gcc=float(gcc), gsc=float(gsc),
+                          cj=cj, cs=cs),
+        out_shape=jax.ShapeDtypeStruct((g, pack, cs, hpad, wid),
+                                       jnp.float32),
+        grid=(g, hp_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, pack, cs, th, wid),
+                               lambda b, i: (b, 0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((npk, rows, wpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(packed)
+    return out.reshape(g * pack, cs, hpad, wid)[:n, :, :h, :]
+
+
 def joint_bilateral_filter_fast(joint, src, d: int = -1,
                                 sigma_color: float = 20.0,
                                 sigma_space: float = 22.0):

@@ -93,6 +93,20 @@ def test_bilateral_color_self_packed_matches_unpacked(rng, n):
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("cj,cs,n", [(3, 1, 2), (1, 3, 3)])
+def test_bilateral_packed_joint_lanes_matches_unpacked(rng, cj, cs, n):
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        bilateral_packed_joint_batched,
+        bilateral_packed_joint_lanes_batched)
+    joint = np.floor(rng.rand(n, cj, 24, 32) * 256).astype(np.float32)
+    src = np.floor(rng.rand(n, cs, 24, 32) * 256).astype(np.float32)
+    exp = np.asarray(bilateral_packed_joint_batched(
+        jnp.asarray(joint), jnp.asarray(src), -1, 20.0, 3.0))
+    got = np.asarray(bilateral_packed_joint_lanes_batched(
+        jnp.asarray(joint), jnp.asarray(src), -1, 20.0, 3.0))
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_bilateral_batched_grid(rng):
     joint = (rng.rand(2, 3, 24, 32) * 255).astype(np.float32)
     src = (rng.rand(2, 3, 24, 32) * 255).astype(np.float32)
