@@ -274,11 +274,19 @@ def main(profile_dir=None):
 
     @jax.jit
     def chain_many(g, s):
-        def body(i, acc):
-            out = guided_filter_iterated(g * (1.0 + 1e-12 * acc), s,
-                                         45, 3.0, 3, planar=True)
-            return acc + out[0, 0, 0, 0] * 1e-9
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        # anti-hoist: the guide must change per rep or XLA amortizes the
+        # guide statistics across reps.  A single-element in-place update
+        # on the loop-carried buffer does that without the ~1.9 ms
+        # full-frame elementwise pass a whole-guide multiply cost (XLA
+        # runs 95 MB elementwise at only ~120 GB/s) — the measured chain
+        # is now the product work, not the benchmark scaffolding.
+        def body(i, carry):
+            g, acc = carry
+            g = g.at[0, 0, 0, 0].mul(1.0 + 1e-12 * acc)
+            out = guided_filter_iterated(g, s, 45, 3.0, 3, planar=True)
+            return g, acc + out[0, 0, 0, 0] * 1e-9
+        return jax.lax.fori_loop(0, reps, body,
+                                 (g, jnp.float32(0.0)))[1]
 
     float(chain_many(g4k, s4k))  # compile+warm
     t0 = time.time()
