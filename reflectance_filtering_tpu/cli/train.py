@@ -100,6 +100,9 @@ def build_parser():
     add("--data_root", default=os.path.join(os.path.expanduser("~"), "LMDBs"))
     add("--results_root",
         default=os.path.join(os.path.expanduser("~"), "Results"))
+    add("--profile_dir", default=None,
+        help="write an XLA-level device trace of the fit stage here "
+             "(open with xprof / tensorboard --logdir)")
     return parser
 
 
@@ -279,7 +282,12 @@ def fit_predict_net(args, results_dir: str):
             sys.stdout.flush()
             from ..models.networks import matmul_precision
             from ..train.monitors import FilterVisualizer
-            with matmul_precision(args.matmul_precision):
+            import contextlib
+            trace_ctx = contextlib.nullcontext()
+            if args.profile_dir:
+                from ..utils.profiling import device_trace
+                trace_ctx = device_trace(args.profile_dir)
+            with matmul_precision(args.matmul_precision), trace_ctx:
                 fit(net_cfg, loss_cfg, X, iterations, args.batch_size,
                     args.solverType, args.base_lr, args.random_seed,
                     args.comparisonsType, init_params=init_params,
