@@ -34,13 +34,18 @@ from jax.experimental.pallas import tpu as pltpu
 from .bilateral import opencv_bilateral_params
 
 
+NBANDS = 5  # |fy| bands for the disk skip; more bands = fewer
+            # statically-emitted out-of-disk taps but a longer compile
+            # (results are bitwise identical at any value)
+
+
 def _banded_dy_sweep(radius: int, make_dy_body, carry):
     """Run the dy loop in |fy| bands so columns statically outside the
     disk for the WHOLE band are never emitted (~17% of the square at
     r=33).  make_dy_body(dxmax) returns a fori_loop body restricted to
     |dx| <= dxmax; the per-tap -inf disk mask still zeroes the residual
     corners, so results stay bitwise identical to a full-square loop."""
-    nbands = 5 if radius >= 10 else 1
+    nbands = NBANDS if radius >= 10 else 1
     step = -(-(radius + 1) // nbands)
     for lo in range(0, radius + 1, step):
         hi = min(lo + step - 1, radius)
