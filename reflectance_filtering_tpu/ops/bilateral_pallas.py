@@ -34,9 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .bilateral import opencv_bilateral_params
 
 
-NBANDS = 5  # |fy| bands for the disk skip; more bands = fewer
+NBANDS = 7  # |fy| bands for the disk skip; more bands = fewer
             # statically-emitted out-of-disk taps but a longer compile
-            # (results are bitwise identical at any value)
+            # (results are bitwise identical at any value).  Measured v5e
+            # r=33 gray-self: 5 -> 77.1 MP/s, 7 -> 79.4, 9 -> 79.1.
 
 
 def _banded_dy_sweep(radius: int, make_dy_body, carry):
