@@ -255,11 +255,13 @@ def main(profile_dir=None):
     t_grid = _timed_loop(bf_grid, gj, 20)
     grid_mps = MP / t_grid
 
-    # tuned fast operating point (ss=12, sr=2 sigma): on the quality
-    # study image mean err 0.8 / p99 4 / max 6 u8 levels vs exact —
-    # honest numbers in README's fast-mode paragraph
+    # tuned fast operating point (ss=16, sr=1.5 sigma): measured v5e
+    # 689 MP/s; on the quality study image mean err 0.50 / p99 2 /
+    # max 4 u8 levels vs exact (sweep: /tmp/grid_sweep.py, 2026-08-17;
+    # ss must divide the image — 256/12 padded to 264 broke the pow-2
+    # pooling layout and made the old ss=12 point SLOWER than default)
     def bf_grid_fast(x):
-        out = bilateral_grid_gray(x, gs, 20.0 / 3.0, 22.0, ss=12, sr=13)
+        out = bilateral_grid_gray(x, gs, 20.0 / 3.0, 22.0, ss=16, sr=10)
         return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
 
     t_gridf = _timed_loop(bf_grid_fast, gj, 20)

@@ -68,9 +68,13 @@ def bilateral_grid_gray(joint, src, sigma_color: float = 20.0,
     joint [N,H,W] (0-255), src [N,C,H,W] -> [N,C,H,W] float32.
     ss/sr: spatial / range grid cell sizes (pixels / intensity levels);
     default None picks ~sigma/3 spatial and ~1.2 sigma range cells —
-    mean error ~0.4 uint8 levels / p99 ~1.7 vs the exact filter on
-    natural images.  Larger cells trade accuracy for speed (sr=2 sigma:
-    ~1.6x faster at p99 ~4)."""
+    measured mean error ~0.4 uint8 levels / p99 ~2 / max 3 vs the exact
+    filter on the study image at ~425 MP/s (v5e, headline batch).
+    Larger cells trade accuracy for speed: ss=16, sr=1.5 sigma is ~1.6x
+    faster (690 MP/s) at p99 2 / max 4; sr=2 sigma ~1.9x (790) at p99 3.
+    Keep ss a divisor of H and W — a non-dividing ss pads the image and
+    breaks the pow-2 pooling layout (ss=12 on 256 px measured SLOWER
+    than ss=8)."""
     if ss is None:  # ~sigma/3, snapped to x4 (pow-2-ish reshapes pool
         ss = max(2, 4 * int(round(sigma_space / 12.0)))  # ~15% faster)
     if sr is None:
