@@ -38,16 +38,29 @@ K_COMPS = 1181  # real IIW blob row count (createNumpy...:83) — the WHDR
 
 
 def _timed_loop(fn, x, iters):
+    """Per-iteration device time by the SLOPE method.
+
+    One jit call through the axon tunnel carries a fixed ~29 ms RPC
+    round-trip (measured 2026-08-17: T(n) is linear in n to <1% with
+    intercept 29 ms), so (one call)/iters overstates small kernels by
+    F/iters — 12% on the r2 bilateral headline, 28% on the 4K chain.
+    Timing n and 3n iterations and taking the difference cancels the
+    intercept exactly; the trip count is a dynamic argument so both
+    calls share one compile."""
     @jax.jit
-    def loop(x0):
+    def loop(x0, n):
         def body(i, y):
             out = fn(y)
             return y + 1e-12 * out  # chain dependence, keep shape
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
-    float(loop(x))  # compile + warm
-    t0 = time.time()
-    float(loop(x))
-    return (time.time() - t0) / iters
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
+    float(loop(x, iters))  # compile + warm
+    lo = hi = None
+    for _ in range(2):  # best-of-2 per span: tunnel jitter guard
+        t0 = time.time(); float(loop(x, iters)); t1 = time.time() - t0
+        lo = t1 if lo is None else min(lo, t1)
+        t0 = time.time(); float(loop(x, 3 * iters)); t3 = time.time() - t0
+        hi = t3 if hi is None else min(hi, t3)
+    return (hi - lo) / (2 * iters)
 
 
 def run_gate():
@@ -275,7 +288,7 @@ def main(profile_dir=None):
     reps = 8
 
     @jax.jit
-    def chain_many(g, s):
+    def chain_many(g, s, n):
         # anti-hoist: the guide must change per rep or XLA amortizes the
         # guide statistics across reps.  A single-element in-place update
         # on the loop-carried buffer does that without the ~1.9 ms
@@ -287,13 +300,18 @@ def main(profile_dir=None):
             g = g.at[0, 0, 0, 0].mul(1.0 + 1e-12 * acc)
             out = guided_filter_iterated(g, s, 45, 3.0, 3, planar=True)
             return g, acc + out[0, 0, 0, 0] * 1e-9
-        return jax.lax.fori_loop(0, reps, body,
+        return jax.lax.fori_loop(0, n, body,
                                  (g, jnp.float32(0.0)))[1]
 
-    float(chain_many(g4k, s4k))  # compile+warm
+    # slope method (see _timed_loop): cancels the ~29 ms tunnel RPC
+    # intercept, which at reps=8 overstated the chain by ~28%
+    float(chain_many(g4k, s4k, reps))  # compile+warm
     t0 = time.time()
-    float(chain_many(g4k, s4k))
-    t_4k = (time.time() - t0) / reps
+    float(chain_many(g4k, s4k, reps))
+    t_lo = time.time() - t0
+    t0 = time.time()
+    float(chain_many(g4k, s4k, 3 * reps))
+    t_4k = (time.time() - t0 - t_lo) / (2 * reps)
 
     # training: one fused fwd+autodiff-bwd+adam step, reference batch 20
     from reflectance_filtering_tpu.models.networks import (
@@ -310,12 +328,10 @@ def main(profile_dir=None):
     timgs = jax.device_put(rng.rand(tb, H, W, 3).astype(np.float32))
     tcomps = jax.device_put(np.broadcast_to(
         np.asarray(comps)[:1], (tb,) + comps.shape[1:]).copy())
-    # enough iterations that the tunnel's ~0.1-0.2 s dispatch+sync
-    # overhead amortizes below the ~4 ms/step signal
     titers = 40
 
     @jax.jit
-    def train_many(p0, o0, im, c):
+    def train_many(p0, o0, im, c, n):
         def body(i, carry):
             p, o = carry
             (_, m), g = jax.value_and_grad(
@@ -325,14 +341,17 @@ def main(profile_dir=None):
                 has_aux=True)(p)
             up, o = topt.update(g, o, p)
             return optax.apply_updates(p, up), o
-        return jax.lax.fori_loop(0, titers, body, (p0, o0))
+        return jax.lax.fori_loop(0, n, body, (p0, o0))
 
-    tp, to = train_many(tparams, tstate, timgs, tcomps)
-    float(jnp.sum(jax.tree_util.tree_leaves(tp)[0]))
-    t0 = time.time()
-    tp, to = train_many(tparams, tstate, timgs, tcomps)
-    float(jnp.sum(jax.tree_util.tree_leaves(tp)[0]))
-    t_train = (time.time() - t0) / titers
+    def _run_train(n):
+        tp, to = train_many(tparams, tstate, timgs, tcomps, n)
+        float(jnp.sum(jax.tree_util.tree_leaves(tp)[0]))
+
+    # slope method (see _timed_loop): cancels the tunnel RPC intercept
+    _run_train(titers)  # compile+warm
+    t0 = time.time(); _run_train(titers); t_lo = time.time() - t0
+    t0 = time.time(); _run_train(3 * titers)
+    t_train = (time.time() - t0 - t_lo) / (2 * titers)
 
     bf_mps = MP / t_bf
     gf_mps = MP / t_gf

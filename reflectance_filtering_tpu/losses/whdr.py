@@ -129,11 +129,39 @@ def _batch_lightness_pairs(reflectance, comparisons):
     darker = safe[..., 4].astype(jnp.int32)
     weight = safe[..., 5]
 
+    if _use_mxu_gather(h, w, k):
+        # one-hot MXU matmul gather (ops/whdr_gather_pallas.py): XLA's
+        # TPU gather scalarizes (~530 us for B=32, K=1181 vs ~170 for
+        # the kernel).  Lightness (channel mean) commutes with the
+        # pixel gather, so the plane is reduced first — identical f32
+        # arithmetic per pixel.
+        from ..ops.whdr_gather_pallas import gather_pairs
+        plane = (reflectance if reflectance.ndim == 3
+                 else jnp.mean(reflectance, axis=-1))
+        l1raw, l2raw = gather_pairs(plane, y1, x1, y2, x2)
+        l1 = jnp.maximum(l1raw, EPS)
+        l2 = jnp.maximum(l2raw, EPS)
+        return l1, l2, darker, weight, valid, num
+
     flat = reflectance.reshape(b * h * w, -1)
     base = (jnp.arange(b) * (h * w))[:, None]
     l1 = jnp.maximum(jnp.mean(flat[base + y1 * w + x1], axis=-1), EPS)
     l2 = jnp.maximum(jnp.mean(flat[base + y2 * w + x2], axis=-1), EPS)
     return l1, l2, darker, weight, valid, num
+
+
+# MXU-gather dispatch override: None = auto (TPU backend and the sizes
+# fit VMEM), True/False force (tests exercise both paths on the CPU
+# interpret backend)
+FORCE_MXU_GATHER: Optional[bool] = None
+
+
+def _use_mxu_gather(h: int, w: int, k: int) -> bool:
+    from ..ops.whdr_gather_pallas import fits_mxu_gather
+    if FORCE_MXU_GATHER is not None:
+        return FORCE_MXU_GATHER and fits_mxu_gather(h, w, k)
+    return (jax.default_backend() == "tpu"
+            and fits_mxu_gather(h, w, k))
 
 
 def whdr_per_image(reflectance, comparisons, delta: float = 0.1):
