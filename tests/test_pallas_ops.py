@@ -75,7 +75,7 @@ def test_bilateral_gray_self_packed_matches_unpacked(rng, n):
         bilateral_gray_self_packed_batched)
     x = (rng.rand(n, 30, 40) * 255).astype(np.float32)
     exp = np.asarray(bilateral_gray_self_batched(
-        jnp.asarray(x), -1, 20.0, 3.0))
+        jnp.asarray(x), -1, 20.0, 3.0, auto_pack=False))
     got = np.asarray(bilateral_gray_self_packed_batched(
         jnp.asarray(x), -1, 20.0, 3.0))
     np.testing.assert_array_equal(got, exp)
