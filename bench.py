@@ -280,6 +280,17 @@ def main(profile_dir=None):
     t_gridf = _timed_loop(bf_grid_fast, gj, 20)
     gridf_mps = MP / t_gridf
 
+    # quality operating point (ss=8, sr=6): the finest grid that still
+    # clears 500 MP/s — p99 error 1 u8 level on every image of the
+    # 5-class quality set (max 3 on the hard-edge study image; sweep
+    # /tmp/grid_sweep2.py + /tmp/grid_quality.py, 2026-08-17)
+    def bf_grid_quality(x):
+        out = bilateral_grid_gray(x, gs, 20.0 / 3.0, 22.0, ss=8, sr=6)
+        return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
+
+    t_gridq = _timed_loop(bf_grid_quality, gj, 20)
+    gridq_mps = MP / t_gridq
+
     # config 4: 3x iterated GF chain (Zoran-style) on one 4K frame
     from reflectance_filtering_tpu.ops.guided import guided_filter_iterated
     h4k, w4k = 2160, 3840
@@ -377,6 +388,7 @@ def main(profile_dir=None):
         "bf_joint_photo_mps": round(bfj_mps, 2),
         "bf_grid_approx_mps": round(grid_mps, 2),
         "bf_grid_fast_mps": round(gridf_mps, 2),
+        "bf_grid_quality_mps": round(gridq_mps, 2),
         "gf_3x_4k_mps": round(h4k * w4k / t_4k / 1e6, 2),
         "train_imgs_per_s": round(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],

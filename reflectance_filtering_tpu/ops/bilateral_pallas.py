@@ -277,11 +277,15 @@ def bilateral_gray_self_batched(x, d: int = -1,
     radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
                                                   sigma_space)
     n, h, wid = x.shape
-    # batches of >=3 ride the lane-packed variant (bitwise identical,
+    # batches ride the lane-packed variant (bitwise identical,
     # test_pallas_ops; slope-measured v5e 97.2 vs 95.3 MP/s — packing
-    # cuts the 384-vs-322 lane pad waste).  auto_pack=False pins the
-    # single-image layout (the packed test's reference path).
-    if auto_pack and n >= 3 and wid + 2 * radius <= 512:
+    # cuts the 384-vs-322 lane pad waste) when the batch-axis pad to a
+    # multiple of 3 wastes <=5% (the ~2-11% kernel gain is otherwise
+    # eaten by the dead pad images: measured batch 8 joint 38.7 packed
+    # vs 39.2 unpacked).  auto_pack=False pins the single-image layout
+    # (the packed test's reference path).
+    if (auto_pack and n >= 3 and wid + 2 * radius <= 512
+            and 20 * ((-n) % 3) <= n):
         return bilateral_gray_self_packed_batched(
             x, d, sigma_color, sigma_space, th=th, reps=reps, pack=3)
     hp_tiles, hpad, rows, wpad = _tile_geometry(h, wid, radius, th)
@@ -731,12 +735,13 @@ def _kernel_packed_joint(x_hbm, out_ref, scr, sem,
 
 @functools.partial(jax.jit, static_argnames=("d", "sigma_color",
                                              "sigma_space", "joint_reps",
-                                             "th"))
+                                             "th", "auto_pack"))
 def bilateral_packed_joint_batched(joint, src, d: int = -1,
                                    sigma_color: float = 20.0,
                                    sigma_space: float = 22.0,
                                    joint_reps: int = 1,
-                                   th: int = 32):
+                                   th: int = 32,
+                                   auto_pack: bool = True):
     """Mantissa-packed joint bilateral for u8-integer-valued planar
     inputs: joint [N,cj,H,W], src [N,cs,H,W] float32 holding 0-255 ints
     -> [N,cs,H,W].  cj/cs in {1,3}; joint_reps=k means each joint plane
@@ -745,8 +750,20 @@ def bilateral_packed_joint_batched(joint, src, d: int = -1,
     channels)."""
     radius, gcc, gsc, _ = opencv_bilateral_params(d, sigma_color,
                                                   sigma_space)
-    gcc = gcc * float(joint_reps * joint_reps)
     n, cj, h, wid = joint.shape
+    # batches ride the lane-packed variant (bitwise identical,
+    # test_pallas_ops; slope-measured v5e: (3,1) 43.1 vs 38.8 MP/s,
+    # (3,3) 29.0 vs 28.3) when the batch-axis pad to a multiple of 3
+    # wastes <=5% (batch 8 pads to 9 = 12.5% dead work and measured
+    # SLOWER, 38.7 vs 39.2).  auto_pack=False pins the single-image
+    # layout (the packed test's reference path).  Color-self packing
+    # measured SLOWER (35.5 vs 37.6) so that family stays unpacked.
+    if (auto_pack and n >= 3 and wid + 2 * radius <= 512
+            and 20 * ((-n) % 3) <= n):
+        return bilateral_packed_joint_lanes_batched(
+            joint, src, d, sigma_color, sigma_space,
+            joint_reps=joint_reps, th=th, pack=3)
+    gcc = gcc * float(joint_reps * joint_reps)
     cs = src.shape[1]
     m = cj + cs
     npk = (m + 1) // 2

@@ -47,6 +47,38 @@ def test_grid_joint_neq_src(rng):
     assert d.mean() <= 2.5 and np.percentile(d, 99) <= 12.0
 
 
+def test_grid_quality_point_p99(rng):
+    """The documented quality operating point (ss=8, sr=6; ~525 MP/s on
+    v5e) holds p99 error <= 1 uint8 level per image across the 5-class
+    quality set (hard edge / noise / binary / low-contrast / wedges)."""
+    import jax.numpy as jnp
+    h, w = 256, 256
+    yy, xx = np.mgrid[0:h, 0:w]
+    study = np.clip(120 + 80 * np.sin(xx / 60.0) * np.cos(yy / 45.0)
+                    + 30 * np.sin((xx + yy) / 15.0)
+                    + 20 * rng.rand(h, w), 0, 255)
+    study[60:120, 60:120] = 220
+    imgs = np.floor(np.stack([
+        study,
+        rng.rand(h, w) * 255,
+        (rng.rand(h, w) > 0.5) * 255.0,
+        np.clip(128 + 25 * np.sin(xx / 23.0) * np.cos(yy / 31.0)
+                + 8 * rng.rand(h, w), 0, 255),
+        (np.floor(xx / 32) * 36.0) % 256,
+    ])).astype(np.float32)
+    xj = jnp.asarray(imgs)
+    approx = np.asarray(bilateral_grid_gray(
+        xj, xj[:, None], 20.0 / 3.0, 22.0, ss=8, sr=6))[:, 0]
+    for i in range(len(imgs)):
+        i3 = np.repeat(imgs[i][..., None], 3, -1)
+        exact = np.asarray(joint_bilateral_filter(i3, i3, -1, 20.0,
+                                                  22.0))[..., 0]
+        d = np.abs(np.clip(np.rint(approx[i]), 0, 255)
+                   - np.clip(np.rint(exact), 0, 255))
+        assert np.percentile(d, 99) <= 1.0, (i, np.percentile(d, 99))
+        assert d.max() <= 4.0, (i, d.max())
+
+
 def test_grid_batched_channels(rng):
     import jax.numpy as jnp
     j = np.floor(rng.rand(2, 40, 48) * 256).astype(np.float32)

@@ -101,7 +101,8 @@ def test_bilateral_packed_joint_lanes_matches_unpacked(rng, cj, cs, n):
     joint = np.floor(rng.rand(n, cj, 24, 32) * 256).astype(np.float32)
     src = np.floor(rng.rand(n, cs, 24, 32) * 256).astype(np.float32)
     exp = np.asarray(bilateral_packed_joint_batched(
-        jnp.asarray(joint), jnp.asarray(src), -1, 20.0, 3.0))
+        jnp.asarray(joint), jnp.asarray(src), -1, 20.0, 3.0,
+        auto_pack=False))
     got = np.asarray(bilateral_packed_joint_lanes_batched(
         jnp.asarray(joint), jnp.asarray(src), -1, 20.0, 3.0))
     np.testing.assert_array_equal(got, exp)
