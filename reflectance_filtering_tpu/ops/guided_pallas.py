@@ -63,16 +63,22 @@ _BF = jnp.bfloat16
 F32 = jnp.float32
 
 
-def _band_mat(r2: int, kb: int, g: int, transpose: bool):
+def _band_mat(r2: int, kb: int, g: int, transpose: bool, off: int = 0):
     """0/1 band block [(g+kb-1)*128, g*128] (or its transpose):
-    S[k, c] = 1 iff c <= k <= c + 2r — one dot emits g output blocks.
-    Built from iotas in-kernel — no operand plumbing."""
+    S[k, c] = 1 iff c + off <= k <= c + off + 2r — one dot emits g output
+    blocks.  Built from iotas in-kernel — no operand plumbing.  `off`
+    shifts the whole band down the k axis: used when the haloed input
+    window starts off-by-(alignment) above/left of the mathematically
+    needed [-2r, ...) origin so DMA offsets and in-kernel interior
+    slices stay (8, 128)-aligned.  off + r2 must stay <= (kb-1)*128
+    (guaranteed for off = (-r2) % 128: they are equal)."""
     kk, cc = (g + kb - 1) * 128, g * 128
     shape = (cc, kk) if transpose else (kk, cc)
     kax, cax = (1, 0) if transpose else (0, 1)
     k = jax.lax.broadcasted_iota(jnp.int32, shape, kax)
     c = jax.lax.broadcasted_iota(jnp.int32, shape, cax)
-    return jnp.where((c <= k) & (k <= c + r2), 1.0, 0.0).astype(_BF)
+    return jnp.where((c + off <= k) & (k <= c + off + r2),
+                     1.0, 0.0).astype(_BF)
 
 
 # Output blocks emitted per row-pass dot.  g > 1 trades extra MACs per
@@ -81,19 +87,24 @@ def _band_mat(r2: int, kb: int, g: int, transpose: bool):
 _ROW_G = 2
 
 
-def _mkbox_mxu(w: int, th: int, tw: int, rows: int):
+def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
+               row_off: int = 0, lane_off: int = 0):
     """Box factory for haloed [rows, lanes] tiles -> [th, tw] means.
 
     Requires th % 128 == 0 and tw % 128 == 0 (see _band_geometry_mxu).
     box_multi filters a whole GROUP of planes with shared dots: planes
     ride the M dimension in the row pass and the N dimension in the col
     pass, so the dot count per tile is ~14 instead of ~28 per plane.
+    row_off/lane_off shift the band start when the input window begins
+    above/left of the [-2r, ...) origin (aligned-halo layouts).
     """
     r2 = w - 1
     kb = 1 + -(-r2 // 128)
     g = _ROW_G if tw % (_ROW_G * 128) == 0 else 1
-    S = _band_mat(r2, kb, g, transpose=False)   # rows pass (lanes axis)
-    M = _band_mat(r2, kb, 1, transpose=True)    # cols pass (sublanes)
+    S = _band_mat(r2, kb, g, transpose=False,
+                  off=lane_off)                 # rows pass (lanes axis)
+    M = _band_mat(r2, kb, 1, transpose=True,
+                  off=row_off)                  # cols pass (sublanes)
     scale = 1.0 / (w * w)
     rows_rs = th - 128 + kb * 128               # rows the col pass reads
 
@@ -486,21 +497,42 @@ def _fused_geometry(h: int, wid: int, radius: int):
     return th, tw, thA, twA, rowsA, lanesA, nh, nw
 
 
-def _pad_fused(x, radius: int, geo, h: int, wid: int):
-    """Reflect-pad by 2r, extended so every tile DMA window exists (the
-    over-reflected tail is only read into outputs the caller slices away;
-    over-reflect keeps values finite, which matters for the 1/det in the
-    stats halo)."""
-    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+def _fused_offsets(radius: int):
+    """Aligned-halo geometry: the DMA window for tile (i, j) starts at
+    padded-buffer offset (i*th, j*tw) and the buffer's top/left pads are
+    TP = r2 + row_off rows and LP = r2 + lane_off lanes, so the tile's
+    own [0, th) x [0, tw) interior sits at the (8, 128)-aligned scratch
+    offset (TP, LP) — the kernels read the interior guide straight out
+    of the already-fetched window instead of a separate unpadded-guide
+    operand (at 4K that operand was 113 MB of pure extra HBM traffic per
+    kernel call).  The band matrices shift by (row_off, lane_off); the
+    existing rowsA/lanesA roundings absorb the shift exactly (both
+    spares equal (-r2) % alignment)."""
     r2 = 2 * radius
-    bot = (nh - 1) * th + rowsA - h - r2
-    right = (nw - 1) * tw + lanesA - wid - r2
-    if r2 <= h and r2 <= wid and bot <= h and right <= wid:
-        return jnp.pad(x, [(0, 0), (0, 0), (r2, bot), (r2, right)],
+    row_off = (-r2) % 8
+    lane_off = (-r2) % 128
+    return r2 + row_off, r2 + lane_off, row_off, lane_off
+
+
+def _pad_fused(x, radius: int, geo, h: int, wid: int):
+    """Reflect-pad by TP/LP >= 2r (see _fused_offsets), extended so every
+    tile DMA window exists (the over-reflected tail is only read into
+    outputs the caller slices away; over-reflect keeps values finite,
+    which matters for the 1/det in the stats halo).  The extra
+    [TP-2r, LP-2r) alignment rows/lanes are never selected by the
+    shifted band matrices — they only need to exist and be finite."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    tp, lp, _, _ = _fused_offsets(radius)
+    r2 = 2 * radius
+    bot = (nh - 1) * th + rowsA - h - tp
+    right = (nw - 1) * tw + lanesA - wid - lp
+    if tp <= h - 1 and lp <= wid - 1 and bot <= h and right <= wid:
+        return jnp.pad(x, [(0, 0), (0, 0), (tp, bot), (lp, right)],
                        mode=_PAD_MODE["reflect"])
     xp = jnp.pad(x, [(0, 0), (0, 0), (r2, r2), (r2, r2)],
                  mode=_PAD_MODE["reflect"])
-    return jnp.pad(xp, [(0, 0), (0, 0), (0, bot - r2), (0, right - r2)])
+    return jnp.pad(xp, [(0, 0), (0, 0), (tp - r2, bot - r2),
+                        (lp - r2, right - r2)])
 
 
 def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw):
@@ -513,57 +545,13 @@ def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw):
         scr.at[sl], sem.at[sl])
 
 
-def _stats_halo_kernel(ipad_hbm, out_st, iscr, isem, *, w: int, eps: float,
-                       geo):
-    """Guide stats on the stage-A halo region, premultiplied by 1/det:
-    [mean_I x3 | cofactor*inv_det x6] -> 9 planes per tile slot."""
-    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    nsteps = pl.num_programs(0) * nh * nw
-    t = (b * nh + i) * nw + j
-    slot = jax.lax.rem(t, 2)
-
-    def fetch(tt, sl):
-        return _prefetch_window(ipad_hbm, iscr, isem, tt, sl,
-                                th, tw, rowsA, lanesA, nh, nw)
-
-    @pl.when(t == 0)
-    def _():
-        fetch(t, slot).start()
-
-    @pl.when(t + 1 < nsteps)
-    def _():
-        fetch(t + 1, 1 - slot).start()
-
-    fetch(t, slot).wait()
-    box = _mkbox_mxu(w, thA, twA, rowsA)
-    I0, I1, I2 = iscr[slot, 0], iscr[slot, 1], iscr[slot, 2]
-    m0, m1, m2 = box.multi([I0, I1, I2])
-    b00, b01, b02 = box.multi([I0 * I0, I0 * I1, I0 * I2])
-    b11, b12, b22 = box.multi([I1 * I1, I1 * I2, I2 * I2])
-    rr = b00 - m0 * m0 + eps
-    rg = b01 - m0 * m1
-    rb = b02 - m0 * m2
-    gg = b11 - m1 * m1 + eps
-    gb = b12 - m1 * m2
-    bb = b22 - m2 * m2 + eps
-    c00 = gg * bb - gb * gb
-    c01 = gb * rb - rg * bb
-    c02 = rg * gb - gg * rb
-    c11 = rr * bb - rb * rb
-    c12 = rb * rg - rr * gb
-    c22 = rr * gg - rg * rg
-    inv_det = 1.0 / (rr * c00 + rg * c01 + rb * c02)
-    for k, plane in enumerate((m0, m1, m2, c00 * inv_det, c01 * inv_det,
-                               c02 * inv_det, c11 * inv_det, c12 * inv_det,
-                               c22 * inv_det)):
-        out_st[0, k] = plane
-
-
-def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, gtile, out_q, iscr, pscr,
+def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
                      isem, psem, *, w: int, geo):
     """One guided-filter application: a,b on the [-r, th+r) halo region,
-    then mean_a, mean_b boxed down to the [th, tw] output tile."""
+    then mean_a, mean_b boxed down to the [th, tw] output tile.  The
+    final q = mean_a . I + mean_b reads the interior guide straight out
+    of the haloed window already in VMEM (aligned at (TP, LP), see
+    _fused_offsets) — no separate unpadded-guide operand."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(0) * nh * nw
@@ -589,9 +577,10 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, gtile, out_q, iscr, pscr,
     for cp in fetch(t, slot):
         cp.wait()
 
+    tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
     I0, I1, I2 = iscr[slot, 0], iscr[slot, 1], iscr[slot, 2]
     p = pscr[slot, 0]
-    boxA = _mkbox_mxu(w, thA, twA, rowsA)
+    boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off, lane_off=l_off)
     m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
     m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
     d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
@@ -605,11 +594,12 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, gtile, out_q, iscr, pscr,
     bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
     boxB = _mkbox_mxu(w, th, tw, thA)
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
-    out_q[0, 0] = (ma0 * gtile[0, 0] + ma1 * gtile[0, 1] +
-                   ma2 * gtile[0, 2] + mb)
+    out_q[0, 0] = (ma0 * I0[tp:tp + th, lp:lp + tw] +
+                   ma1 * I1[tp:tp + th, lp:lp + tw] +
+                   ma2 * I2[tp:tp + th, lp:lp + tw] + mb)
 
 
-def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, gtile, st_hbm, out_q,
+def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
                            iscr, pscr, stscr, isem, psem, stsem,
                            *, w: int, eps: float, geo):
     """First GF iteration: guide stats computed in-kernel (into the
@@ -656,9 +646,10 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, gtile, st_hbm, out_q,
     def _():
         st_copy(t - 1).wait()
 
+    tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
     I0, I1, I2 = iscr[slot, 0], iscr[slot, 1], iscr[slot, 2]
     p = pscr[slot, 0]
-    boxA = _mkbox_mxu(w, thA, twA, rowsA)
+    boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off, lane_off=l_off)
     m0, m1, m2 = boxA.multi([I0, I1, I2])
     b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
@@ -693,8 +684,9 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, gtile, st_hbm, out_q,
     bf = m_p - a0 * stscr[0] - a1 * stscr[1] - a2 * stscr[2]
     boxB = _mkbox_mxu(w, th, tw, thA)
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
-    out_q[0, 0] = (ma0 * gtile[0, 0] + ma1 * gtile[0, 1] +
-                   ma2 * gtile[0, 2] + mb)
+    out_q[0, 0] = (ma0 * I0[tp:tp + th, lp:lp + tw] +
+                   ma1 * I1[tp:tp + th, lp:lp + tw] +
+                   ma2 * I2[tp:tp + th, lp:lp + tw] + mb)
 
     # the stats DMA started above is waited on by the NEXT grid step;
     # the last step drains its own
@@ -706,24 +698,7 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, gtile, st_hbm, out_q,
 _VMEM_FUSED = pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024)
 
 
-def _stats_halo_call(ipad, n, geo, w, eps):
-    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    return pl.pallas_call(
-        functools.partial(_stats_halo_kernel, w=w, eps=float(eps), geo=geo),
-        out_shape=jax.ShapeDtypeStruct((n, 9, nh * thA, nw * twA),
-                                       jnp.float32),
-        grid=(n, nh, nw),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 9, thA, twA),
-                               lambda b, i, j: (b, 0, i, j),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
-        compiler_params=_VMEM_FUSED,
-    )(ipad)
-
-
-def _fused_iter1_call(ipad, ppad, gpad, n, geo, w, eps):
+def _fused_iter1_call(ipad, ppad, n, geo, w, eps):
     """One kernel: guide stats (emitted in the haloed slot layout for
     later iterations) + the first a,b -> q application."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
@@ -736,10 +711,7 @@ def _fused_iter1_call(ipad, ppad, gpad, n, geo, w, eps):
                                         jnp.float32)),
         grid=(n, nh, nw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((1, 3, th, tw),
-                               lambda b, i, j: (b, 0, i, j),
-                               memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec((1, 1, th, tw),
                                 lambda b, i, j: (b, 0, i, j),
@@ -751,10 +723,10 @@ def _fused_iter1_call(ipad, ppad, gpad, n, geo, w, eps):
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA],
         compiler_params=_VMEM_FUSED,
-    )(ipad, ppad, gpad)
+    )(ipad, ppad)
 
 
-def _fused_apply_call(ipad, ppad, st, gpad, n, geo, w):
+def _fused_apply_call(ipad, ppad, st, n, geo, w):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     return pl.pallas_call(
         functools.partial(_fused_gf_kernel, w=w, geo=geo),
@@ -765,9 +737,6 @@ def _fused_apply_call(ipad, ppad, st, gpad, n, geo, w):
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, 9, thA, twA),
                                lambda b, i, j: (b, 0, i, j),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 3, th, tw),
-                               lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 1, th, tw),
                                lambda b, i, j: (b, 0, i, j),
@@ -777,7 +746,7 @@ def _fused_apply_call(ipad, ppad, st, gpad, n, geo, w):
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_VMEM_FUSED,
-    )(ipad, ppad, st, gpad)
+    )(ipad, ppad, st)
 
 
 @functools.partial(jax.jit,
@@ -794,10 +763,7 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     w = 2 * radius + 1
     if _use_fused_mxu(h, radius, th):
         geo = _fused_geometry(h, wid, radius)
-        th_, tw, thA, twA, rowsA, lanesA, nh, nw = geo
         ipad2 = _pad_fused(guide, radius, geo, h, wid)
-        gpad = jnp.pad(guide, [(0, 0), (0, 0), (0, nh * th_ - h),
-                               (0, nw * tw - wid)])
         st = None
         chans = []
         for c in range(c_src):
@@ -807,11 +773,10 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                 if st is None:
                     # first application computes the stats in-kernel and
                     # emits them for every later iteration/channel
-                    st, qp = _fused_iter1_call(ipad2, ppad2, gpad, n,
+                    st, qp = _fused_iter1_call(ipad2, ppad2, n,
                                                geo, w, float(eps))
                 else:
-                    qp = _fused_apply_call(ipad2, ppad2, st, gpad, n,
-                                           geo, w)
+                    qp = _fused_apply_call(ipad2, ppad2, st, n, geo, w)
                 p = qp[:, :, :h, :wid]
             chans.append(p)
         return chans[0] if c_src == 1 else jnp.concatenate(chans, axis=1)
