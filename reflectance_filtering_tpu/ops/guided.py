@@ -270,7 +270,8 @@ def guided_filter(guide, src, radius: int, eps, batched: bool = False):
 
 
 def guided_filter_iterated(guide, src, radius: int, eps,
-                           iterations: int = 3, planar: bool = False):
+                           iterations: int = 3, planar: bool = False,
+                           guide_u8: bool = False):
     """Repeatedly guided-filter ``src`` against the same guide — the
     Zoran-style '3x iterated GF' chain of BASELINE.json config 4
     (reference README.md:88).  planar=True takes/returns [N,C,H,W].
@@ -289,7 +290,7 @@ def guided_filter_iterated(guide, src, radius: int, eps,
                                src.shape[1]):
             return guided_filter_fused_iterated(
                 guide.astype(jnp.float32), src.astype(jnp.float32),
-                radius, float(eps), iterations)
+                radius, float(eps), iterations, guide_u8=guide_u8)
     out = src
     for _ in range(iterations):
         if planar:

@@ -535,6 +535,39 @@ def _pad_fused(x, radius: int, geo, h: int, wid: int):
                         (lp - r2, right - r2)])
 
 
+def _fits_single_pad(radius: int, geo, h: int, wid: int) -> bool:
+    """True when _pad_fused's single-jnp.pad branch applies — also the
+    condition for _fill_margins to reproduce it exactly."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    tp, lp, _, _ = _fused_offsets(radius)
+    bot = (nh - 1) * th + rowsA - h - tp
+    right = (nw - 1) * tw + lanesA - wid - lp
+    return tp <= h - 1 and lp <= wid - 1 and bot <= h and right <= wid
+
+
+def _fill_margins(buf, radius: int, geo, h: int, wid: int):
+    """Rebuild the reflect margins of a PADDED-layout q buffer in place
+    (thin strip updates, ~23 MB at 4K vs ~130 MB for the slice +
+    full-frame reflect-pad it replaces).  Bitwise identical to
+    _pad_fused's single-pad branch: rows first over interior lanes, then
+    lanes over full rows — numpy's symmetric-pad axis order, so the
+    corners match too.  Requires _fits_single_pad."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    tp, lp, _, _ = _fused_offsets(radius)
+    ph, pw = buf.shape[2], buf.shape[3]
+    bot, right = ph - tp - h, pw - lp - wid
+    buf = buf.at[:, :, :tp, lp:lp + wid].set(
+        jnp.flip(buf[:, :, tp:2 * tp, lp:lp + wid], 2))
+    if bot:
+        buf = buf.at[:, :, tp + h:, lp:lp + wid].set(
+            jnp.flip(buf[:, :, tp + h - bot:tp + h, lp:lp + wid], 2))
+    buf = buf.at[:, :, :, :lp].set(jnp.flip(buf[:, :, :, lp:2 * lp], 3))
+    if right:
+        buf = buf.at[:, :, :, lp + wid:].set(
+            jnp.flip(buf[:, :, :, lp + wid - right:lp + wid], 3))
+    return buf
+
+
 def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw):
     b2 = tt // (nh * nw)
     rr = tt % (nh * nw)
@@ -545,13 +578,55 @@ def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw):
         scr.at[sl], sem.at[sl])
 
 
+def _q_copy(out_q, qscr, qsem, tt, geo, tp, lp):
+    """Async copy of tile tt's q from its scratch slot into the PADDED
+    output buffer at (TP + i*th, LP + j*tw) — all offsets (8, 128)-
+    aligned by construction (_fused_offsets).  Emitting q pre-padded
+    lets the iterated chain feed the next iteration directly: only thin
+    reflect strips need rebuilding, instead of a full-frame XLA
+    slice + reflect-pad round trip per iteration (~130 MB of glue
+    traffic at 4K)."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    b2 = tt // (nh * nw)
+    rr = tt % (nh * nw)
+    i2 = rr // nw
+    j2 = rr % nw
+    sl = jax.lax.rem(tt, 2)
+    return pltpu.make_async_copy(
+        qscr.at[sl],
+        out_q.at[b2, 0, pl.ds(tp + i2 * th, th), pl.ds(lp + j2 * tw, tw)],
+        qsem.at[sl])
+
+
+def _emit_q(out_q, qscr, qsem, t, nsteps, val, geo, tp, lp):
+    """Write tile t's q value: double-buffered manual DMA (wait the
+    copy that last used this slot, write, start, drain at the end)."""
+    @pl.when(t >= 2)
+    def _():
+        _q_copy(out_q, qscr, qsem, t - 2, geo, tp, lp).wait()
+
+    sl = jax.lax.rem(t, 2)
+    qscr[sl] = val
+    _q_copy(out_q, qscr, qsem, t, geo, tp, lp).start()
+
+    @pl.when((t + 1 == nsteps) & (nsteps >= 2))
+    def _():
+        _q_copy(out_q, qscr, qsem, t - 1, geo, tp, lp).wait()
+
+    @pl.when(t + 1 == nsteps)
+    def _():
+        _q_copy(out_q, qscr, qsem, t, geo, tp, lp).wait()
+
+
 def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
-                     isem, psem, *, w: int, geo):
+                     isem, psem, qscr=None, qsem=None, *, w: int, geo):
     """One guided-filter application: a,b on the [-r, th+r) halo region,
     then mean_a, mean_b boxed down to the [th, tw] output tile.  The
     final q = mean_a . I + mean_b reads the interior guide straight out
     of the haloed window already in VMEM (aligned at (TP, LP), see
-    _fused_offsets) — no separate unpadded-guide operand."""
+    _fused_offsets) — no separate unpadded-guide operand.  With
+    qscr/qsem present, out_q is the PADDED layout and q is emitted by
+    manual DMA (see _q_copy)."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(0) * nh * nw
@@ -578,7 +653,11 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
         cp.wait()
 
     tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
-    I0, I1, I2 = iscr[slot, 0], iscr[slot, 1], iscr[slot, 2]
+    # bf16 guide windows (u8-exact storage) convert to f32 here;
+    # for f32 storage the astype is a no-op
+    I0 = iscr[slot, 0].astype(jnp.float32)
+    I1 = iscr[slot, 1].astype(jnp.float32)
+    I2 = iscr[slot, 2].astype(jnp.float32)
     p = pscr[slot, 0]
     boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off, lane_off=l_off)
     m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
@@ -594,13 +673,18 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
     boxB = _mkbox_mxu(w, th, tw, thA)
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
-    out_q[0, 0] = (ma0 * I0[tp:tp + th, lp:lp + tw] +
-                   ma1 * I1[tp:tp + th, lp:lp + tw] +
-                   ma2 * I2[tp:tp + th, lp:lp + tw] + mb)
+    val = (ma0 * I0[tp:tp + th, lp:lp + tw] +
+           ma1 * I1[tp:tp + th, lp:lp + tw] +
+           ma2 * I2[tp:tp + th, lp:lp + tw] + mb)
+    if qscr is None:
+        out_q[0, 0] = val
+    else:
+        _emit_q(out_q, qscr, qsem, t, nsteps, val, geo, tp, lp)
 
 
 def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
                            iscr, pscr, stscr, isem, psem, stsem,
+                           qscr=None, qsem=None,
                            *, w: int, eps: float, geo):
     """First GF iteration: guide stats computed in-kernel (into the
     per-tile haloed slot layout), DMA'd out for later iterations, and
@@ -647,7 +731,11 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
         st_copy(t - 1).wait()
 
     tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
-    I0, I1, I2 = iscr[slot, 0], iscr[slot, 1], iscr[slot, 2]
+    # bf16 guide windows (u8-exact storage) convert to f32 here;
+    # for f32 storage the astype is a no-op
+    I0 = iscr[slot, 0].astype(jnp.float32)
+    I1 = iscr[slot, 1].astype(jnp.float32)
+    I2 = iscr[slot, 2].astype(jnp.float32)
     p = pscr[slot, 0]
     boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off, lane_off=l_off)
     m0, m1, m2 = boxA.multi([I0, I1, I2])
@@ -684,9 +772,13 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     bf = m_p - a0 * stscr[0] - a1 * stscr[1] - a2 * stscr[2]
     boxB = _mkbox_mxu(w, th, tw, thA)
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
-    out_q[0, 0] = (ma0 * I0[tp:tp + th, lp:lp + tw] +
-                   ma1 * I1[tp:tp + th, lp:lp + tw] +
-                   ma2 * I2[tp:tp + th, lp:lp + tw] + mb)
+    val = (ma0 * I0[tp:tp + th, lp:lp + tw] +
+           ma1 * I1[tp:tp + th, lp:lp + tw] +
+           ma2 * I2[tp:tp + th, lp:lp + tw] + mb)
+    if qscr is None:
+        out_q[0, 0] = val
+    else:
+        _emit_q(out_q, qscr, qsem, t, nsteps, val, geo, tp, lp)
 
     # the stats DMA started above is waited on by the NEXT grid step;
     # the last step drains its own
@@ -698,86 +790,121 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
 _VMEM_FUSED = pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024)
 
 
-def _fused_iter1_call(ipad, ppad, n, geo, w, eps):
+def _q_out(n, geo, padded_shape):
+    """(out_shape, out_spec, extra scratch) for the q output: padded
+    manual-DMA layout when padded_shape is given, else the plain
+    BlockSpec tile layout."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    if padded_shape is None:
+        return (jax.ShapeDtypeStruct((n, 1, nh * th, nw * tw),
+                                     jnp.float32),
+                pl.BlockSpec((1, 1, th, tw), lambda b, i, j: (b, 0, i, j),
+                             memory_space=pltpu.VMEM),
+                [])
+    ph, pw = padded_shape
+    return (jax.ShapeDtypeStruct((n, 1, ph, pw), jnp.float32),
+            pl.BlockSpec(memory_space=pl.ANY),
+            [pltpu.VMEM((2, th, tw), jnp.float32),
+             pltpu.SemaphoreType.DMA((2,))])
+
+
+def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None):
     """One kernel: guide stats (emitted in the haloed slot layout for
     later iterations) + the first a,b -> q application."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
         functools.partial(_fused_gf_iter1_kernel, w=w, eps=float(eps),
                           geo=geo),
         out_shape=(jax.ShapeDtypeStruct((n, 9, nh * thA, nw * twA),
                                         jnp.float32),
-                   jax.ShapeDtypeStruct((n, 1, nh * th, nw * tw),
-                                        jnp.float32)),
+                   qshape),
         grid=(n, nh, nw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec((1, 1, th, tw),
-                                lambda b, i, j: (b, 0, i, j),
-                                memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), jnp.float32),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY), qspec],
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
                         pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
                         pltpu.VMEM((9, thA, twA), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA],
+                        pltpu.SemaphoreType.DMA] + qscratch,
         compiler_params=_VMEM_FUSED,
     )(ipad, ppad)
 
 
-def _fused_apply_call(ipad, ppad, st, n, geo, w):
+def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
         functools.partial(_fused_gf_kernel, w=w, geo=geo),
-        out_shape=jax.ShapeDtypeStruct((n, 1, nh * th, nw * tw),
-                                       jnp.float32),
+        out_shape=qshape,
         grid=(n, nh, nw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, 9, thA, twA),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, th, tw),
-                               lambda b, i, j: (b, 0, i, j),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), jnp.float32),
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
                         pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((2,))] + qscratch,
         compiler_params=_VMEM_FUSED,
     )(ipad, ppad, st)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("radius", "eps", "iterations", "th"))
+                   static_argnames=("radius", "eps", "iterations", "th",
+                                    "guide_u8"))
 def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
-                                 iterations: int = 3, th: int = None):
+                                 iterations: int = 3, th: int = None,
+                                 guide_u8: bool = False):
     """Zoran-style iterated chain: guide statistics computed once and
     reused every iteration AND every src channel (they depend only on
     the guide), and all intermediates kept in the PADDED tile layout —
     at 4K the HBM pad / slice copies otherwise cost as much as the box
-    kernels themselves.  src [N,C,H,W]; channels filter independently."""
+    kernels themselves.  src [N,C,H,W]; channels filter independently.
+
+    guide_u8=True asserts the guide holds u8-valued floats (integers
+    0..255 — every decoded image) and stores the padded guide in bf16:
+    integers < 256 are bf16-exact and the box dots' hi/lo data split
+    yields lo == 0, so the result is BITWISE identical while the guide
+    windows move half the HBM bytes per kernel call (~130 MB at 4K)."""
     n, _, h, wid = guide.shape
     c_src = src.shape[1]
     w = 2 * radius + 1
     if _use_fused_mxu(h, radius, th):
         geo = _fused_geometry(h, wid, radius)
+        tp, lp, _, _ = _fused_offsets(radius)
         ipad2 = _pad_fused(guide, radius, geo, h, wid)
+        if guide_u8:
+            ipad2 = ipad2.astype(jnp.bfloat16)
+        # q emitted straight into the padded layout: iteration k+1 reads
+        # iteration k's output after a thin margin rebuild — no
+        # full-frame slice + reflect-pad between iterations
+        pre = _fits_single_pad(radius, geo, h, wid)
+        pshape = (ipad2.shape[2], ipad2.shape[3]) if pre else None
         st = None
         chans = []
         for c in range(c_src):
-            p = src[:, c:c + 1]
+            ppad2 = _pad_fused(src[:, c:c + 1], radius, geo, h, wid)
             for it in range(iterations):
-                ppad2 = _pad_fused(p, radius, geo, h, wid)
                 if st is None:
                     # first application computes the stats in-kernel and
                     # emits them for every later iteration/channel
-                    st, qp = _fused_iter1_call(ipad2, ppad2, n,
-                                               geo, w, float(eps))
+                    st, qp = _fused_iter1_call(ipad2, ppad2, n, geo, w,
+                                               float(eps), pshape)
                 else:
-                    qp = _fused_apply_call(ipad2, ppad2, st, n, geo, w)
-                p = qp[:, :, :h, :wid]
+                    qp = _fused_apply_call(ipad2, ppad2, st, n, geo, w,
+                                           pshape)
+                if it + 1 < iterations:
+                    ppad2 = (_fill_margins(qp, radius, geo, h, wid)
+                             if pre else
+                             _pad_fused(qp[:, :, :h, :wid], radius,
+                                        geo, h, wid))
+            p = (qp[:, :, tp:tp + h, lp:lp + wid] if pre
+                 else qp[:, :, :h, :wid])
             chans.append(p)
         return chans[0] if c_src == 1 else jnp.concatenate(chans, axis=1)
     mxu, geo = _geometry(h, wid, radius, th)

@@ -245,6 +245,44 @@ def test_guided_fused_single_kernel_matches_xla(rng):
     np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-3, atol=0.05)
 
 
+def test_fill_margins_matches_pad_fused(rng):
+    """The thin-strip margin rebuild used between fused iterations must
+    be BITWISE identical to slicing the interior out and running the
+    full reflect-pad (_pad_fused single-pad branch) — including the
+    corners, which depend on numpy's rows-then-lanes pad order."""
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _fill_margins, _fits_single_pad, _fused_geometry, _fused_offsets,
+        _pad_fused)
+    for (h, wd, r) in [(256, 272, 45), (260, 140, 8), (300, 400, 16)]:
+        geo = _fused_geometry(h, wd, r)
+        if not _fits_single_pad(r, geo, h, wd):
+            continue
+        tp, lp, _, _ = _fused_offsets(r)
+        x = jnp.asarray(rng.rand(2, 1, h, wd).astype(np.float32))
+        ref = np.asarray(_pad_fused(x, r, geo, h, wd))
+        buf = jnp.asarray(rng.rand(*ref.shape).astype(np.float32))
+        buf = buf.at[:, :, tp:tp + h, lp:lp + wd].set(x)  # garbage margins
+        got = np.asarray(_fill_margins(buf, r, geo, h, wd))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_guided_fused_u8_guide_bitwise(rng):
+    """guide_u8=True (bf16-stored guide windows) must be BITWISE equal
+    to the f32 path on u8-valued guides: integers < 256 are bf16-exact
+    and the box dots' hi/lo split then has lo == 0 either way."""
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _use_fused_mxu, guided_filter_fused_iterated)
+    h, wd, r = 256, 272, 45
+    assert _use_fused_mxu(h, r, None)
+    I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                    .astype(np.float32))
+    p = jnp.asarray((rng.rand(1, 1, h, wd) * 255).astype(np.float32))
+    exp = np.asarray(guided_filter_fused_iterated(I, p, r, 3.0, 3))
+    got = np.asarray(guided_filter_fused_iterated(I, p, r, 3.0, 3,
+                                                  guide_u8=True))
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_guided_banded_multichannel_src(rng):
     """Big-frame banded paths accept multi-channel src (channels filter
     independently, guide stats shared)."""
