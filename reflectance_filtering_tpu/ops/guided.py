@@ -202,7 +202,8 @@ def _guided_filter_planar_xla(guide, src, radius: int, eps):
                                        radius, jnp.asarray(eps, jnp.float32))
 
 
-def guided_filter_planar_pallas(guide, src, radius: int, eps):
+def guided_filter_planar_pallas(guide, src, radius: int, eps,
+                                guide_u8: bool = False):
     """Pallas/MXU planar dispatch WITHOUT the backend gate.
 
     guide [N,3,H,W], src [N,C,H,W] -> [N,C,H,W].  Used by
@@ -224,10 +225,12 @@ def guided_filter_planar_pallas(guide, src, radius: int, eps):
         return guided_filter_fused(g32, s32, radius, float(eps))
     # big frames: band-tiled kernels (any channel count; guide
     # statistics shared across src channels)
-    return guided_filter_fused_banded(g32, s32, radius, float(eps))
+    return guided_filter_fused_banded(g32, s32, radius, float(eps),
+                                      guide_u8=guide_u8)
 
 
-def guided_filter_planar(guide, src, radius: int, eps):
+def guided_filter_planar(guide, src, radius: int, eps,
+                         guide_u8: bool = False):
     """TPU fast path: guide [N,3,H,W], src [N,C,H,W] channels-planar
     float32 -> [N,C,H,W].
 
@@ -238,7 +241,8 @@ def guided_filter_planar(guide, src, radius: int, eps):
     if (src.shape[0] == guide.shape[0] and guide.shape[1] == 3
             and jax.default_backend() == "tpu"
             and not isinstance(eps, jax.core.Tracer)):
-        return guided_filter_planar_pallas(guide, src, radius, eps)
+        return guided_filter_planar_pallas(guide, src, radius, eps,
+                                           guide_u8=guide_u8)
     return _guided_filter_planar_xla(guide, src, radius, eps)
 
 
@@ -417,7 +421,10 @@ def guided_filter_u8(guide_u8, src_u8, radius: int, eps) -> np.ndarray:
         # each src channel is independent, so filter one and replicate
         mono = bool((sa[:, :1] == sa).all())
         sp = jnp.asarray(sa[:, :1] if mono else sa)
-        q = np.asarray(guided_filter_planar(gp, sp, radius, eps))
+        # u8 inputs by construction: the big-frame fused path may
+        # store its guide windows in bf16 (bitwise identical)
+        q = np.asarray(guided_filter_planar(gp, sp, radius, eps,
+                                            guide_u8=True))
         if mono:
             q = np.broadcast_to(q, sa.shape)
         q = np.moveaxis(q[0], 0, -1)
