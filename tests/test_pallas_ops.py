@@ -266,6 +266,28 @@ def test_fill_margins_matches_pad_fused(rng):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_guided_fused_multitile_grid(rng):
+    """A 2x2 tile grid (wid > tw forces nw=2) exercises the double-
+    buffered q DMA slot rotation and the per-tile stats slots across
+    both grid axes — the 4K geometry in miniature."""
+    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _fused_geometry, _use_fused_mxu, guided_filter_fused_iterated)
+    h, wd, r = 300, 1100, 8
+    assert _use_fused_mxu(h, r, None)
+    geo = _fused_geometry(h, wd, r)
+    assert geo[-2] >= 2 and geo[-1] >= 2      # nh, nw
+    I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                    .astype(np.float32))
+    p = jnp.asarray(np.floor(rng.rand(1, 1, h, wd) * 256)
+                    .astype(np.float32))
+    exp = p
+    for _ in range(2):
+        exp = _guided_filter_planar_xla(I, exp, r, 9.0)
+    got = np.asarray(guided_filter_fused_iterated(I, p, r, 9.0, 2))
+    np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-3, atol=0.05)
+
+
 def test_guided_fused_u8_guide_bitwise(rng):
     """guide_u8=True (bf16-stored guide windows) must be BITWISE equal
     to the f32 path on u8-valued guides: integers < 256 are bf16-exact
