@@ -29,6 +29,13 @@ magnitude >= 2^-24 relative):
 
 — two MXU K-tiles instead of the six passes XLA's HIGHEST emits.
 
+The 160->1 skip-concat fuse is NOT a dot: as an MXU pass its K=480
+(bf16x3) would cost 4 of the kernel's 9 K-tile passes for a single real
+output row (MXU time scales with K-tiles, not M).  It runs instead as an
+f32 VPU multiply-accumulate folded into the layer loop — exact f32 (beats
+both dot schemes' error) and the [160, T] concat + 480-row bf16 stack
+build disappear with it.
+
 Optionally fuses the sRGB->linear gamma (decompose_with_trained_CNN.py:
 57-69) into the same kernel so the input only crosses HBM once.
 
@@ -67,8 +74,9 @@ def pack_weights(params: Dict) -> Dict[str, np.ndarray]:
       w0_3  [32, 9]    [Whi|Whi|Wlo] of conv0^T       (3-pass scheme)
       w0_6  [32, 18]   [W1|W1|W2|W1|W2|W3]            (6-product scheme)
       wmid3 [4, 32, 96], wmid6 [4, 32, 192]  conv1..conv4 likewise
-      wf3   [8, 480], wf6 [8, 960]  fuse row (conv0..conv4 input order,
-                                    prototxt:132-143; rows 1..7 zero pad)
+      wfv   [5, 32, 1]  fuse column per skip layer (conv0..conv4 input
+                        order, prototxt:132-143), full f32 — consumed by
+                        the VPU multiply-accumulate, not an MXU dot
       b0, bmid [4, 32, 1], bf float
     """
     def kc3(w_oi):     # w [in, out] -> [out, 3*in]
@@ -98,11 +106,12 @@ def pack_weights(params: Dict) -> Dict[str, np.ndarray]:
     out["bmid"] = np.stack(bm)
 
     wf = np.asarray(params["fuse_skip_layers"]["kernel"])[0, 0, :, 0]
-    wf3 = kc3(wf.reshape(160, 1))          # [1, 480]
-    wf6 = kc6(wf.reshape(160, 1))          # [1, 960]
-    # pad fuse rows to a full sublane tile (M=1 -> 8)
-    out["wf3"] = np.concatenate([wf3, np.zeros((7, 480), np.float32)], 0)
-    out["wf6"] = np.concatenate([wf6, np.zeros((7, 960), np.float32)], 0)
+    # fuse = 1 real output row: as an MXU dot its K=480 costs 4 of the 9
+    # K-tile passes (MXU time scales with K-tiles, not M).  Instead the
+    # kernel runs it as an f32 VPU multiply-accumulate over the five skip
+    # tensors (exact f32 — tighter than either dot scheme) — so the fuse
+    # weights stay full-precision columns, one [32, 1] per skip layer.
+    out["wfv"] = np.asarray(wf, np.float32).reshape(5, 32, 1)
     out["bf"] = np.float32(
         np.asarray(params["fuse_skip_layers"]["bias"])[0])
     return out
@@ -124,7 +133,7 @@ def _stack6(v):
     return jnp.concatenate([x1, x2, x1, x3, x2, x1], axis=0)
 
 
-def _kernel(x_ref, w0, b0, wm, bm, wf, bfs, out_ref, *,
+def _kernel(x_ref, w0, b0, wm, bm, wfv, bfs, out_ref, *,
             srgb_input: bool, precise: bool):
     x = x_ref[...]                        # [8, T]; rows 0..2 = RGB
     if srgb_input:
@@ -139,20 +148,22 @@ def _kernel(x_ref, w0, b0, wm, bm, wf, bfs, out_ref, *,
 
     h = dot(w0[...], stack(x[:3]))                       # [32, T]
     h = jnp.maximum(h + b0[...], 0.0)
-    hs = [h]
+    # fuse as it goes: the skip-concat dot would pay 4 MXU K-tile passes
+    # (K=480 bf16x3) for ONE real output row; an f32 VPU accumulate is
+    # exact and also deletes the 480-row stack build.
+    acc = h * wfv[0]                                     # [32, T]
     for i in range(4):
         h = dot(wm[i], stack(h))
         h = jnp.maximum(h + bm[i], 0.0)
-        hs.append(h)
-    cat = jnp.concatenate(hs, axis=0)                    # [160, T]
-    pre = dot(wf[...], stack(cat))                       # [8, T]; row 0 real
+        acc = acc + h * wfv[i + 1]
+    pre = jnp.sum(acc, axis=0, keepdims=True)            # [1, T]
     out = 1.0 / (1.0 + jnp.exp(-(pre + bfs[0])))
-    out_ref[...] = out
+    out_ref[...] = jnp.broadcast_to(out, out_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("srgb_input", "tile",
                                              "precise"))
-def _run(xpad, w0, b0, wm, bm, wf, bf, *, srgb_input: bool, tile: int,
+def _run(xpad, w0, b0, wm, bm, wfv, bf, *, srgb_input: bool, tile: int,
          precise: bool = False):
     p = xpad.shape[1]
     out = pl.pallas_call(
@@ -171,7 +182,7 @@ def _run(xpad, w0, b0, wm, bm, wf, bf, *, srgb_input: bool, tile: int,
         ],
         out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-    )(xpad, w0, b0, wm, bm, wf, jnp.reshape(bf, (1,)))
+    )(xpad, w0, b0, wm, bm, wfv, jnp.reshape(bf, (1,)))
     return out
 
 
@@ -194,7 +205,7 @@ def reflectance_cnn_pallas(packed: Dict, images, *,
     xpad = jnp.zeros((8, ppad), F32).at[:3, :p].set(x)
     sel = "6" if precise else "3"
     out = _run(xpad, packed["w0_" + sel], packed["b0"],
-               packed["wmid" + sel], packed["bmid"], packed["wf" + sel],
+               packed["wmid" + sel], packed["bmid"], packed["wfv"],
                packed["bf"], srgb_input=srgb_input, tile=tile,
                precise=precise)
     return out[0, :p].reshape(lead)
