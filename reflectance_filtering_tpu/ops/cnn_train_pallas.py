@@ -90,15 +90,31 @@ def _fwd_tile(x, w0, b0, wm, bm, n: int, ci: int):
     return hs
 
 
-def _fwd_kernel(x_ref, w0, b0, wm, bm, wf, bf, pre_ref, *, n: int, ci: int):
+def _fuse_vpu(hs, wfv, n: int, cout: int):
+    """Skip-concat fuse as an f32 VPU accumulate (see cnn_pallas.py): as
+    an MXU dot its K=3nf costs 4 of the fwd's 9 K-tile passes for cout
+    (<=8) real output rows — MXU time scales with K-tiles, not M.  Exact
+    f32, and the [nf, T] concat + 3nf-row bf16 stack build vanish."""
+    rows = []
+    for c in range(cout):
+        acc = hs[0] * wfv[0, :, c:c + 1]
+        for i in range(1, n):
+            acc = acc + hs[i] * wfv[i, :, c:c + 1]
+        rows.append(jnp.sum(acc, axis=0, keepdims=True))
+    if cout < 8:
+        rows.append(jnp.zeros((8 - cout, hs[0].shape[1]), F32))
+    return jnp.concatenate(rows, axis=0)                 # [8, T]
+
+
+def _fwd_kernel(x_ref, w0, b0, wm, bm, wfv, bf, pre_ref, *,
+                n: int, ci: int, cout: int):
     hs = _fwd_tile(x_ref[...], w0[...], b0[...], wm, bm, n, ci)
-    cat = hs[0] if n == 1 else jnp.concatenate(hs, axis=0)
-    pre_ref[...] = _dot3(wf[...], cat) + bf[...]
+    pre_ref[...] = _fuse_vpu(hs, wfv[...], n, cout) + bf[...]
 
 
-def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfT, wmT, w0T,
+def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
                 dw0_ref, dwm_ref, dwf_ref, dx_ref, *,
-                n: int, ci: int, f: int):
+                n: int, ci: int, f: int, cout: int):
     """Recompute fwd, backprop, accumulate param grads across grid steps.
 
     Output layout (lane-padded to 128):
@@ -116,16 +132,24 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfT, wmT, w0T,
     hs = _fwd_tile(x, w0[...], b0[...], wm, bm, n, ci)
     cat = hs[0] if n == 1 else jnp.concatenate(hs, axis=0)
 
-    # fuse head
+    # fuse head.  dwf keeps the MXU A@B^T form (contraction over the
+    # pixel axis belongs there); dcat = Wf^T g is a rank-cout broadcast
+    # — VPU mults instead of a 2-M-tile dot (and it overlaps the chain
+    # dots below).
     dwf = _dotT3(g, cat)                 # [8, nf]
     dbf = jnp.sum(g, axis=1, keepdims=True)
-    dcat = _dot3(wfT[...], g)            # [nf, T]
+
+    def dcat_i(i):
+        d = wfv[i, :, 0:1] * g[0:1, :]
+        for c in range(1, cout):
+            d = d + wfv[i, :, c:c + 1] * g[c:c + 1, :]
+        return d                         # [f, T]
 
     # conv chain, last to first
     dz = None
     dws = []
     for i in range(n - 1, -1, -1):
-        dh = dcat[i * f:(i + 1) * f]
+        dh = dcat_i(i)
         if i < n - 1:
             dh = dh + _dot3(wmT[i], dz)
         dz = jnp.where(hs[i] > 0.0, dh, 0.0)
@@ -174,25 +198,23 @@ def _pack_convs(kernels, biases, n, f):
     return w0, b0, wm, bm
 
 
-def _fuse_t8(kernels, n, f, cout):
-    """Fuse weight as [8, nf] (rows 0..cout-1 = Wf^T, rest zero)."""
-    return jnp.zeros((8, n * f), F32).at[:cout].set(kernels[n].T)
-
-
 def _pack_head(kernels, biases, n, f, cout):
-    wf = _kc3(_fuse_t8(kernels, n, f, cout).T)         # [8, 3nf]
+    """Fuse columns [n, f, 8] (lanes 0..cout-1 real), full f32 — consumed
+    by the VPU accumulate in fwd and the rank-cout dcat broadcast in bwd,
+    never an MXU dot."""
+    wfv = jnp.zeros((n, f, 8), F32).at[:, :, :cout].set(
+        kernels[n].reshape(n, f, cout))
     bf = jnp.zeros((8, 1), F32).at[:cout, 0].set(biases[n])
-    return wf, bf
+    return wfv, bf
 
 
-def _pack_bwd(kernels, n, f, cout):
-    wfT = _kc3(_fuse_t8(kernels, n, f, cout))          # [nf, 24]
+def _pack_bwd(kernels, n, f):
     if n > 1:
         wmT = jnp.stack([_kc3(k.T) for k in kernels[1:n]])
     else:
         wmT = jnp.zeros((1, f, 3 * f), F32)
     w0T = _kc3(kernels[0].T)                           # [ci, 3f]
-    return wfT, wmT, w0T
+    return wmT, w0T
 
 
 @functools.lru_cache(maxsize=16)
@@ -206,9 +228,9 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
     def fwd_impl(kernels, biases, x8):
         p = x8.shape[1]
         w0, b0, wm, bm = _pack_convs(kernels, biases, n, f)
-        wf, bf = _pack_head(kernels, biases, n, f, cout)
+        wfv, bf = _pack_head(kernels, biases, n, f, cout)
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, n=n, ci=ci),
+            functools.partial(_fwd_kernel, n=n, ci=ci, cout=cout),
             out_shape=jax.ShapeDtypeStruct((8, p), F32),
             grid=(p // tile,),
             in_specs=[
@@ -219,7 +241,7 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(x8, w0, b0, wm, bm, wf, bf)
+        )(x8, w0, b0, wm, bm, wfv, bf)
 
     @jax.custom_vjp
     def trunk(kernels, biases, x8):
@@ -232,12 +254,13 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
         kernels, biases, x8 = res
         p = x8.shape[1]
         w0, b0, wm, bm = _pack_convs(kernels, biases, n, f)
-        wfT, wmT, w0T = _pack_bwd(kernels, n, f, cout)
+        wfv, _ = _pack_head(kernels, biases, n, f, cout)
+        wmT, w0T = _pack_bwd(kernels, n, f)
         nf = n * f
         nfpad = -(-(nf + 1) // 128) * 128
         fpad = -(-(f + 1) // 128) * 128
         dw0, dwm, dwf, dx8 = pl.pallas_call(
-            functools.partial(_bwd_kernel, n=n, ci=ci, f=f),
+            functools.partial(_bwd_kernel, n=n, ci=ci, f=f, cout=cout),
             out_shape=[
                 jax.ShapeDtypeStruct((f, 128), F32),
                 jax.ShapeDtypeStruct((max(n - 1, 1), f, fpad), F32),
@@ -263,7 +286,7 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(x8, g, w0, b0, wm, bm, wfT, wmT, w0T)
+        )(x8, g, w0, b0, wm, bm, wfv, wmT, w0T)
 
         dkernels = [dw0[:, :ci].T]                    # back to [in, out]
         dbiases = [dw0[:, ci]]
