@@ -91,7 +91,11 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
                row_off: int = 0, lane_off: int = 0):
     """Box factory for haloed [rows, lanes] tiles -> [th, tw] means.
 
-    Requires th % 128 == 0 and tw % 128 == 0 (see _band_geometry_mxu).
+    Requires tw % 128 == 0 and th % 8 == 0 (see _band_geometry_mxu); a
+    th off the 128 grid emits a partial final col-pass block (the dot
+    runs at full 128 M anyway — MXU passes don't shrink with M — and
+    the tail rows are sliced off in VMEM).  Exact-divide tilings of
+    2160-row frames (th=240) need this: no 128-multiple divides 2160.
     box_multi filters a whole GROUP of planes with shared dots: planes
     ride the M dimension in the row pass and the N dimension in the col
     pass, so the dot count per tile is ~14 instead of ~28 per plane.
@@ -106,7 +110,8 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     M = _band_mat(r2, kb, 1, transpose=True,
                   off=row_off)                  # cols pass (sublanes)
     scale = 1.0 / (w * w)
-    rows_rs = th - 128 + kb * 128               # rows the col pass reads
+    nblk = -(-th // 128)                        # col-pass blocks (last may
+    rows_rs = (nblk - 1) * 128 + kb * 128       # be partial); rows read
 
     def dot_split(a, b, lhs_split):
         x = a if lhs_split else b
@@ -135,10 +140,10 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
             rs = jnp.concatenate(
                 [rs, jnp.zeros((rows_rs - rows, p * tw), F32)], axis=0)
         outs = []
-        for i in range(th // 128):
+        for i in range(nblk):
             sl = rs[i * 128:i * 128 + kb * 128, :]
             outs.append(dot_split(M, sl, lhs_split=False))
-        out = jnp.concatenate(outs, axis=0) * scale  # [th, p*tw]
+        out = jnp.concatenate(outs, axis=0)[:th] * scale  # [th, p*tw]
         if p == 1:
             return [out]
         return [out[:, i * tw:(i + 1) * tw] for i in range(p)]
@@ -480,14 +485,20 @@ def _use_fused_mxu(h: int, radius: int, th) -> bool:
     return th is None and 8 <= radius <= 64 and h >= 256
 
 
-def _fused_geometry(h: int, wid: int, radius: int):
+def _fused_geometry(h: int, wid: int, radius: int,
+                    tile_rows: int = None, tile_lanes: int = None):
     """th, tw: output tile; thA, twA: stage-A (a,b field) region, covering
-    [-r, th+r) x [-r, tw+r); rowsA, lanesA: haloed DMA window (2r)."""
+    [-r, th+r) x [-r, tw+r); rowsA, lanesA: haloed DMA window (2r).
+
+    tile_rows/tile_lanes override the defaults (mult of 8 / 128) — an
+    exact-divide tiling (e.g. 240x1280 on a 2160x3840 frame) removes the
+    over-tail tile waste and lets the last chain iteration emit the
+    plain layout with no output slice."""
     def up(v, m):
         return -(-v // m) * m
     kb = 1 + -(-2 * radius // 128)
-    th = 256
-    tw = min(up(wid, 128), 1024)
+    th = tile_rows or 256
+    tw = tile_lanes or min(up(wid, 128), 1024)
     thA = up(th + 2 * radius, 128)
     twA = up(tw + 2 * radius, 128)
     rowsA = up(thA + 2 * radius, 8)
@@ -856,10 +867,12 @@ def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None):
 
 @functools.partial(jax.jit,
                    static_argnames=("radius", "eps", "iterations", "th",
-                                    "guide_u8"))
+                                    "guide_u8", "tile_rows", "tile_lanes"))
 def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                                  iterations: int = 3, th: int = None,
-                                 guide_u8: bool = False):
+                                 guide_u8: bool = False,
+                                 tile_rows: int = None,
+                                 tile_lanes: int = None):
     """Zoran-style iterated chain: guide statistics computed once and
     reused every iteration AND every src channel (they depend only on
     the guide), and all intermediates kept in the PADDED tile layout —
@@ -875,7 +888,8 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     c_src = src.shape[1]
     w = 2 * radius + 1
     if _use_fused_mxu(h, radius, th):
-        geo = _fused_geometry(h, wid, radius)
+        geo = _fused_geometry(h, wid, radius, tile_rows, tile_lanes)
+        th_, tw_, _, _, _, _, nh, nw = geo
         tp, lp, _, _ = _fused_offsets(radius)
         ipad2 = _pad_fused(guide, radius, geo, h, wid)
         if guide_u8:
@@ -885,26 +899,34 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
         # full-frame slice + reflect-pad between iterations
         pre = _fits_single_pad(radius, geo, h, wid)
         pshape = (ipad2.shape[2], ipad2.shape[3]) if pre else None
+        # exact-divide tiling: the LAST iteration writes the plain
+        # BlockSpec layout, which IS the frame — no output slice
+        exact = nh * th_ == h and nw * tw_ == wid
         st = None
         chans = []
         for c in range(c_src):
             ppad2 = _pad_fused(src[:, c:c + 1], radius, geo, h, wid)
             for it in range(iterations):
+                last = it + 1 == iterations
+                shp = None if (last and exact) else pshape
                 if st is None:
                     # first application computes the stats in-kernel and
                     # emits them for every later iteration/channel
                     st, qp = _fused_iter1_call(ipad2, ppad2, n, geo, w,
-                                               float(eps), pshape)
+                                               float(eps), shp)
                 else:
                     qp = _fused_apply_call(ipad2, ppad2, st, n, geo, w,
-                                           pshape)
-                if it + 1 < iterations:
+                                           shp)
+                if not last:
                     ppad2 = (_fill_margins(qp, radius, geo, h, wid)
                              if pre else
                              _pad_fused(qp[:, :, :h, :wid], radius,
                                         geo, h, wid))
-            p = (qp[:, :, tp:tp + h, lp:lp + wid] if pre
-                 else qp[:, :, :h, :wid])
+            if exact:
+                p = qp
+            else:
+                p = (qp[:, :, tp:tp + h, lp:lp + wid] if pre
+                     else qp[:, :, :h, :wid])
             chans.append(p)
         return chans[0] if c_src == 1 else jnp.concatenate(chans, axis=1)
     mxu, geo = _geometry(h, wid, radius, th)

@@ -288,6 +288,33 @@ def test_guided_fused_multitile_grid(rng):
     np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-3, atol=0.05)
 
 
+def test_guided_fused_exact_divide_tiling(rng):
+    """tile_rows/tile_lanes overrides with th off the 128 grid (partial
+    final col-pass block in _mkbox_mxu) and an exact-divide tiling, so
+    the last iteration emits the plain layout with no output slice —
+    the 240x1280 tiling of a 2160x3840 frame in miniature."""
+    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _use_fused_mxu, guided_filter_fused_iterated)
+    h, wd, r = 272, 256, 8
+    assert _use_fused_mxu(h, r, None)
+    I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                    .astype(np.float32))
+    p = jnp.asarray(np.floor(rng.rand(1, 1, h, wd) * 256)
+                    .astype(np.float32))
+    exp = p
+    for _ in range(3):
+        exp = _guided_filter_planar_xla(I, exp, r, 9.0)
+    # th=136: 2 tiles rows (272), partial col block (136 % 128 != 0);
+    # tw=128: 2 tile cols — both axes divide exactly
+    got = np.asarray(guided_filter_fused_iterated(
+        I, p, r, 9.0, 3, tile_rows=136, tile_lanes=128))
+    np.testing.assert_allclose(got, np.asarray(exp), rtol=1e-3, atol=0.05)
+    # and the default tiling agrees with the override
+    base = np.asarray(guided_filter_fused_iterated(I, p, r, 9.0, 3))
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-3)
+
+
 def test_guided_fused_u8_guide_bitwise(rng):
     """guide_u8=True (bf16-stored guide windows) must be BITWISE equal
     to the f32 path on u8-valued guides: integers < 256 are bf16-exact
