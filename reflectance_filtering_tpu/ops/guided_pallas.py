@@ -81,6 +81,35 @@ def _band_mat(r2: int, kb: int, g: int, transpose: bool, off: int = 0):
                      1.0, 0.0).astype(_BF)
 
 
+def _fold_band(r: int, kb: int, g: int, transpose: bool, xb, pb,
+               nax: int):
+    """Reflect-fold band block for the PADLESS path: entry (k, c) counts
+    the taps t in [P-r, P+r] whose BORDER_REFLECT image into [0, nax) is
+    frame index x = xb + k, where the output field position is
+    P = pb + c (xb, pb: traced per-tile/per-block scalar bases).
+    Entries are 0/1/2 (exact bf16): 2 where a tap and its mirror land on
+    the same source.  Out-of-frame x (negative under a clamped window,
+    or >= nax) only ever addresses the zero prefix/suffix the caller
+    stacks around the window data, so spurious `main` hits there
+    contribute exact zeros while the fold terms count the mirrored
+    source; columns therefore still sum to w against real data and the
+    1/w^2 mean normalization is unchanged.  Replaces materialized
+    reflect margins: the box-at-mirrored-position identity keeps halo
+    a,b values exact."""
+    kk, cc = (g + kb - 1) * 128, g * 128
+    shape = (cc, kk) if transpose else (kk, cc)
+    kax, cax = (1, 0) if transpose else (0, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, shape, kax)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, cax)
+    x = xb + k                            # frame index held by this row
+    P = pb + c                            # output field position
+    main = (x >= P - r) & (x <= P + r) & (x <= nax - 1)
+    top = x + P <= r - 1                  # t in [P-r, -1] -> -1-t == x
+    bot = (x >= 2 * nax - 1 - P - r) & (x <= nax - 1) & (x >= 0)
+    return (main.astype(F32) + top.astype(F32)
+            + bot.astype(F32)).astype(_BF)
+
+
 # Output blocks emitted per row-pass dot.  g > 1 trades extra MACs per
 # value (K = (g+kb-1)*128 instead of kb*128) for g x fewer MXU dots —
 # the per-dot issue overhead, not FLOPs, dominates these band matmuls.
@@ -88,7 +117,8 @@ _ROW_G = 2
 
 
 def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
-               row_off: int = 0, lane_off: int = 0):
+               row_off: int = 0, lane_off: int = 0,
+               fold_row=None, fold_lane=None):
     """Box factory for haloed [rows, lanes] tiles -> [th, tw] means.
 
     Requires tw % 128 == 0 and th % 8 == 0 (see _band_geometry_mxu); a
@@ -101,17 +131,39 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     pass, so the dot count per tile is ~14 instead of ~28 per plane.
     row_off/lane_off shift the band start when the input window begins
     above/left of the [-2r, ...) origin (aligned-halo layouts).
+
+    fold_row/fold_lane = (T, a, n) select the PADLESS reflect-fold bands
+    instead (see _fold_band): T = tile origin and a = clamped window
+    start on that axis (traced scalars), n = frame extent.  Fold bands
+    are absolute-position-dependent, so they are built per block.
     """
     r2 = w - 1
+    r = r2 // 2
     kb = 1 + -(-r2 // 128)
     g = _ROW_G if tw % (_ROW_G * 128) == 0 else 1
-    S = _band_mat(r2, kb, g, transpose=False,
-                  off=lane_off)                 # rows pass (lanes axis)
-    M = _band_mat(r2, kb, 1, transpose=True,
-                  off=row_off)                  # cols pass (sublanes)
-    scale = 1.0 / (w * w)
     nblk = -(-th // 128)                        # col-pass blocks (last may
     rows_rs = (nblk - 1) * 128 + kb * 128       # be partial); rows read
+    kw = (g + kb - 1) * 128
+    # the tile's (8, 128)-aligned pads of the aligned-halo layout; in
+    # fold mode they also size the zero prefixes
+    tp_, lp_ = r2 + (-r2) % 8, r2 + (-r2) % 128
+    if fold_lane is None:
+        S = [_band_mat(r2, kb, g, transpose=False, off=lane_off)] * (
+            tw // (g * 128))                    # rows pass (lanes axis)
+    else:
+        Tl, al, nl, maxoff_l = fold_lane
+        S = [_fold_band(r, kb, g, False, Tl - lp_ + j * g * 128,
+                        Tl - r + j * g * 128, nl)
+             for j in range(tw // (g * 128))]
+    if fold_row is None:
+        M = [_band_mat(r2, kb, 1, transpose=True,
+                       off=row_off)] * nblk     # cols pass (sublanes)
+    else:
+        Tr, ar, nr, maxoff_r = fold_row
+        M = [_fold_band(r, kb, 1, True, Tr - tp_ + i * 128,
+                        Tr - r + i * 128, nr)
+             for i in range(nblk)]
+    scale = 1.0 / (w * w)
 
     def dot_split(a, b, lhs_split):
         x = a if lhs_split else b
@@ -126,23 +178,53 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     def box_multi(planes):
         p = len(planes)
         x = planes[0] if p == 1 else jnp.concatenate(planes, axis=0)
-        kw = (g + kb - 1) * 128
+        # Fold mode: a clamped window starts anywhere from LP/TP early
+        # (edge tiles) to maxoff late (the clamp pins deep tiles of a
+        # barely-large-enough frame to the same window), so the
+        # per-block K slice begins at the TRACED blk + (T - a) into a
+        # zero-PREFIXED (and suffix-extended) operand — the frame index
+        # of slice row k is then T - pad + blk + k, independent of the
+        # clamp; zeros soak up the out-of-frame band hits (_fold_band).
+        if fold_lane is not None:
+            x = jnp.concatenate(
+                [jnp.zeros((x.shape[0], lp_), F32), x,
+                 jnp.zeros((x.shape[0], maxoff_l - lp_), F32)]
+                if maxoff_l > lp_ else
+                [jnp.zeros((x.shape[0], lp_), F32), x], axis=1)
+            off_l = fold_lane[0] - fold_lane[1]
         blocks = []
         for j in range(tw // (g * 128)):
-            sl = x[:, j * g * 128:j * g * 128 + kw]
-            blocks.append(dot_split(sl, S, lhs_split=True))
+            if fold_lane is None:
+                sl = x[:, j * g * 128:j * g * 128 + kw]
+            else:
+                sl = jax.lax.dynamic_slice(
+                    x, (0, off_l + j * g * 128), (x.shape[0], kw))
+            blocks.append(dot_split(sl, S[j], lhs_split=True))
         rs = jnp.concatenate(blocks, axis=1)        # [p*rows, tw]
         # restack planes along lanes so the col pass shares dots too
         if p > 1:
             rs = jnp.concatenate(
                 [rs[i * rows:(i + 1) * rows] for i in range(p)], axis=1)
-        if rows_rs > rows:
-            rs = jnp.concatenate(
-                [rs, jnp.zeros((rows_rs - rows, p * tw), F32)], axis=0)
+        pre, suf = 0, max(rows_rs - rows, 0)
+        if fold_row is not None:
+            off_r = fold_row[0] - fold_row[1]
+            pre = tp_
+            suf = rows_rs + maxoff_r - tp_ - rows
+        parts = [rs]
+        if pre:
+            parts.insert(0, jnp.zeros((pre, p * tw), F32))
+        if suf:
+            parts.append(jnp.zeros((suf, p * tw), F32))
+        if len(parts) > 1:
+            rs = jnp.concatenate(parts, axis=0)
         outs = []
         for i in range(nblk):
-            sl = rs[i * 128:i * 128 + kb * 128, :]
-            outs.append(dot_split(M, sl, lhs_split=False))
+            if fold_row is None:
+                sl = rs[i * 128:i * 128 + kb * 128, :]
+            else:
+                sl = jax.lax.dynamic_slice(
+                    rs, (off_r + i * 128, 0), (kb * 128, rs.shape[1]))
+            outs.append(dot_split(M[i], sl, lhs_split=False))
         out = jnp.concatenate(outs, axis=0)[:th] * scale  # [th, p*tw]
         if p == 1:
             return [out]
@@ -579,13 +661,28 @@ def _fill_margins(buf, radius: int, geo, h: int, wid: int):
     return buf
 
 
-def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw):
+def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw,
+                     clamp=None, tp=0, lp=0):
+    """Start the async fetch of tile tt's haloed window.
+
+    Padded layout (clamp=None): the window starts at (i*th, j*tw) of the
+    TP/LP-padded buffer.  PADLESS (clamp=(Hq, Wq)): the window starts at
+    the in-bounds clamp of (i*th - TP, j*tw - LP) into the unpadded
+    buffer — all quantities are multiples of (8, 128), so the clamped
+    start stays aligned; the kernel compensates via per-tile fold bands
+    and a dynamic interior slice."""
     b2 = tt // (nh * nw)
     rr = tt % (nh * nw)
     i2 = rr // nw
     j2 = rr % nw
+    if clamp is None:
+        r0, l0 = i2 * th, j2 * tw
+    else:
+        hq, wq = clamp
+        r0 = jnp.clip(i2 * th - tp, 0, hq - rowsA)
+        l0 = jnp.clip(j2 * tw - lp, 0, wq - lanesA)
     return pltpu.make_async_copy(
-        hbm.at[b2, :, pl.ds(i2 * th, rowsA), pl.ds(j2 * tw, lanesA)],
+        hbm.at[b2, :, pl.ds(r0, rowsA), pl.ds(l0, lanesA)],
         scr.at[sl], sem.at[sl])
 
 
@@ -630,25 +727,32 @@ def _emit_q(out_q, qscr, qsem, t, nsteps, val, geo, tp, lp):
 
 
 def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
-                     isem, psem, qscr=None, qsem=None, *, w: int, geo):
+                     isem, psem, qscr=None, qsem=None, *, w: int, geo,
+                     frame=None):
     """One guided-filter application: a,b on the [-r, th+r) halo region,
     then mean_a, mean_b boxed down to the [th, tw] output tile.  The
     final q = mean_a . I + mean_b reads the interior guide straight out
     of the haloed window already in VMEM (aligned at (TP, LP), see
     _fused_offsets) — no separate unpadded-guide operand.  With
     qscr/qsem present, out_q is the PADDED layout and q is emitted by
-    manual DMA (see _q_copy)."""
+    manual DMA (see _q_copy).  frame=(h, wid, Hq, Wq) selects the
+    PADLESS mode: windows are clamped into the unpadded (Hq, Wq)
+    buffers and the boxes use reflect-fold bands (_fold_band)."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(0) * nh * nw
     t = (b * nh + i) * nw + j
     slot = jax.lax.rem(t, 2)
+    tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
+    clamp = None if frame is None else frame[2:]
 
     def fetch(tt, isl):
         return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw),
+                                 th, tw, rowsA, lanesA, nh, nw,
+                                 clamp, tp, lp),
                 _prefetch_window(ppad_hbm, pscr, psem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw))
+                                 th, tw, rowsA, lanesA, nh, nw,
+                                 clamp, tp, lp))
 
     @pl.when(t == 0)
     def _():
@@ -663,14 +767,25 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     for cp in fetch(t, slot):
         cp.wait()
 
-    tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
     # bf16 guide windows (u8-exact storage) convert to f32 here;
     # for f32 storage the astype is a no-op
     I0 = iscr[slot, 0].astype(jnp.float32)
     I1 = iscr[slot, 1].astype(jnp.float32)
     I2 = iscr[slot, 2].astype(jnp.float32)
     p = pscr[slot, 0]
-    boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off, lane_off=l_off)
+    if frame is None:
+        boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off,
+                          lane_off=l_off)
+        ir, il = tp, lp                     # interior offset in window
+    else:
+        h_, wid_, hq, wq = frame
+        t_r, t_l = i * th, j * tw
+        a_r = jnp.clip(t_r - tp, 0, hq - rowsA)
+        a_l = jnp.clip(t_l - lp, 0, wq - lanesA)
+        boxA = _mkbox_mxu(w, thA, twA, rowsA,
+                          fold_row=(t_r, a_r, h_, rowsA - th),
+                          fold_lane=(t_l, a_l, wid_, lanesA - tw))
+        ir, il = t_r - a_r, t_l - a_l       # (8, 128)-aligned by constr.
     m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
     m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
     d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
@@ -684,9 +799,12 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
     boxB = _mkbox_mxu(w, th, tw, thA)
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
-    val = (ma0 * I0[tp:tp + th, lp:lp + tw] +
-           ma1 * I1[tp:tp + th, lp:lp + tw] +
-           ma2 * I2[tp:tp + th, lp:lp + tw] + mb)
+
+    def interior(v):
+        return jax.lax.dynamic_slice(v, (ir, il), (th, tw))
+
+    val = (ma0 * interior(I0) + ma1 * interior(I1) +
+           ma2 * interior(I2) + mb)
     if qscr is None:
         out_q[0, 0] = val
     else:
@@ -696,7 +814,7 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
 def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
                            iscr, pscr, stscr, isem, psem, stsem,
                            qscr=None, qsem=None,
-                           *, w: int, eps: float, geo):
+                           *, w: int, eps: float, geo, frame=None):
     """First GF iteration: guide stats computed in-kernel (into the
     per-tile haloed slot layout), DMA'd out for later iterations, and
     used immediately for a,b -> q — one kernel instead of stats+apply.
@@ -707,6 +825,8 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     nsteps = pl.num_programs(0) * nh * nw
     t = (b * nh + i) * nw + j
     slot = jax.lax.rem(t, 2)
+    tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
+    clamp = None if frame is None else frame[2:]
 
     def st_copy(tt):
         b2 = tt // (nh * nw)
@@ -720,9 +840,11 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
 
     def fetch(tt, isl):
         return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw),
+                                 th, tw, rowsA, lanesA, nh, nw,
+                                 clamp, tp, lp),
                 _prefetch_window(ppad_hbm, pscr, psem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw))
+                                 th, tw, rowsA, lanesA, nh, nw,
+                                 clamp, tp, lp))
 
     @pl.when(t == 0)
     def _():
@@ -741,14 +863,25 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     def _():
         st_copy(t - 1).wait()
 
-    tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
     # bf16 guide windows (u8-exact storage) convert to f32 here;
     # for f32 storage the astype is a no-op
     I0 = iscr[slot, 0].astype(jnp.float32)
     I1 = iscr[slot, 1].astype(jnp.float32)
     I2 = iscr[slot, 2].astype(jnp.float32)
     p = pscr[slot, 0]
-    boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off, lane_off=l_off)
+    if frame is None:
+        boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off,
+                          lane_off=l_off)
+        ir, il = tp, lp
+    else:
+        h_, wid_, hq, wq = frame
+        t_r, t_l = i * th, j * tw
+        a_r = jnp.clip(t_r - tp, 0, hq - rowsA)
+        a_l = jnp.clip(t_l - lp, 0, wq - lanesA)
+        boxA = _mkbox_mxu(w, thA, twA, rowsA,
+                          fold_row=(t_r, a_r, h_, rowsA - th),
+                          fold_lane=(t_l, a_l, wid_, lanesA - tw))
+        ir, il = t_r - a_r, t_l - a_l
     m0, m1, m2 = boxA.multi([I0, I1, I2])
     b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
@@ -783,9 +916,12 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     bf = m_p - a0 * stscr[0] - a1 * stscr[1] - a2 * stscr[2]
     boxB = _mkbox_mxu(w, th, tw, thA)
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
-    val = (ma0 * I0[tp:tp + th, lp:lp + tw] +
-           ma1 * I1[tp:tp + th, lp:lp + tw] +
-           ma2 * I2[tp:tp + th, lp:lp + tw] + mb)
+
+    def interior(v):
+        return jax.lax.dynamic_slice(v, (ir, il), (th, tw))
+
+    val = (ma0 * interior(I0) + ma1 * interior(I1) +
+           ma2 * interior(I2) + mb)
     if qscr is None:
         out_q[0, 0] = val
     else:
@@ -819,14 +955,15 @@ def _q_out(n, geo, padded_shape):
              pltpu.SemaphoreType.DMA((2,))])
 
 
-def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None):
+def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
+                      frame=None):
     """One kernel: guide stats (emitted in the haloed slot layout for
     later iterations) + the first a,b -> q application."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
         functools.partial(_fused_gf_iter1_kernel, w=w, eps=float(eps),
-                          geo=geo),
+                          geo=geo, frame=frame),
         out_shape=(jax.ShapeDtypeStruct((n, 9, nh * thA, nw * twA),
                                         jnp.float32),
                    qshape),
@@ -844,11 +981,12 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None):
     )(ipad, ppad)
 
 
-def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None):
+def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
+                      frame=None):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
-        functools.partial(_fused_gf_kernel, w=w, geo=geo),
+        functools.partial(_fused_gf_kernel, w=w, geo=geo, frame=frame),
         out_shape=qshape,
         grid=(n, nh, nw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -889,8 +1027,32 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     w = 2 * radius + 1
     if _use_fused_mxu(h, radius, th):
         geo = _fused_geometry(h, wid, radius, tile_rows, tile_lanes)
-        th_, tw_, _, _, _, _, nh, nw = geo
+        th_, tw_, _, _, rowsA, lanesA, nh, nw = geo
         tp, lp, _, _ = _fused_offsets(radius)
+        # PADLESS mode: an exact-divide tiling whose clamped windows fit
+        # the bare frame needs NO reflect-pads, NO inter-iteration
+        # margin rebuilds and NO output slice — reflection is encoded in
+        # per-tile fold bands (_fold_band) and each iteration's plain-
+        # layout q feeds the next directly.  Zero XLA glue per chain.
+        if nh * th_ == h and nw * tw_ == wid and h >= rowsA \
+                and wid >= lanesA:
+            gq = guide.astype(jnp.bfloat16) if guide_u8 else guide
+            frame = (h, wid, h, wid)
+            st = None
+            chans = []
+            for c in range(c_src):
+                pq = src[:, c:c + 1]
+                for it in range(iterations):
+                    if st is None:
+                        st, pq = _fused_iter1_call(gq, pq, n, geo, w,
+                                                   float(eps),
+                                                   frame=frame)
+                    else:
+                        pq = _fused_apply_call(gq, pq, st, n, geo, w,
+                                               frame=frame)
+                chans.append(pq)
+            return chans[0] if c_src == 1 else jnp.concatenate(chans,
+                                                               axis=1)
         ipad2 = _pad_fused(guide, radius, geo, h, wid)
         if guide_u8:
             ipad2 = ipad2.astype(jnp.bfloat16)

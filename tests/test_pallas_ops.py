@@ -315,6 +315,35 @@ def test_guided_fused_exact_divide_tiling(rng):
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-3)
 
 
+def test_guided_fused_padless_fold_bands(rng):
+    """PADLESS fused chain (exact-divide tiling + clamped windows +
+    reflect-fold band matrices): matches the XLA reflect-padded chain on
+    both a small-radius and the product-radius (45) geometry, gray and
+    multi-tile, including the clamp-active edge tiles."""
+    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _use_fused_mxu, guided_filter_fused_iterated)
+    for h, wd, r, trs, tls in [(272, 512, 8, 136, 128),
+                               (512, 512, 45, 256, 256)]:
+        assert _use_fused_mxu(h, r, None)
+        I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                        .astype(np.float32))
+        p = jnp.asarray(np.floor(rng.rand(1, 1, h, wd) * 256)
+                        .astype(np.float32))
+        exp = p
+        for _ in range(2):
+            exp = _guided_filter_planar_xla(I, exp, r, 9.0)
+        got = np.asarray(guided_filter_fused_iterated(
+            I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls))
+        np.testing.assert_allclose(got, np.asarray(exp),
+                                   rtol=1e-3, atol=0.05)
+        # u8-guide bf16 windows stay bitwise against the padless f32 run
+        g8 = np.asarray(guided_filter_fused_iterated(
+            I, p, r, 9.0, 2, guide_u8=True, tile_rows=trs,
+            tile_lanes=tls))
+        np.testing.assert_array_equal(g8, got)
+
+
 def test_guided_fused_u8_guide_bitwise(rng):
     """guide_u8=True (bf16-stored guide windows) must be BITWISE equal
     to the f32 path on u8-valued guides: integers < 256 are bf16-exact
