@@ -543,11 +543,11 @@ def _stage2_call(abpad, gpad, n, geo, w, mxu):
 
 
 def guided_filter_fused_banded(guide, src, radius: int, eps: float,
-                               th: int = None):
+                               th: int = None, guide_u8: bool = False):
     """Band-tiled fused guided filter for frames too big for the
     whole-plane path.  guide [N,3,H,W], src [N,1,H,W] -> [N,1,H,W]."""
     return guided_filter_fused_iterated(guide, src, radius, float(eps),
-                                        1, th)
+                                        1, th, guide_u8=guide_u8)
 
 
 # ---------------------------------------------------------------------------

@@ -361,6 +361,27 @@ def test_guided_fused_u8_guide_bitwise(rng):
     np.testing.assert_array_equal(got, exp)
 
 
+def test_guided_planar_u8_banded_dispatch(rng):
+    """guide_u8 must thread through the BANDED big-frame branch of
+    guided_filter_planar_pallas (regression: it raised TypeError), and
+    the bf16 guide windows stay bitwise vs the f32 run."""
+    from reflectance_filtering_tpu.ops.guided import (
+        guided_filter_planar_pallas)
+    from reflectance_filtering_tpu.ops.guided_mxu import fits_mxu_guided
+    from reflectance_filtering_tpu.ops.guided_pallas import fits_fused_guided
+    h, wd, r = 1100, 1280, 45
+    assert not fits_mxu_guided(h, wd, r, 1) and not fits_fused_guided(
+        h, wd, r)
+    I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                    .astype(np.float32))
+    p = jnp.asarray(np.floor(rng.rand(1, 1, h, wd) * 256)
+                    .astype(np.float32))
+    exp = np.asarray(guided_filter_planar_pallas(I, p, r, 9.0))
+    got = np.asarray(guided_filter_planar_pallas(I, p, r, 9.0,
+                                                 guide_u8=True))
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_guided_banded_multichannel_src(rng):
     """Big-frame banded paths accept multi-channel src (channels filter
     independently, guide stats shared)."""
