@@ -105,7 +105,8 @@ def _fold_band(r: int, kb: int, g: int, transpose: bool, xb, pb,
     P = pb + c                            # output field position
     main = (x >= P - r) & (x <= P + r) & (x <= nax - 1)
     top = x + P <= r - 1                  # t in [P-r, -1] -> -1-t == x
-    bot = (x >= 2 * nax - 1 - P - r) & (x <= nax - 1) & (x >= 0)
+    bot = ((x >= 2 * nax - 1 - P - r) & (x <= nax - 1) & (x >= 0)
+           & (x <= 2 * nax - 1 - (P - r)))   # t in [max(nax, P-r), P+r]
     return (main.astype(F32) + top.astype(F32)
             + bot.astype(F32)).astype(_BF)
 

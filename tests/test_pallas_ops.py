@@ -315,6 +315,37 @@ def test_guided_fused_exact_divide_tiling(rng):
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-3)
 
 
+def test_fold_band_entries_match_bruteforce():
+    """_fold_band entries == brute-force BORDER_REFLECT tap counts for
+    every in-frame source row, across radii, block bases and clamped
+    window starts (the padless fused path's correctness core)."""
+    from reflectance_filtering_tpu.ops.guided_pallas import _fold_band
+
+    def reflect(t, n):
+        while t < 0 or t >= n:
+            t = -1 - t if t < 0 else 2 * n - 1 - t
+        return t
+
+    for r, n, T, a, blk in [(8, 272, 0, 0, 0), (8, 272, 136, 0, 128),
+                            (45, 512, 256, 32, 256), (45, 512, 0, 0, 0),
+                            (63, 640, 384, 160, 0), (4, 256, 0, 0, 0)]:
+        r2 = 2 * r
+        kb = 1 + -(-r2 // 128)
+        tp = r2 + (-r2) % 8
+        mat = np.asarray(_fold_band(r, kb, 1, False, T - tp + blk,
+                                    T - r + blk, n).astype(np.float32))
+        kk, cc = mat.shape
+        for c in range(0, cc, 7):
+            P = T - r + blk + c
+            for k in range(0, kk, 3):
+                x = T - tp + blk + k
+                if not 0 <= x < n:
+                    continue
+                want = sum(1 for t in range(P - r, P + r + 1)
+                           if reflect(t, n) == x)
+                assert mat[k, c] == want, (r, n, T, a, blk, k, c)
+
+
 def test_guided_fused_padless_fold_bands(rng):
     """PADLESS fused chain (exact-divide tiling + clamped windows +
     reflect-fold band matrices): matches the XLA reflect-padded chain on
