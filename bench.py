@@ -37,6 +37,22 @@ K_COMPS = 1181  # real IIW blob row count (createNumpy...:83) — the WHDR
                 # gather cost in the pipelines is the true metric workload
 
 
+def _contained(name, thunk):
+    """Run one bench stage; a failure (compile error, OOM) costs that
+    stage's number, not the whole artifact.  Returns nan on failure —
+    _r() turns it into JSON null."""
+    try:
+        return thunk()
+    except Exception as err:  # noqa: BLE001 — report and carry on
+        print("bench stage %s FAILED: %r" % (name, err), file=sys.stderr)
+        return float("nan")
+
+
+def _r(x, nd=2):
+    """round() that maps non-finite stage results to JSON null."""
+    return round(x, nd) if np.isfinite(x) else None
+
+
 def _timed_loop(fn, x, iters):
     """Per-iteration device time by the SLOPE method.
 
@@ -209,9 +225,11 @@ def main(profile_dir=None):
         refl = cnn_stage(x)
         return x + 1e-12 * jnp.sum(refl)
 
-    t_cnn = _timed_loop(cnn_only, imgs, 50)
-    t_gf = _timed_loop(gf_pipeline, imgs, 40)
-    t_bf = _timed_loop(bf_pipeline, imgs, 8)
+    t_cnn = _contained("cnn", lambda: _timed_loop(cnn_only, imgs, 50))
+    t_gf = _contained("gf_pipeline",
+                      lambda: _timed_loop(gf_pipeline, imgs, 40))
+    t_bf = _contained("bf_pipeline",
+                      lambda: _timed_loop(bf_pipeline, imgs, 8))
 
     if profile_dir:
         # --profile <dir>: XLA-level trace of one BF and one GF pipeline
@@ -233,7 +251,8 @@ def main(profile_dir=None):
         out = bilateral_color_self_batched(x, -1, 20.0, 22.0)
         return x * (1.0 + 1e-12 * jnp.sum(out[:, :, 0, :2]))
 
-    t_bfc = _timed_loop(bf_color_self, imgs_u8p, 4)
+    t_bfc = _contained("bf_color_self",
+                       lambda: _timed_loop(bf_color_self, imgs_u8p, 4))
     bfc_mps = (8 * H * W / 1e6) / t_bfc
 
     # joint != src: BF(reflectance, color photo) — the CLI's 'filter the
@@ -249,7 +268,8 @@ def main(profile_dir=None):
         out = bilateral_packed_joint_batched(imgs_u8p, x, -1, 20.0, 22.0)
         return x * (1.0 + 1e-12 * jnp.sum(out[:, :, 0, :2]))
 
-    t_bfj = _timed_loop(bf_joint_photo, refl_u8p, 4)
+    t_bfj = _contained("bf_joint_photo",
+                       lambda: _timed_loop(bf_joint_photo, refl_u8p, 4))
     bfj_mps = (8 * H * W / 1e6) / t_bfj
 
     # OPTIONAL approximate fast mode (bilateral grid; p99 error ~2 u8
@@ -265,7 +285,7 @@ def main(profile_dir=None):
         out = bilateral_grid_gray(x, gs, 20.0 / 3.0, 22.0)
         return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
 
-    t_grid = _timed_loop(bf_grid, gj, 20)
+    t_grid = _contained("bf_grid", lambda: _timed_loop(bf_grid, gj, 20))
     grid_mps = MP / t_grid
 
     # tuned fast operating point (ss=16, sr=1.5 sigma): measured v5e
@@ -277,7 +297,8 @@ def main(profile_dir=None):
         out = bilateral_grid_gray(x, gs, 20.0 / 3.0, 22.0, ss=16, sr=10)
         return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
 
-    t_gridf = _timed_loop(bf_grid_fast, gj, 20)
+    t_gridf = _contained("bf_grid_fast",
+                         lambda: _timed_loop(bf_grid_fast, gj, 20))
     gridf_mps = MP / t_gridf
 
     # quality operating point (ss=8, sr=6): the finest grid that still
@@ -288,7 +309,8 @@ def main(profile_dir=None):
         out = bilateral_grid_gray(x, gs, 20.0 / 3.0, 22.0, ss=8, sr=6)
         return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
 
-    t_gridq = _timed_loop(bf_grid_quality, gj, 20)
+    t_gridq = _contained("bf_grid_quality",
+                         lambda: _timed_loop(bf_grid_quality, gj, 20))
     gridq_mps = MP / t_gridq
 
     # config 4: 3x iterated GF chain (Zoran-style) on one 4K frame.
@@ -322,13 +344,16 @@ def main(profile_dir=None):
 
     # slope method (see _timed_loop): cancels the ~29 ms tunnel RPC
     # intercept, which at reps=8 overstated the chain by ~28%
-    float(chain_many(g4k, s4k, reps))  # compile+warm
-    t0 = time.time()
-    float(chain_many(g4k, s4k, reps))
-    t_lo = time.time() - t0
-    t0 = time.time()
-    float(chain_many(g4k, s4k, 3 * reps))
-    t_4k = (time.time() - t0 - t_lo) / (2 * reps)
+    def _time_4k():
+        float(chain_many(g4k, s4k, reps))  # compile+warm
+        t0 = time.time()
+        float(chain_many(g4k, s4k, reps))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(chain_many(g4k, s4k, 3 * reps))
+        return (time.time() - t0 - t_lo) / (2 * reps)
+
+    t_4k = _contained("gf_3x_4k", _time_4k)
 
     # training: one fused fwd+autodiff-bwd+adam step, reference batch 20
     from reflectance_filtering_tpu.models.networks import (
@@ -365,10 +390,13 @@ def main(profile_dir=None):
         float(jnp.sum(jax.tree_util.tree_leaves(tp)[0]))
 
     # slope method (see _timed_loop): cancels the tunnel RPC intercept
-    _run_train(titers)  # compile+warm
-    t0 = time.time(); _run_train(titers); t_lo = time.time() - t0
-    t0 = time.time(); _run_train(3 * titers)
-    t_train = (time.time() - t0 - t_lo) / (2 * titers)
+    def _time_train():
+        _run_train(titers)  # compile+warm
+        t0 = time.time(); _run_train(titers); t_lo = time.time() - t0
+        t0 = time.time(); _run_train(3 * titers)
+        return (time.time() - t0 - t_lo) / (2 * titers)
+
+    t_train = _contained("train_step", _time_train)
 
     bf_mps = MP / t_bf
     gf_mps = MP / t_gf
@@ -385,18 +413,18 @@ def main(profile_dir=None):
     print(json.dumps({
         "metric": "BF(CNN,CNN) end-to-end megapixels/sec/chip "
                   "(CNN+u8-write+joint-bilateral c20 s22+WHDR)",
-        "value": round(bf_mps, 2),
+        "value": _r(bf_mps),
         "unit": "MP/s/chip",
-        "vs_baseline": round(bf_mps / BASELINE_MPS, 1),
-        "gf_pipeline_mps": round(gf_mps, 2),
-        "cnn_decompose_mps": round(cnn_mps, 2),
-        "bf_color_self_mps": round(bfc_mps, 2),
-        "bf_joint_photo_mps": round(bfj_mps, 2),
-        "bf_grid_approx_mps": round(grid_mps, 2),
-        "bf_grid_fast_mps": round(gridf_mps, 2),
-        "bf_grid_quality_mps": round(gridq_mps, 2),
-        "gf_3x_4k_mps": round(h4k * w4k / t_4k / 1e6, 2),
-        "train_imgs_per_s": round(tb / t_train, 1),
+        "vs_baseline": _r(bf_mps / BASELINE_MPS, 1),
+        "gf_pipeline_mps": _r(gf_mps),
+        "cnn_decompose_mps": _r(cnn_mps),
+        "bf_color_self_mps": _r(bfc_mps),
+        "bf_joint_photo_mps": _r(bfj_mps),
+        "bf_grid_approx_mps": _r(grid_mps),
+        "bf_grid_fast_mps": _r(gridf_mps),
+        "bf_grid_quality_mps": _r(gridq_mps),
+        "gf_3x_4k_mps": _r(h4k * w4k / t_4k / 1e6),
+        "train_imgs_per_s": _r(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],
         "whdr_comparisons_per_image": K_COMPS,
         "parity_ok": parity_ok,
