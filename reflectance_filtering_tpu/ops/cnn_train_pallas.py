@@ -140,9 +140,15 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
     dbf = jnp.sum(g, axis=1, keepdims=True)
 
     def dcat_i(i):
-        d = wfv[i, :, 0:1] * g[0:1, :]
+        # one broadcast axis per op ([f,1]x[1,T] double-broadcast is
+        # shaky under Mosaic lowering): expand g's row across sublanes
+        # first, then the lane-broadcast multiply
+        def term(c):
+            grow = jnp.broadcast_to(g[c:c + 1, :], (f, g.shape[1]))
+            return wfv[i, :, c:c + 1] * grow
+        d = term(0)
         for c in range(1, cout):
-            d = d + wfv[i, :, c:c + 1] * g[c:c + 1, :]
+            d = d + term(c)
         return d                         # [f, T]
 
     # conv chain, last to first
