@@ -309,7 +309,11 @@ def _init_skip_layers(key, cfg: NetworkConfig, suffix: str = "",
 
 
 def _apply_skip_layers(params, images, cfg: NetworkConfig, *,
-                       suffix: str = "", train: bool):
+                       suffix: str = "", train: bool,
+                       input_grad: bool = False):
+    """input_grad: set ONLY when ``images`` is itself a function of the
+    params (the cascade's level-1 trunk) — the fused backward then emits
+    the input cotangent; leaf inputs skip that work."""
     blobs: Dict[str, Any] = {"__bn_stats__": {}}
     if cfg.num_layers >= 1:
         from ..ops.cnn_train_pallas import fits_fused_trunk, skip_trunk_pre
@@ -322,7 +326,8 @@ def _apply_skip_layers(params, images, cfg: NetworkConfig, *,
             # 'concat_skip_layers' blob is not materialized here (no
             # consumer outside this function).
             pre = skip_trunk_pre(params, images,
-                                 num_layers=cfg.num_layers, suffix=suffix)
+                                 num_layers=cfg.num_layers, suffix=suffix,
+                                 input_grad=input_grad)
             blobs["RS_est_before_sigmoid" + suffix] = pre
             blobs["RS_est" + suffix] = jax.nn.sigmoid(pre)
             return blobs
@@ -594,7 +599,7 @@ def apply_network(params: Params, images, cfg: NetworkConfig, *,
         blobs["shading_level0"] = shad0
         bn0 = blobs["__bn_stats__"]
         blobs.update(_apply_skip_layers(params, refl0, cfg, suffix="_level1",
-                                        train=train))
+                                        train=train, input_grad=True))
         blobs["__bn_stats__"].update(bn0)
         blobs["RS_est"] = blobs.pop("RS_est_level1")
         blobs["RS_est_before_sigmoid"] = blobs.pop(

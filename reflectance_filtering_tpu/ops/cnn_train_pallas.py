@@ -113,7 +113,7 @@ def _fwd_kernel(x_ref, w0, b0, wm, bm, wfv, bf, pre_ref, *,
 
 
 def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
-                dw0_ref, dwm_ref, dwf_ref, dx_ref, *,
+                dw0_ref, dwm_ref, dwf_ref, dx_ref=None, *,
                 n: int, ci: int, f: int, cout: int):
     """Recompute fwd, backprop, accumulate param grads across grid steps.
 
@@ -126,6 +126,8 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
                               is level-0's recovered reflectance: the
                               final loss must reach level-0's params
                               through this path (networks.py:853-1146).
+                              Omitted (None) when the input is a leaf —
+                              skips the w0T dot and a 32 B/px HBM write.
     """
     x = x_ref[...]
     g = g_ref[...]                       # [8, T] cotangent wrt pre
@@ -162,8 +164,9 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
         a_prev = hs[i - 1] if i > 0 else x[:ci]
         dws.append((_dotT3(dz, a_prev), jnp.sum(dz, axis=1, keepdims=True)))
     dws.reverse()
-    dx = _dot3(w0T[...], dz)                 # [ci, T]
-    dx_ref[...] = jnp.pad(dx, ((0, 8 - ci), (0, 0)))
+    if dx_ref is not None:
+        dx = _dot3(w0T[...], dz)             # [ci, T]
+        dx_ref[...] = jnp.pad(dx, ((0, 8 - ci), (0, 0)))
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -224,11 +227,15 @@ def _pack_bwd(kernels, n, f):
 
 
 @functools.lru_cache(maxsize=16)
-def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
+def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int,
+                input_grad: bool = True):
     """Returns trunk(kernels, biases, x8) -> pre [8, P] with custom VJP.
 
     kernels: tuple of n+1 [in, out] f32 (conv0..conv_{n-1}, fuse);
     biases: tuple of n+1 [out]; x8: [8, P] (rows 0..ci-1 = input).
+    input_grad=False drops the dx output from the backward kernel (its
+    w0T dot + a 32 B/px HBM write) and returns a zeros cotangent —
+    correct whenever the input is a leaf (every non-cascade network).
     """
 
     def fwd_impl(kernels, biases, x8):
@@ -265,14 +272,26 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
         nf = n * f
         nfpad = -(-(nf + 1) // 128) * 128
         fpad = -(-(f + 1) // 128) * 128
-        dw0, dwm, dwf, dx8 = pl.pallas_call(
+        out_shape = [
+            jax.ShapeDtypeStruct((f, 128), F32),
+            jax.ShapeDtypeStruct((max(n - 1, 1), f, fpad), F32),
+            jax.ShapeDtypeStruct((8, nfpad), F32),
+        ]
+        out_specs = [
+            pl.BlockSpec((f, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(n - 1, 1), f, fpad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nfpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if input_grad:
+            out_shape.append(jax.ShapeDtypeStruct((8, p), F32))
+            out_specs.append(pl.BlockSpec((8, tile), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
+        outs = pl.pallas_call(
             functools.partial(_bwd_kernel, n=n, ci=ci, f=f, cout=cout),
-            out_shape=[
-                jax.ShapeDtypeStruct((f, 128), F32),
-                jax.ShapeDtypeStruct((max(n - 1, 1), f, fpad), F32),
-                jax.ShapeDtypeStruct((8, nfpad), F32),
-                jax.ShapeDtypeStruct((8, p), F32),
-            ],
+            out_shape=out_shape,
             grid=(p // tile,),
             in_specs=[
                 pl.BlockSpec((8, tile), lambda i: (0, i),
@@ -280,19 +299,12 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
                 pl.BlockSpec((8, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-            out_specs=[
-                pl.BlockSpec((f, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((max(n - 1, 1), f, fpad), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, nfpad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=out_specs,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(x8, g, w0, b0, wm, bm, wfv, wmT, w0T)
+        dw0, dwm, dwf = outs[:3]
+        dx8 = outs[3] if input_grad else jnp.zeros((8, p), F32)
 
         dkernels = [dw0[:, :ci].T]                    # back to [in, out]
         dbiases = [dw0[:, ci]]
@@ -308,10 +320,13 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int):
 
 
 def skip_trunk_pre(params: Dict, images, *, num_layers: int,
-                   suffix: str = "", tile: int = 8192):
+                   suffix: str = "", tile: int = 8192,
+                   input_grad: bool = True):
     """Fused pre-sigmoid forward of the skip-layers trunk, differentiable
     w.r.t. params AND images (cascadeSkipLayers feeds level-1 from
     level-0's output).  images [..., ci] f32 -> pre [..., cout] f32.
+    input_grad=False skips the backward's input-cotangent work — pass it
+    when images is a leaf (every non-cascade-level-1 call).
 
     Mirrors models/networks.py:_apply_skip_layers for kernel 1x1, no BN
     (reference factory: training/networks.py:722-850).
@@ -330,7 +345,8 @@ def skip_trunk_pre(params: Dict, images, *, num_layers: int,
     ppad = -(-p // tile) * tile
     x8 = jnp.zeros((8, ppad), F32).at[:ci, :p].set(
         jnp.moveaxis(images.reshape(p, ci), -1, 0))
-    pre = _make_trunk(n, ci, f, cout, tile)(kernels, biases, x8)
+    pre = _make_trunk(n, ci, f, cout, tile,
+                      input_grad)(kernels, biases, x8)
     return jnp.moveaxis(pre[:cout, :p], 0, -1).reshape(lead + (cout,))
 
 

@@ -112,6 +112,34 @@ def test_fused_trunk_input_cotangent():
     assert np.abs(a - b).max() / np.abs(a).max() < 5e-5
 
 
+def test_fused_trunk_input_grad_false_param_grads_unchanged():
+    """input_grad=False (leaf-input trunks) must leave PARAM gradients
+    bitwise-identical to the input_grad=True variant — it only drops the
+    dx output — and return a zeros input cotangent without error."""
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(1, 24, 40, 3).astype(np.float32))
+    cot = jnp.asarray(rng.rand(1, 24, 40, 1).astype(np.float32))
+
+    def loss(p, im, ig):
+        pre = skip_trunk_pre(p, im, num_layers=cfg.num_layers,
+                             tile=512, input_grad=ig)
+        return jnp.sum(pre * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_on = jax.grad(loss)(params, imgs, True)
+        g_off = jax.grad(loss)(params, imgs, False)
+        gi_off = jax.grad(loss, argnums=1)(params, imgs, False)
+    for k in g_on:
+        for part in ("kernel", "bias"):
+            np.testing.assert_array_equal(np.asarray(g_on[k][part]),
+                                          np.asarray(g_off[k][part]))
+    assert float(np.abs(np.asarray(gi_off)).max()) == 0.0
+
+
 def test_fused_trunk_cascade_level0_gets_final_loss_grads():
     """End-to-end cascade: level-0 params receive gradient from a loss on
     the level-1 output (through recover + the level-1 trunk input)."""
