@@ -812,6 +812,92 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
         _emit_q(out_q, qscr, qsem, t, nsteps, val, geo, tp, lp)
 
 
+def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
+                               isem, psem, *, w: int, eps: float, geo,
+                               frame):
+    """One GF application with the guide statistics recomputed in-kernel
+    from the guide windows the apply already fetches — NO stats buffer.
+    The slots layout moves ~16 MB/tile each way at 4K (~573 MB/call,
+    comparable to the box dots themselves); this trades that traffic
+    for ~2.1x the box-dot work.  PADLESS only: every chain iteration
+    runs this same kernel, plain-layout q feeding the next."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nsteps = pl.num_programs(0) * nh * nw
+    t = (b * nh + i) * nw + j
+    slot = jax.lax.rem(t, 2)
+    tp, lp, _, _ = _fused_offsets((w - 1) // 2)
+    clamp = frame[2:]
+
+    def fetch(tt, isl):
+        return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
+                                 th, tw, rowsA, lanesA, nh, nw,
+                                 clamp, tp, lp),
+                _prefetch_window(ppad_hbm, pscr, psem, tt, isl,
+                                 th, tw, rowsA, lanesA, nh, nw,
+                                 clamp, tp, lp))
+
+    @pl.when(t == 0)
+    def _():
+        for cp in fetch(t, slot):
+            cp.start()
+
+    @pl.when(t + 1 < nsteps)
+    def _():
+        for cp in fetch(t + 1, 1 - slot):
+            cp.start()
+
+    for cp in fetch(t, slot):
+        cp.wait()
+
+    I0 = iscr[slot, 0].astype(jnp.float32)
+    I1 = iscr[slot, 1].astype(jnp.float32)
+    I2 = iscr[slot, 2].astype(jnp.float32)
+    p = pscr[slot, 0]
+    h_, wid_, hq, wq = frame
+    t_r, t_l = i * th, j * tw
+    a_r = jnp.clip(t_r - tp, 0, hq - rowsA)
+    a_l = jnp.clip(t_l - lp, 0, wq - lanesA)
+    boxA = _mkbox_mxu(w, thA, twA, rowsA,
+                      fold_row=(t_r, a_r, h_, rowsA - th),
+                      fold_lane=(t_l, a_l, wid_, lanesA - tw))
+    ir, il = t_r - a_r, t_l - a_l
+    m0, m1, m2 = boxA.multi([I0, I1, I2])
+    b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
+    b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
+    rr = b00 - m0 * m0 + eps
+    rg = b01 - m0 * m1
+    rb = b02 - m0 * m2
+    gg = b11 - m1 * m1 + eps
+    gb = b12 - m1 * m2
+    bb = b22 - m2 * m2 + eps
+    c00 = gg * bb - gb * gb
+    c01 = gb * rb - rg * bb
+    c02 = rg * gb - gg * rb
+    c11 = rr * bb - rb * rb
+    c12 = rb * rg - rr * gb
+    c22 = rr * gg - rg * rg
+    inv_det = 1.0 / (rr * c00 + rg * c01 + rb * c02)
+    d00, d01, d02 = c00 * inv_det, c01 * inv_det, c02 * inv_det
+    d11, d12, d22 = c11 * inv_det, c12 * inv_det, c22 * inv_det
+    m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
+    cov0 = bip0 - m0 * m_p
+    cov1 = bip1 - m1 * m_p
+    cov2 = bip2 - m2 * m_p
+    a0 = d00 * cov0 + d01 * cov1 + d02 * cov2
+    a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
+    a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
+    bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
+    boxB = _mkbox_mxu(w, th, tw, thA)
+    ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
+
+    def interior(v):
+        return jax.lax.dynamic_slice(v, (ir, il), (th, tw))
+
+    out_q[0, 0] = (ma0 * interior(I0) + ma1 * interior(I1) +
+                   ma2 * interior(I2) + mb)
+
+
 def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
                            iscr, pscr, stscr, isem, psem, stsem,
                            qscr=None, qsem=None,
@@ -982,6 +1068,27 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
     )(ipad, ppad)
 
 
+def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
+    """PADLESS stats-free application: plain-layout q out, no stats
+    operand or output."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    qshape, qspec, _ = _q_out(n, geo, None)
+    return pl.pallas_call(
+        functools.partial(_fused_gf_recompute_kernel, w=w,
+                          eps=float(eps), geo=geo, frame=frame),
+        out_shape=qshape,
+        grid=(n, nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
+                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=_VMEM_FUSED,
+    )(ipad, ppad)
+
+
 def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
                       frame=None):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
@@ -1006,12 +1113,14 @@ def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
 
 @functools.partial(jax.jit,
                    static_argnames=("radius", "eps", "iterations", "th",
-                                    "guide_u8", "tile_rows", "tile_lanes"))
+                                    "guide_u8", "tile_rows", "tile_lanes",
+                                    "stats_mode"))
 def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                                  iterations: int = 3, th: int = None,
                                  guide_u8: bool = False,
                                  tile_rows: int = None,
-                                 tile_lanes: int = None):
+                                 tile_lanes: int = None,
+                                 stats_mode: str = "slots"):
     """Zoran-style iterated chain: guide statistics computed once and
     reused every iteration AND every src channel (they depend only on
     the guide), and all intermediates kept in the PADDED tile layout —
@@ -1044,7 +1153,10 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
             for c in range(c_src):
                 pq = src[:, c:c + 1]
                 for it in range(iterations):
-                    if st is None:
+                    if stats_mode == "recompute":
+                        pq = _fused_recompute_call(gq, pq, n, geo, w,
+                                                   float(eps), frame)
+                    elif st is None:
                         st, pq = _fused_iter1_call(gq, pq, n, geo, w,
                                                    float(eps),
                                                    frame=frame)

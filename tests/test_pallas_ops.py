@@ -373,6 +373,12 @@ def test_guided_fused_padless_fold_bands(rng):
             I, p, r, 9.0, 2, guide_u8=True, tile_rows=trs,
             tile_lanes=tls))
         np.testing.assert_array_equal(g8, got)
+        # stats_mode="recompute" (no stats buffer) computes the same
+        # stats with the same dot grouping — bitwise vs slots mode
+        rec = np.asarray(guided_filter_fused_iterated(
+            I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
+            stats_mode="recompute"))
+        np.testing.assert_array_equal(rec, got)
 
 
 def test_guided_fused_u8_guide_bitwise(rng):
