@@ -156,6 +156,8 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
         S = [_fold_band(r, kb, g, False, Tl - lp_ + j * g * 128,
                         Tl - r + j * g * 128, nl)
              for j in range(tw // (g * 128))]
+        # expected pre-prefixed input width (see box_multi)
+        lanesw = tw + (kb - 1) * 128 + maxoff_l
     if fold_row is None:
         M = [_band_mat(r2, kb, 1, transpose=True,
                        off=row_off)] * nblk     # cols pass (sublanes)
@@ -186,12 +188,12 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
         # zero-PREFIXED (and suffix-extended) operand — the frame index
         # of slice row k is then T - pad + blk + k, independent of the
         # clamp; zeros soak up the out-of-frame band hits (_fold_band).
+        # LANES are pre-prefixed by the caller (the window scratch is
+        # allocated with LP_-offset margins zeroed once per call — a
+        # per-multi zero concat would copy the whole group); only the
+        # col pass builds its sublane prefix here.
         if fold_lane is not None:
-            x = jnp.concatenate(
-                [jnp.zeros((x.shape[0], lp_), F32), x,
-                 jnp.zeros((x.shape[0], maxoff_l - lp_), F32)]
-                if maxoff_l > lp_ else
-                [jnp.zeros((x.shape[0], lp_), F32), x], axis=1)
+            assert x.shape[1] == lanesw, (x.shape, lanesw)
             off_l = fold_lane[0] - fold_lane[1]
         blocks = []
         for j in range(tw // (g * 128)):
@@ -662,6 +664,17 @@ def _fill_margins(buf, radius: int, geo, h: int, wid: int):
     return buf
 
 
+def _zero_lane_margins(scr, lp, lanesA):
+    """Zero the LP-lane prefix and the tail of a padless window scratch
+    (both slots, once per kernel call): the fold bands' out-of-frame
+    hits must read exact zeros.  Disjoint from the DMA data region."""
+    scr[:, :, :, :lp] = jnp.zeros_like(scr[:, :, :, :lp])
+    tail = scr.shape[3] - lp - lanesA
+    if tail:
+        scr[:, :, :, lp + lanesA:] = jnp.zeros_like(
+            scr[:, :, :, lp + lanesA:])
+
+
 def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw,
                      clamp=None, tp=0, lp=0):
     """Start the async fetch of tile tt's haloed window.
@@ -678,13 +691,17 @@ def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw,
     j2 = rr % nw
     if clamp is None:
         r0, l0 = i2 * th, j2 * tw
+        dst = scr.at[sl]
     else:
         hq, wq = clamp
         r0 = jnp.clip(i2 * th - tp, 0, hq - rowsA)
         l0 = jnp.clip(j2 * tw - lp, 0, wq - lanesA)
+        # padless scratch carries LP-lane zero margins (the fold bands'
+        # coordinate prefix); the data window lands at lane LP
+        dst = scr.at[sl, :, :, pl.ds(lp, lanesA)]
     return pltpu.make_async_copy(
         hbm.at[b2, :, pl.ds(r0, rowsA), pl.ds(l0, lanesA)],
-        scr.at[sl], sem.at[sl])
+        dst, sem.at[sl])
 
 
 def _q_copy(out_q, qscr, qsem, tt, geo, tp, lp):
@@ -757,6 +774,9 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
 
     @pl.when(t == 0)
     def _():
+        if frame is not None:
+            _zero_lane_margins(iscr, lp, lanesA)
+            _zero_lane_margins(pscr, lp, lanesA)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -786,7 +806,8 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
         boxA = _mkbox_mxu(w, thA, twA, rowsA,
                           fold_row=(t_r, a_r, h_, rowsA - th),
                           fold_lane=(t_l, a_l, wid_, lanesA - tw))
-        ir, il = t_r - a_r, t_l - a_l       # (8, 128)-aligned by constr.
+        # data sits at lane LP of the prefixed scratch
+        ir, il = t_r - a_r, lp + (t_l - a_l)    # (8, 128)-aligned
     m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
     m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
     d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
@@ -839,6 +860,8 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
 
     @pl.when(t == 0)
     def _():
+        _zero_lane_margins(iscr, lp, lanesA)
+        _zero_lane_margins(pscr, lp, lanesA)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -861,7 +884,7 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
     boxA = _mkbox_mxu(w, thA, twA, rowsA,
                       fold_row=(t_r, a_r, h_, rowsA - th),
                       fold_lane=(t_l, a_l, wid_, lanesA - tw))
-    ir, il = t_r - a_r, t_l - a_l
+    ir, il = t_r - a_r, lp + (t_l - a_l)
     m0, m1, m2 = boxA.multi([I0, I1, I2])
     b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
@@ -935,6 +958,9 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
 
     @pl.when(t == 0)
     def _():
+        if frame is not None:
+            _zero_lane_margins(iscr, lp, lanesA)
+            _zero_lane_margins(pscr, lp, lanesA)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -968,7 +994,7 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
         boxA = _mkbox_mxu(w, thA, twA, rowsA,
                           fold_row=(t_r, a_r, h_, rowsA - th),
                           fold_lane=(t_l, a_l, wid_, lanesA - tw))
-        ir, il = t_r - a_r, t_l - a_l
+        ir, il = t_r - a_r, lp + (t_l - a_l)
     m0, m1, m2 = boxA.multi([I0, I1, I2])
     b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
@@ -1047,6 +1073,7 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
     """One kernel: guide stats (emitted in the haloed slot layout for
     later iterations) + the first a,b -> q application."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    lanesw = lanesA if frame is None else 2 * lanesA - tw
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
         functools.partial(_fused_gf_iter1_kernel, w=w, eps=float(eps),
@@ -1058,8 +1085,8 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY), qspec],
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
-                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesw), ipad.dtype),
+                        pltpu.VMEM((2, 1, rowsA, lanesw), jnp.float32),
                         pltpu.VMEM((9, thA, twA), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
@@ -1072,6 +1099,7 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
     """PADLESS stats-free application: plain-layout q out, no stats
     operand or output."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    lanesw = 2 * lanesA - tw                 # LP prefix + maxoff suffix
     qshape, qspec, _ = _q_out(n, geo, None)
     return pl.pallas_call(
         functools.partial(_fused_gf_recompute_kernel, w=w,
@@ -1081,8 +1109,8 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=qspec,
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
-                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesw), ipad.dtype),
+                        pltpu.VMEM((2, 1, rowsA, lanesw), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_VMEM_FUSED,
@@ -1092,6 +1120,7 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
 def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
                       frame=None):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    lanesw = lanesA if frame is None else 2 * lanesA - tw
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
         functools.partial(_fused_gf_kernel, w=w, geo=geo, frame=frame),
@@ -1103,8 +1132,8 @@ def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=qspec,
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
-                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesw), ipad.dtype),
+                        pltpu.VMEM((2, 1, rowsA, lanesw), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))] + qscratch,
         compiler_params=_VMEM_FUSED,
