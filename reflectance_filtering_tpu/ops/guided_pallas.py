@@ -133,10 +133,12 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     row_off/lane_off shift the band start when the input window begins
     above/left of the [-2r, ...) origin (aligned-halo layouts).
 
-    fold_row/fold_lane = (T, a, n) select the PADLESS reflect-fold bands
-    instead (see _fold_band): T = tile origin and a = clamped window
-    start on that axis (traced scalars), n = frame extent.  Fold bands
-    are absolute-position-dependent, so they are built per block.
+    fold_row/fold_lane = (T, a, n, extent) select the PADLESS
+    reflect-fold bands instead (see _fold_band): T = tile origin and
+    a = clamped window start on that axis (traced scalars), n = frame
+    extent, extent = the window's size on that axis (rows / lanes).
+    Fold bands are absolute-position-dependent, so they are built per
+    block, each with its K slice clamped into the real window.
     """
     r2 = w - 1
     r = r2 // 2
@@ -148,22 +150,31 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     # the tile's (8, 128)-aligned pads of the aligned-halo layout; in
     # fold mode they also size the zero prefixes
     tp_, lp_ = r2 + (-r2) % 8, r2 + (-r2) % 128
+    # Fold mode: every out-of-frame band hit is weightless by
+    # construction (the mirrored tap is counted on its real source row),
+    # so each block's K slice CLAMPS into the real window and the fold
+    # band's x-base tracks the actual (traced) slice start — no zero
+    # margins or padded operands anywhere.  Coverage: the needed source
+    # span for a block is < kw (resp. kb*128) wide and always falls
+    # inside the clamped slice (lp_ >= 2r and kw - lp_ = g*128).
     if fold_lane is None:
         S = [_band_mat(r2, kb, g, transpose=False, off=lane_off)] * (
             tw // (g * 128))                    # rows pass (lanes axis)
     else:
-        Tl, al, nl, maxoff_l = fold_lane
-        S = [_fold_band(r, kb, g, False, Tl - lp_ + j * g * 128,
+        Tl, al, nl, lanes_in = fold_lane
+        sl0 = [jnp.clip(Tl - al - lp_ + j * g * 128, 0, lanes_in - kw)
+               for j in range(tw // (g * 128))]
+        S = [_fold_band(r, kb, g, False, al + sl0[j],
                         Tl - r + j * g * 128, nl)
              for j in range(tw // (g * 128))]
-        # expected pre-prefixed input width (see box_multi)
-        lanesw = tw + (kb - 1) * 128 + maxoff_l
     if fold_row is None:
         M = [_band_mat(r2, kb, 1, transpose=True,
                        off=row_off)] * nblk     # cols pass (sublanes)
     else:
-        Tr, ar, nr, maxoff_r = fold_row
-        M = [_fold_band(r, kb, 1, True, Tr - tp_ + i * 128,
+        Tr, ar, nr, rows_in = fold_row
+        sr0 = [jnp.clip(Tr - ar - tp_ + i * 128, 0, rows_in - kb * 128)
+               for i in range(nblk)]
+        M = [_fold_band(r, kb, 1, True, ar + sr0[i],
                         Tr - r + i * 128, nr)
              for i in range(nblk)]
     scale = 1.0 / (w * w)
@@ -181,52 +192,29 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     def box_multi(planes):
         p = len(planes)
         x = planes[0] if p == 1 else jnp.concatenate(planes, axis=0)
-        # Fold mode: a clamped window starts anywhere from LP/TP early
-        # (edge tiles) to maxoff late (the clamp pins deep tiles of a
-        # barely-large-enough frame to the same window), so the
-        # per-block K slice begins at the TRACED blk + (T - a) into a
-        # zero-PREFIXED (and suffix-extended) operand — the frame index
-        # of slice row k is then T - pad + blk + k, independent of the
-        # clamp; zeros soak up the out-of-frame band hits (_fold_band).
-        # LANES are pre-prefixed by the caller (the window scratch is
-        # allocated with LP_-offset margins zeroed once per call — a
-        # per-multi zero concat would copy the whole group); only the
-        # col pass builds its sublane prefix here.
-        if fold_lane is not None:
-            assert x.shape[1] == lanesw, (x.shape, lanesw)
-            off_l = fold_lane[0] - fold_lane[1]
         blocks = []
         for j in range(tw // (g * 128)):
             if fold_lane is None:
                 sl = x[:, j * g * 128:j * g * 128 + kw]
             else:
                 sl = jax.lax.dynamic_slice(
-                    x, (0, off_l + j * g * 128), (x.shape[0], kw))
+                    x, (0, sl0[j]), (x.shape[0], kw))
             blocks.append(dot_split(sl, S[j], lhs_split=True))
         rs = jnp.concatenate(blocks, axis=1)        # [p*rows, tw]
         # restack planes along lanes so the col pass shares dots too
         if p > 1:
             rs = jnp.concatenate(
                 [rs[i * rows:(i + 1) * rows] for i in range(p)], axis=1)
-        pre, suf = 0, max(rows_rs - rows, 0)
-        if fold_row is not None:
-            off_r = fold_row[0] - fold_row[1]
-            pre = tp_
-            suf = rows_rs + maxoff_r - tp_ - rows
-        parts = [rs]
-        if pre:
-            parts.insert(0, jnp.zeros((pre, p * tw), F32))
-        if suf:
-            parts.append(jnp.zeros((suf, p * tw), F32))
-        if len(parts) > 1:
-            rs = jnp.concatenate(parts, axis=0)
+        if fold_row is None and rows_rs > rows:
+            rs = jnp.concatenate(
+                [rs, jnp.zeros((rows_rs - rows, p * tw), F32)], axis=0)
         outs = []
         for i in range(nblk):
             if fold_row is None:
                 sl = rs[i * 128:i * 128 + kb * 128, :]
             else:
                 sl = jax.lax.dynamic_slice(
-                    rs, (off_r + i * 128, 0), (kb * 128, rs.shape[1]))
+                    rs, (sr0[i], 0), (kb * 128, rs.shape[1]))
             outs.append(dot_split(M[i], sl, lhs_split=False))
         out = jnp.concatenate(outs, axis=0)[:th] * scale  # [th, p*tw]
         if p == 1:
@@ -664,17 +652,6 @@ def _fill_margins(buf, radius: int, geo, h: int, wid: int):
     return buf
 
 
-def _zero_lane_margins(scr, lp, lanesA):
-    """Zero the LP-lane prefix and the tail of a padless window scratch
-    (both slots, once per kernel call): the fold bands' out-of-frame
-    hits must read exact zeros.  Disjoint from the DMA data region."""
-    scr[:, :, :, :lp] = jnp.zeros_like(scr[:, :, :, :lp])
-    tail = scr.shape[3] - lp - lanesA
-    if tail:
-        scr[:, :, :, lp + lanesA:] = jnp.zeros_like(
-            scr[:, :, :, lp + lanesA:])
-
-
 def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw,
                      clamp=None, tp=0, lp=0):
     """Start the async fetch of tile tt's haloed window.
@@ -696,9 +673,7 @@ def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw,
         hq, wq = clamp
         r0 = jnp.clip(i2 * th - tp, 0, hq - rowsA)
         l0 = jnp.clip(j2 * tw - lp, 0, wq - lanesA)
-        # padless scratch carries LP-lane zero margins (the fold bands'
-        # coordinate prefix); the data window lands at lane LP
-        dst = scr.at[sl, :, :, pl.ds(lp, lanesA)]
+        dst = scr.at[sl]
     return pltpu.make_async_copy(
         hbm.at[b2, :, pl.ds(r0, rowsA), pl.ds(l0, lanesA)],
         dst, sem.at[sl])
@@ -774,9 +749,6 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
 
     @pl.when(t == 0)
     def _():
-        if frame is not None:
-            _zero_lane_margins(iscr, lp, lanesA)
-            _zero_lane_margins(pscr, lp, lanesA)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -804,10 +776,9 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
         a_r = jnp.clip(t_r - tp, 0, hq - rowsA)
         a_l = jnp.clip(t_l - lp, 0, wq - lanesA)
         boxA = _mkbox_mxu(w, thA, twA, rowsA,
-                          fold_row=(t_r, a_r, h_, rowsA - th),
-                          fold_lane=(t_l, a_l, wid_, lanesA - tw))
-        # data sits at lane LP of the prefixed scratch
-        ir, il = t_r - a_r, lp + (t_l - a_l)    # (8, 128)-aligned
+                          fold_row=(t_r, a_r, h_, rowsA),
+                          fold_lane=(t_l, a_l, wid_, lanesA))
+        ir, il = t_r - a_r, t_l - a_l       # (8, 128)-aligned by constr.
     m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
     m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
     d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
@@ -860,8 +831,6 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
 
     @pl.when(t == 0)
     def _():
-        _zero_lane_margins(iscr, lp, lanesA)
-        _zero_lane_margins(pscr, lp, lanesA)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -882,9 +851,9 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
     a_r = jnp.clip(t_r - tp, 0, hq - rowsA)
     a_l = jnp.clip(t_l - lp, 0, wq - lanesA)
     boxA = _mkbox_mxu(w, thA, twA, rowsA,
-                      fold_row=(t_r, a_r, h_, rowsA - th),
-                      fold_lane=(t_l, a_l, wid_, lanesA - tw))
-    ir, il = t_r - a_r, lp + (t_l - a_l)
+                      fold_row=(t_r, a_r, h_, rowsA),
+                      fold_lane=(t_l, a_l, wid_, lanesA))
+    ir, il = t_r - a_r, t_l - a_l
     m0, m1, m2 = boxA.multi([I0, I1, I2])
     b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
@@ -958,9 +927,6 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
 
     @pl.when(t == 0)
     def _():
-        if frame is not None:
-            _zero_lane_margins(iscr, lp, lanesA)
-            _zero_lane_margins(pscr, lp, lanesA)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -992,9 +958,9 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
         a_r = jnp.clip(t_r - tp, 0, hq - rowsA)
         a_l = jnp.clip(t_l - lp, 0, wq - lanesA)
         boxA = _mkbox_mxu(w, thA, twA, rowsA,
-                          fold_row=(t_r, a_r, h_, rowsA - th),
-                          fold_lane=(t_l, a_l, wid_, lanesA - tw))
-        ir, il = t_r - a_r, lp + (t_l - a_l)
+                          fold_row=(t_r, a_r, h_, rowsA),
+                          fold_lane=(t_l, a_l, wid_, lanesA))
+        ir, il = t_r - a_r, t_l - a_l
     m0, m1, m2 = boxA.multi([I0, I1, I2])
     b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
@@ -1073,7 +1039,6 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
     """One kernel: guide stats (emitted in the haloed slot layout for
     later iterations) + the first a,b -> q application."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    lanesw = lanesA if frame is None else 2 * lanesA - tw
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
         functools.partial(_fused_gf_iter1_kernel, w=w, eps=float(eps),
@@ -1085,8 +1050,8 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY), qspec],
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesw), ipad.dtype),
-                        pltpu.VMEM((2, 1, rowsA, lanesw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
+                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
                         pltpu.VMEM((9, thA, twA), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
@@ -1099,7 +1064,6 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
     """PADLESS stats-free application: plain-layout q out, no stats
     operand or output."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    lanesw = 2 * lanesA - tw                 # LP prefix + maxoff suffix
     qshape, qspec, _ = _q_out(n, geo, None)
     return pl.pallas_call(
         functools.partial(_fused_gf_recompute_kernel, w=w,
@@ -1109,8 +1073,8 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=qspec,
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesw), ipad.dtype),
-                        pltpu.VMEM((2, 1, rowsA, lanesw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
+                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_VMEM_FUSED,
@@ -1120,7 +1084,6 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
 def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
                       frame=None):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    lanesw = lanesA if frame is None else 2 * lanesA - tw
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
         functools.partial(_fused_gf_kernel, w=w, geo=geo, frame=frame),
@@ -1132,8 +1095,8 @@ def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=qspec,
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesw), ipad.dtype),
-                        pltpu.VMEM((2, 1, rowsA, lanesw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
+                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))] + qscratch,
         compiler_params=_VMEM_FUSED,
