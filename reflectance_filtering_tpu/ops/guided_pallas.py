@@ -558,6 +558,35 @@ def _use_fused_mxu(h: int, radius: int, th) -> bool:
     return th is None and 8 <= radius <= 64 and h >= 256
 
 
+# Flip to True once the padless exact-divide tilings are measured on
+# chip (see /tmp/measure_4k_tilings.py protocol in the working notes):
+# auto-picks an exact-divide tiling so 4K/8K frames take the PADLESS
+# path by default.
+_AUTO_TILES = False
+
+
+def _pick_exact_tiles(h: int, wid: int, radius: int):
+    """First exact-divide (tile_rows, tile_lanes) whose clamped windows
+    fit the bare frame, in measured preference order; None if none.
+    Candidate order is seeded by the 4K sweep (2026-08-17)."""
+    for trs in (240, 256, 216, 232, 224, 208, 192, 144, 176, 160, 128):
+        if h % trs == 0:
+            break
+    else:
+        return None
+    for tls in (1024, 1280, 768, 896, 640, 1152, 512, 1408, 384, 256,
+                128):
+        if wid % tls == 0:
+            break
+    else:
+        return None
+    geo = _fused_geometry(h, wid, radius, trs, tls)
+    _, _, _, _, rowsA, lanesA, _, _ = geo
+    if h < rowsA or wid < lanesA:
+        return None
+    return trs, tls
+
+
 def _fused_geometry(h: int, wid: int, radius: int,
                     tile_rows: int = None, tile_lanes: int = None):
     """th, tw: output tile; thA, twA: stage-A (a,b field) region, covering
@@ -1128,6 +1157,10 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     c_src = src.shape[1]
     w = 2 * radius + 1
     if _use_fused_mxu(h, radius, th):
+        if _AUTO_TILES and tile_rows is None and tile_lanes is None:
+            auto = _pick_exact_tiles(h, wid, radius)
+            if auto is not None:
+                tile_rows, tile_lanes = auto
         geo = _fused_geometry(h, wid, radius, tile_rows, tile_lanes)
         th_, tw_, _, _, rowsA, lanesA, nh, nw = geo
         tp, lp, _, _ = _fused_offsets(radius)
