@@ -570,21 +570,17 @@ def _pick_exact_tiles(h: int, wid: int, radius: int):
     fit the bare frame, in measured preference order; None if none.
     Candidate order is seeded by the 4K sweep (2026-08-17)."""
     for trs in (240, 256, 216, 232, 224, 208, 192, 144, 176, 160, 128):
-        if h % trs == 0:
-            break
-    else:
-        return None
-    for tls in (1024, 1280, 768, 896, 640, 1152, 512, 1408, 384, 256,
-                128):
-        if wid % tls == 0:
-            break
-    else:
-        return None
-    geo = _fused_geometry(h, wid, radius, trs, tls)
-    _, _, _, _, rowsA, lanesA, _, _ = geo
-    if h < rowsA or wid < lanesA:
-        return None
-    return trs, tls
+        if h % trs:
+            continue
+        for tls in (1024, 1280, 768, 896, 640, 1152, 512, 1408, 384,
+                    256, 128):
+            if wid % tls:
+                continue
+            geo = _fused_geometry(h, wid, radius, trs, tls)
+            _, _, _, _, rowsA, lanesA, _, _ = geo
+            if h >= rowsA and wid >= lanesA:
+                return trs, tls
+    return None
 
 
 def _fused_geometry(h: int, wid: int, radius: int,

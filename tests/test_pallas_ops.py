@@ -315,6 +315,24 @@ def test_guided_fused_exact_divide_tiling(rng):
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-3)
 
 
+def test_pick_exact_tiles_standard_video():
+    """Every standard video size gets an exact-divide padless tiling
+    whose clamped windows fit the bare frame."""
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _fused_geometry, _pick_exact_tiles)
+    for h, wd in [(2160, 3840), (4320, 7680), (1080, 1920), (720, 1280),
+                  (1440, 2560)]:
+        got = _pick_exact_tiles(h, wd, 45)
+        assert got is not None, (h, wd)
+        trs, tls = got
+        geo = _fused_geometry(h, wd, 45, trs, tls)
+        th, tw, _, _, rowsA, lanesA, nh, nw = geo
+        assert nh * th == h and nw * tw == wd
+        assert h >= rowsA and wd >= lanesA
+    # an awkward frame with no divisor tiling falls back
+    assert _pick_exact_tiles(2162, 3842, 45) is None
+
+
 def test_fold_band_entries_match_bruteforce():
     """_fold_band entries == brute-force BORDER_REFLECT tap counts for
     every in-frame source row, across radii, block bases and clamped
