@@ -344,9 +344,18 @@ def test_fold_band_entries_match_bruteforce():
             t = -1 - t if t < 0 else 2 * n - 1 - t
         return t
 
-    for r, n, T, a, blk in [(8, 272, 0, 0, 0), (8, 272, 136, 0, 128),
-                            (45, 512, 256, 32, 256), (45, 512, 0, 0, 0),
-                            (63, 640, 384, 160, 0), (4, 256, 0, 0, 0)]:
+    cases = [(8, 272, 0, 0, 0), (8, 272, 136, 0, 128),
+             (45, 512, 256, 32, 256), (45, 512, 0, 0, 0),
+             (63, 640, 384, 160, 0), (4, 256, 0, 0, 0)]
+    prng = np.random.RandomState(11)
+    for _ in range(40):  # randomized sweep over plausible geometries
+        r = int(prng.choice([4, 8, 21, 33, 45, 52, 63]))
+        n = 8 * int(prng.randint(40, 400))
+        T = 8 * int(prng.randint(0, max(1, n // 8 - 16)))
+        a = 8 * int(prng.randint(0, max(1, (T + 64) // 8)))
+        blk = 128 * int(prng.randint(0, 3))
+        cases.append((r, n, T, a, blk))
+    for r, n, T, a, blk in cases:
         r2 = 2 * r
         kb = 1 + -(-r2 // 128)
         tp = r2 + (-r2) % 8
