@@ -103,8 +103,12 @@ def _fold_band(r: int, kb: int, g: int, transpose: bool, xb, pb,
     c = jax.lax.broadcasted_iota(jnp.int32, shape, cax)
     x = xb + k                            # frame index held by this row
     P = pb + c                            # output field position
-    main = (x >= P - r) & (x <= P + r) & (x <= nax - 1)
-    top = x + P <= r - 1                  # t in [P-r, -1] -> -1-t == x
+    # every term requires 0 <= x < nax: under the canonical scratch
+    # layout, out-of-frame positions hold STALE (finite) data, not
+    # zeros — they must get weight 0 (their taps are counted on the
+    # mirrored in-frame sources)
+    main = (x >= P - r) & (x <= P + r) & (x <= nax - 1) & (x >= 0)
+    top = (x + P <= r - 1) & (x >= 0)     # t in [P-r, -1] -> -1-t == x
     bot = ((x >= 2 * nax - 1 - P - r) & (x <= nax - 1) & (x >= 0)
            & (x <= 2 * nax - 1 - (P - r)))   # t in [max(nax, P-r), P+r]
     return (main.astype(F32) + top.astype(F32)
@@ -133,12 +137,12 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     row_off/lane_off shift the band start when the input window begins
     above/left of the [-2r, ...) origin (aligned-halo layouts).
 
-    fold_row/fold_lane = (T, a, n, extent) select the PADLESS
-    reflect-fold bands instead (see _fold_band): T = tile origin and
-    a = clamped window start on that axis (traced scalars), n = frame
-    extent, extent = the window's size on that axis (rows / lanes).
-    Fold bands are absolute-position-dependent, so they are built per
-    block, each with its K slice clamped into the real window.
+    fold_row/fold_lane = (T, n, ext) select the PADLESS reflect-fold
+    bands instead (see _fold_band): T = tile origin (traced), n = frame
+    extent, ext = the canonical-scratch extension on that axis
+    (_padless_ext).  Fold bands are absolute-position-dependent, so
+    they are built per block; slices stay static at ext-shifted block
+    positions.
     """
     r2 = w - 1
     r = r2 // 2
@@ -150,31 +154,26 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     # the tile's (8, 128)-aligned pads of the aligned-halo layout; in
     # fold mode they also size the zero prefixes
     tp_, lp_ = r2 + (-r2) % 8, r2 + (-r2) % 128
-    # Fold mode: every out-of-frame band hit is weightless by
-    # construction (the mirrored tap is counted on its real source row),
-    # so each block's K slice CLAMPS into the real window and the fold
-    # band's x-base tracks the actual (traced) slice start — no zero
-    # margins or padded operands anywhere.  Coverage: the needed source
-    # span for a block is < kw (resp. kb*128) wide and always falls
-    # inside the clamped slice (lp_ >= 2r and kw - lp_ = g*128).
+    # Fold mode: operands arrive in the CANONICAL extended layout
+    # (scratch index m <-> frame x = T - pad - ext + m, see
+    # _padless_ext), so every slice below is STATIC at the ext-shifted
+    # block position and only the band ENTRIES are traced.  Out-of-frame
+    # band hits get weight 0 (x cuts in _fold_band): the canonical
+    # margins hold stale-but-finite data.
     if fold_lane is None:
         S = [_band_mat(r2, kb, g, transpose=False, off=lane_off)] * (
             tw // (g * 128))                    # rows pass (lanes axis)
     else:
-        Tl, al, nl, lanes_in = fold_lane
-        sl0 = [jnp.clip(Tl - al - lp_ + j * g * 128, 0, lanes_in - kw)
-               for j in range(tw // (g * 128))]
-        S = [_fold_band(r, kb, g, False, al + sl0[j],
+        Tl, nl, ext_l = fold_lane
+        S = [_fold_band(r, kb, g, False, Tl - lp_ + j * g * 128,
                         Tl - r + j * g * 128, nl)
              for j in range(tw // (g * 128))]
     if fold_row is None:
         M = [_band_mat(r2, kb, 1, transpose=True,
                        off=row_off)] * nblk     # cols pass (sublanes)
     else:
-        Tr, ar, nr, rows_in = fold_row
-        sr0 = [jnp.clip(Tr - ar - tp_ + i * 128, 0, rows_in - kb * 128)
-               for i in range(nblk)]
-        M = [_fold_band(r, kb, 1, True, ar + sr0[i],
+        Tr, nr, ext_r = fold_row
+        M = [_fold_band(r, kb, 1, True, Tr - tp_ + i * 128,
                         Tr - r + i * 128, nr)
              for i in range(nblk)]
     scale = 1.0 / (w * w)
@@ -192,29 +191,24 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     def box_multi(planes):
         p = len(planes)
         x = planes[0] if p == 1 else jnp.concatenate(planes, axis=0)
+        rbase = 0 if fold_row is None else ext_r
+        lbase = 0 if fold_lane is None else ext_l
         blocks = []
         for j in range(tw // (g * 128)):
-            if fold_lane is None:
-                sl = x[:, j * g * 128:j * g * 128 + kw]
-            else:
-                sl = jax.lax.dynamic_slice(
-                    x, (0, sl0[j]), (x.shape[0], kw))
+            sl = x[:, lbase + j * g * 128:lbase + j * g * 128 + kw]
             blocks.append(dot_split(sl, S[j], lhs_split=True))
         rs = jnp.concatenate(blocks, axis=1)        # [p*rows, tw]
         # restack planes along lanes so the col pass shares dots too
         if p > 1:
             rs = jnp.concatenate(
                 [rs[i * rows:(i + 1) * rows] for i in range(p)], axis=1)
-        if fold_row is None and rows_rs > rows:
+        if rbase + rows_rs > rows:
             rs = jnp.concatenate(
-                [rs, jnp.zeros((rows_rs - rows, p * tw), F32)], axis=0)
+                [rs, jnp.zeros((rbase + rows_rs - rows, p * tw), F32)],
+                axis=0)
         outs = []
         for i in range(nblk):
-            if fold_row is None:
-                sl = rs[i * 128:i * 128 + kb * 128, :]
-            else:
-                sl = jax.lax.dynamic_slice(
-                    rs, (sr0[i], 0), (kb * 128, rs.shape[1]))
+            sl = rs[rbase + i * 128:rbase + i * 128 + kb * 128, :]
             outs.append(dot_split(M[i], sl, lhs_split=False))
         out = jnp.concatenate(outs, axis=0)[:th] * scale  # [th, p*tw]
         if p == 1:
@@ -623,6 +617,29 @@ def _fused_offsets(radius: int):
     return r2 + row_off, r2 + lane_off, row_off, lane_off
 
 
+def _padless_ext(geo, radius: int):
+    """Canonical-scratch extents for the PADLESS path.
+
+    The window DMA lands at a traced destination offset inside an
+    EXTENDED scratch so that scratch row m always maps to frame row
+    (T - TP - EXT) + m regardless of the clamp — every in-kernel slice
+    is then static and only the fold-band ENTRIES are traced (Pallas TPU
+    has no dynamic_slice lowering for values).  ext_r/ext_l absorb the
+    worst clamp shift (bottom/right tiles pinned to frame end); the
+    scratch also covers the static col/row pass slice reach."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    tp, lp, _, _ = _fused_offsets(radius)
+    r2 = 2 * radius
+    kb = 1 + -(-r2 // 128)
+    nblk = -(-thA // 128)
+    rows_rs = (nblk - 1) * 128 + kb * 128
+    ext_r = -(-(thA - th) // 8) * 8
+    ext_l = -(-(twA - tw) // 128) * 128
+    rows_scr = ext_r + max(rowsA + tp, rows_rs)
+    lanes_scr = ext_l + lp + lanesA
+    return ext_r, ext_l, rows_scr, lanes_scr
+
+
 def _pad_fused(x, radius: int, geo, h: int, wid: int):
     """Reflect-pad by TP/LP >= 2r (see _fused_offsets), extended so every
     tile DMA window exists (the over-reflected tail is only read into
@@ -695,10 +712,15 @@ def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw,
         r0, l0 = i2 * th, j2 * tw
         dst = scr.at[sl]
     else:
-        hq, wq = clamp
+        hq, wq, ext_r, ext_l = clamp
         r0 = jnp.clip(i2 * th - tp, 0, hq - rowsA)
         l0 = jnp.clip(j2 * tw - lp, 0, wq - lanesA)
-        dst = scr.at[sl]
+        # canonical landing spot: scratch row m <-> frame row
+        # (T - TP - EXT) + m, so the data block starts at the traced
+        # (8, 128)-aligned offset below
+        dr = r0 - i2 * th + tp + ext_r
+        dl = l0 - j2 * tw + lp + ext_l
+        dst = scr.at[sl, :, pl.ds(dr, rowsA), pl.ds(dl, lanesA)]
     return pltpu.make_async_copy(
         hbm.at[b2, :, pl.ds(r0, rowsA), pl.ds(l0, lanesA)],
         dst, sem.at[sl])
@@ -762,7 +784,12 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     t = (b * nh + i) * nw + j
     slot = jax.lax.rem(t, 2)
     tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
-    clamp = None if frame is None else frame[2:]
+    if frame is None:
+        clamp = None
+    else:
+        ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(
+            geo, (w - 1) // 2)
+        clamp = frame[2:] + (ext_r, ext_l)
 
     def fetch(tt, isl):
         return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
@@ -774,6 +801,11 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
 
     @pl.when(t == 0)
     def _():
+        if frame is not None:
+            # fold-band zero-weight positions must hold FINITE data:
+            # junk now, stale window data thereafter
+            iscr[...] = jnp.zeros(iscr.shape, iscr.dtype)
+            pscr[...] = jnp.zeros(pscr.shape, pscr.dtype)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -798,12 +830,10 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     else:
         h_, wid_, hq, wq = frame
         t_r, t_l = i * th, j * tw
-        a_r = jnp.clip(t_r - tp, 0, hq - rowsA)
-        a_l = jnp.clip(t_l - lp, 0, wq - lanesA)
-        boxA = _mkbox_mxu(w, thA, twA, rowsA,
-                          fold_row=(t_r, a_r, h_, rowsA),
-                          fold_lane=(t_l, a_l, wid_, lanesA))
-        ir, il = t_r - a_r, t_l - a_l       # (8, 128)-aligned by constr.
+        boxA = _mkbox_mxu(w, thA, twA, rows_scr,
+                          fold_row=(t_r, h_, ext_r),
+                          fold_lane=(t_l, wid_, ext_l))
+        ir, il = tp + ext_r, lp + ext_l     # canonical: static
     m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
     m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
     d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
@@ -819,7 +849,7 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
 
     def interior(v):
-        return jax.lax.dynamic_slice(v, (ir, il), (th, tw))
+        return v[ir:ir + th, il:il + tw]
 
     val = (ma0 * interior(I0) + ma1 * interior(I1) +
            ma2 * interior(I2) + mb)
@@ -844,7 +874,8 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
     t = (b * nh + i) * nw + j
     slot = jax.lax.rem(t, 2)
     tp, lp, _, _ = _fused_offsets((w - 1) // 2)
-    clamp = frame[2:]
+    ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(geo, (w - 1) // 2)
+    clamp = frame[2:] + (ext_r, ext_l)
 
     def fetch(tt, isl):
         return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
@@ -856,6 +887,8 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
 
     @pl.when(t == 0)
     def _():
+        iscr[...] = jnp.zeros(iscr.shape, iscr.dtype)
+        pscr[...] = jnp.zeros(pscr.shape, pscr.dtype)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -873,12 +906,10 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
     p = pscr[slot, 0]
     h_, wid_, hq, wq = frame
     t_r, t_l = i * th, j * tw
-    a_r = jnp.clip(t_r - tp, 0, hq - rowsA)
-    a_l = jnp.clip(t_l - lp, 0, wq - lanesA)
-    boxA = _mkbox_mxu(w, thA, twA, rowsA,
-                      fold_row=(t_r, a_r, h_, rowsA),
-                      fold_lane=(t_l, a_l, wid_, lanesA))
-    ir, il = t_r - a_r, t_l - a_l
+    boxA = _mkbox_mxu(w, thA, twA, rows_scr,
+                      fold_row=(t_r, h_, ext_r),
+                      fold_lane=(t_l, wid_, ext_l))
+    ir, il = tp + ext_r, lp + ext_l
     m0, m1, m2 = boxA.multi([I0, I1, I2])
     b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
@@ -909,7 +940,7 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
 
     def interior(v):
-        return jax.lax.dynamic_slice(v, (ir, il), (th, tw))
+        return v[ir:ir + th, il:il + tw]
 
     out_q[0, 0] = (ma0 * interior(I0) + ma1 * interior(I1) +
                    ma2 * interior(I2) + mb)
@@ -930,7 +961,12 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     t = (b * nh + i) * nw + j
     slot = jax.lax.rem(t, 2)
     tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
-    clamp = None if frame is None else frame[2:]
+    if frame is None:
+        clamp = None
+    else:
+        ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(
+            geo, (w - 1) // 2)
+        clamp = frame[2:] + (ext_r, ext_l)
 
     def st_copy(tt):
         b2 = tt // (nh * nw)
@@ -952,6 +988,9 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
 
     @pl.when(t == 0)
     def _():
+        if frame is not None:
+            iscr[...] = jnp.zeros(iscr.shape, iscr.dtype)
+            pscr[...] = jnp.zeros(pscr.shape, pscr.dtype)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -980,12 +1019,10 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     else:
         h_, wid_, hq, wq = frame
         t_r, t_l = i * th, j * tw
-        a_r = jnp.clip(t_r - tp, 0, hq - rowsA)
-        a_l = jnp.clip(t_l - lp, 0, wq - lanesA)
-        boxA = _mkbox_mxu(w, thA, twA, rowsA,
-                          fold_row=(t_r, a_r, h_, rowsA),
-                          fold_lane=(t_l, a_l, wid_, lanesA))
-        ir, il = t_r - a_r, t_l - a_l
+        boxA = _mkbox_mxu(w, thA, twA, rows_scr,
+                          fold_row=(t_r, h_, ext_r),
+                          fold_lane=(t_l, wid_, ext_l))
+        ir, il = tp + ext_r, lp + ext_l
     m0, m1, m2 = boxA.multi([I0, I1, I2])
     b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
@@ -1022,7 +1059,7 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
 
     def interior(v):
-        return jax.lax.dynamic_slice(v, (ir, il), (th, tw))
+        return v[ir:ir + th, il:il + tw]
 
     val = (ma0 * interior(I0) + ma1 * interior(I1) +
            ma2 * interior(I2) + mb)
@@ -1064,6 +1101,9 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
     """One kernel: guide stats (emitted in the haloed slot layout for
     later iterations) + the first a,b -> q application."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    rs_, ls_ = rowsA, lanesA
+    if frame is not None:
+        _, _, rs_, ls_ = _padless_ext(geo, (w - 1) // 2)
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
         functools.partial(_fused_gf_iter1_kernel, w=w, eps=float(eps),
@@ -1075,8 +1115,8 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY), qspec],
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
-                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rs_, ls_), ipad.dtype),
+                        pltpu.VMEM((2, 1, rs_, ls_), jnp.float32),
                         pltpu.VMEM((9, thA, twA), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
@@ -1089,6 +1129,7 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
     """PADLESS stats-free application: plain-layout q out, no stats
     operand or output."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    _, _, rows_scr, lanes_scr = _padless_ext(geo, (w - 1) // 2)
     qshape, qspec, _ = _q_out(n, geo, None)
     return pl.pallas_call(
         functools.partial(_fused_gf_recompute_kernel, w=w,
@@ -1098,8 +1139,10 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=qspec,
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
-                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rows_scr, lanes_scr),
+                                   ipad.dtype),
+                        pltpu.VMEM((2, 1, rows_scr, lanes_scr),
+                                   jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_VMEM_FUSED,
@@ -1109,6 +1152,9 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
 def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
                       frame=None):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    rs_, ls_ = rowsA, lanesA
+    if frame is not None:
+        _, _, rs_, ls_ = _padless_ext(geo, (w - 1) // 2)
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
     return pl.pallas_call(
         functools.partial(_fused_gf_kernel, w=w, geo=geo, frame=frame),
@@ -1120,8 +1166,8 @@ def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=qspec,
-        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
-                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rs_, ls_), ipad.dtype),
+                        pltpu.VMEM((2, 1, rs_, ls_), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))] + qscratch,
         compiler_params=_VMEM_FUSED,

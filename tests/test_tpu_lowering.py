@@ -1,0 +1,78 @@
+"""AOT-lower the Pallas kernels for platform 'tpu' WITHOUT a TPU.
+
+Mosaic kernel verification happens at lowering, so this catches
+unsupported primitives (e.g. dynamic_slice on values, unlowerable
+broadcasts, misaligned slices) that interpret-mode tests CANNOT see —
+exactly the failure class that would otherwise surface only on the
+real chip at benchmark time.  (Found in round 3: a dynamic_slice crept
+into the fused-GF interior read and lowered nowhere.)
+
+Uses jax AOT: jit(f).trace(args).lower(lowering_platforms=('tpu',)).
+Small geometries keep this fast; they exercise the same kernel code
+paths as the production sizes.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reflectance_filtering_tpu.models.caffe_io import load_reference_weights
+from reflectance_filtering_tpu.models.networks import (
+    reference_params_from_caffe)
+
+
+def _lower(fn, *args):
+    jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+def test_cnn_inference_kernel_lowers():
+    from reflectance_filtering_tpu.ops.cnn_pallas import (
+        pack_weights, reflectance_cnn_pallas)
+    params = reference_params_from_caffe(load_reference_weights())
+    packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    _lower(lambda v: reflectance_cnn_pallas(packed, v, srgb_input=True,
+                                            tile=4096), x)
+    _lower(lambda v: reflectance_cnn_pallas(packed, v, precise=True,
+                                            tile=4096), x)
+
+
+@pytest.mark.parametrize("input_grad", [True, False])
+def test_training_trunk_grad_lowers(input_grad):
+    from reflectance_filtering_tpu.ops.cnn_train_pallas import (
+        skip_trunk_pre)
+    params = reference_params_from_caffe(load_reference_weights())
+    im = jnp.zeros((2, 64, 64, 3), jnp.float32)
+
+    def loss(pp, v):
+        return jnp.sum(skip_trunk_pre(pp, v, num_layers=5, tile=4096,
+                                      input_grad=input_grad))
+
+    _lower(lambda pp, v: jax.grad(loss)(pp, v), params, im)
+
+
+def test_fused_gf_kernels_lower():
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        guided_filter_fused_iterated)
+    g = jnp.zeros((1, 3, 272, 512), jnp.float32)
+    s = jnp.zeros((1, 1, 272, 512), jnp.float32)
+    # padless exact-divide (slots: iter1+apply; recompute), u8 bf16 guide
+    _lower(lambda a, b: guided_filter_fused_iterated(
+        a, b, 8, 9.0, 2, guide_u8=True, tile_rows=136, tile_lanes=128),
+        g, s)
+    _lower(lambda a, b: guided_filter_fused_iterated(
+        a, b, 8, 9.0, 2, tile_rows=136, tile_lanes=128,
+        stats_mode="recompute"), g, s)
+    # default (padded aligned-halo) path
+    g2 = jnp.zeros((1, 3, 300, 1100), jnp.float32)
+    s2 = jnp.zeros((1, 1, 300, 1100), jnp.float32)
+    _lower(lambda a, b: guided_filter_fused_iterated(a, b, 8, 9.0, 2),
+           g2, s2)
+
+
+def test_bilateral_kernels_lower():
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        bilateral_gray_self_batched)
+    x = jnp.zeros((2, 96, 128), jnp.float32)
+    _lower(lambda v: bilateral_gray_self_batched(v, -1, 20.0, 22.0), x)
