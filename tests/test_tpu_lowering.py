@@ -73,6 +73,34 @@ def test_fused_gf_kernels_lower():
 
 def test_bilateral_kernels_lower():
     from reflectance_filtering_tpu.ops.bilateral_pallas import (
-        bilateral_gray_self_batched)
+        bilateral_color_self_batched, bilateral_gray_self_batched,
+        bilateral_packed_joint_batched)
     x = jnp.zeros((2, 96, 128), jnp.float32)
     _lower(lambda v: bilateral_gray_self_batched(v, -1, 20.0, 22.0), x)
+    # packed (lanes3) variants: batch 3 dispatches them
+    x3 = jnp.zeros((3, 96, 128), jnp.float32)
+    _lower(lambda v: bilateral_gray_self_batched(v, -1, 20.0, 22.0), x3)
+    c = jnp.zeros((2, 3, 96, 128), jnp.float32)
+    _lower(lambda v: bilateral_color_self_batched(v, -1, 20.0, 22.0), c)
+    s1 = jnp.zeros((2, 1, 96, 128), jnp.float32)
+    _lower(lambda j, v: bilateral_packed_joint_batched(j, v, -1, 20.0,
+                                                       22.0), c, s1)
+
+
+def test_whole_plane_guided_and_grid_lower():
+    from reflectance_filtering_tpu.ops.guided_mxu import guided_filter_mxu
+    from reflectance_filtering_tpu.ops.bilateral_grid import (
+        bilateral_grid_gray)
+    g = jnp.zeros((2, 3, 64, 128), jnp.float32)
+    s = jnp.zeros((2, 1, 64, 128), jnp.float32)
+    _lower(lambda a, b: guided_filter_mxu(a, b, 8, 9.0), g, s)
+    gj = jnp.zeros((2, 64, 128), jnp.float32)
+    _lower(lambda a, b: bilateral_grid_gray(a, b, 20.0 / 3.0, 22.0,
+                                            ss=8, sr=6), gj, s)
+
+
+def test_whdr_gather_lowers():
+    from reflectance_filtering_tpu.losses.whdr import whdr_batch
+    img = jnp.zeros((2, 64, 64, 1), jnp.float32)
+    comps = jnp.zeros((2, 21, 6), jnp.float32)
+    _lower(lambda a, b: whdr_batch(a, b), img, comps)
