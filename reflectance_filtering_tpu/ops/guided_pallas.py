@@ -566,7 +566,9 @@ def _pick_exact_tiles(h: int, wid: int, radius: int):
     for trs in (240, 256, 216, 232, 224, 208, 192, 144, 176, 160, 128):
         if h % trs:
             continue
-        for tls in (1024, 1280, 768, 896, 640, 1152, 512, 1408, 384,
+        # 768 before 1280: the 1280 padless windows + stats slots sit
+        # near the VMEM ceiling (estimate ~110 of 116 MB in slots mode)
+        for tls in (1024, 768, 896, 640, 1280, 1152, 512, 1408, 384,
                     256, 128):
             if wid % tls:
                 continue
