@@ -18,6 +18,7 @@ Timing discipline: arrays are device-resident, the work loops run inside
 one jitted fori_loop, and completion is forced by a host readback (the
 axon tunnel's block_until_ready is not a reliable fence).
 """
+import contextlib
 import json
 import os
 import sys
@@ -133,6 +134,34 @@ def run_gate():
     exp_bf = cv2.bilateralFilter(rep3, -1, 20.0, 22.0)
     diffs["bf_gray_self_cv2"] = int(
         np.abs(got_bf.astype(np.int32) - exp_bf.astype(np.int32)).max())
+
+    # PADLESS band-tiled guided filter (the 4K/8K chain path) vs the
+    # fixture-anchored whole-plane dispatch on the same input — the
+    # committed fixtures can't cover every tiling, so gate the padless
+    # kernels (canonical scratch + fold bands, both stats modes) by
+    # consistency with the already-gated path, on-chip
+    from reflectance_filtering_tpu.ops.guided import guided_filter_planar
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        guided_filter_fused_iterated)
+    rngp = np.random.RandomState(3)
+    gp_ = jnp.asarray(np.floor(rngp.rand(1, 3, 512, 512) * 256)
+                      .astype(np.float32))
+    sp_ = jnp.asarray(np.floor(rngp.rand(1, 1, 512, 512) * 256)
+                      .astype(np.float32))
+    if jax.default_backend() == "tpu":
+        ctx = contextlib.nullcontext()
+    else:  # CPU fallback drive (verify skill): interpret the kernels
+        from jax.experimental.pallas import tpu as pltpu
+        ctx = pltpu.force_tpu_interpret_mode()
+    with ctx:
+        anchor = np.floor(np.asarray(
+            guided_filter_planar(gp_, sp_, 45, 3.0)))
+        for mode in ("slots", "recompute"):
+            got_p = np.floor(np.asarray(guided_filter_fused_iterated(
+                gp_, sp_, 45, 3.0, 1, guide_u8=True, tile_rows=256,
+                tile_lanes=256, stats_mode=mode)))
+            diffs["gf_padless_" + mode] = int(
+                np.abs(got_p - anchor).max())
 
     # CNN -r.png byte path vs f64 numpy forward off the caffemodel blobs
     from reflectance_filtering_tpu.cli.decompose import ReflectanceCNN
