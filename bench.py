@@ -148,20 +148,31 @@ def run_gate():
                       .astype(np.float32))
     sp_ = jnp.asarray(np.floor(rngp.rand(1, 1, 512, 512) * 256)
                       .astype(np.float32))
+    from reflectance_filtering_tpu.ops import guided_pallas as _gp
     if jax.default_backend() == "tpu":
         ctx = contextlib.nullcontext()
     else:  # CPU fallback drive (verify skill): interpret the kernels
         from jax.experimental.pallas import tpu as pltpu
         ctx = pltpu.force_tpu_interpret_mode()
-    with ctx:
-        anchor = np.floor(np.asarray(
-            guided_filter_planar(gp_, sp_, 45, 3.0)))
-        for mode in ("slots", "recompute"):
-            got_p = np.floor(np.asarray(guided_filter_fused_iterated(
-                gp_, sp_, 45, 3.0, 1, guide_u8=True, tile_rows=256,
-                tile_lanes=256, stats_mode=mode)))
-            diffs["gf_padless_" + mode] = int(
-                np.abs(got_p - anchor).max())
+    padless = {}
+    try:
+        with ctx:
+            anchor = np.floor(np.asarray(
+                guided_filter_planar(gp_, sp_, 45, 3.0)))
+            for mode in ("slots", "recompute"):
+                got_p = np.floor(np.asarray(
+                    guided_filter_fused_iterated(
+                        gp_, sp_, 45, 3.0, 1, guide_u8=True,
+                        tile_rows=256, tile_lanes=256,
+                        stats_mode=mode)))
+                padless["gf_padless_" + mode] = int(
+                    np.abs(got_p - anchor).max())
+    except Exception as err:  # noqa: BLE001
+        padless["gf_padless_error"] = repr(err)[:200]
+    if _gp._AUTO_TILES:
+        # padless IS the product 4K/8K path: its parity gates the bit
+        diffs.update({k: (v if isinstance(v, int) else 99)
+                      for k, v in padless.items()})
 
     # CNN -r.png byte path vs f64 numpy forward off the caffemodel blobs
     from reflectance_filtering_tpu.cli.decompose import ReflectanceCNN
@@ -187,6 +198,9 @@ def run_gate():
     diffs["cnn_r_png"] = int(np.abs(got_r - exp_r).max())
 
     ok = all(d <= 1 for d in diffs.values())
+    if not _gp._AUTO_TILES:
+        # experimental-path results reported but not gating
+        diffs.update(padless)
     return ok, diffs
 
 
