@@ -398,6 +398,42 @@ def main(profile_dir=None):
 
     t_4k = _contained("gf_3x_4k", _time_4k)
 
+    # PADLESS exact-divide chain (canonical-scratch fold-band kernels),
+    # reported ALONGSIDE the product dispatch until the on-chip sweep
+    # picks the default (CLAUDE.md playbook): 240x768 tiles a 4K frame
+    # with zero XLA glue and zero over-tail waste
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        guided_filter_fused_iterated)
+
+    def _time_4k_padless(mode):
+        @jax.jit
+        def chain_p(g, s, n):
+            def body(i, carry):
+                g, acc = carry
+                g = g.at[0, 0, 0, 0].mul(1.0 + 1e-12 * acc)
+                out = guided_filter_fused_iterated(
+                    g, s, 45, 3.0, 3, guide_u8=True, tile_rows=240,
+                    tile_lanes=768, stats_mode=mode)
+                return g, acc + out[0, 0, 0, 0] * 1e-9
+            return jax.lax.fori_loop(0, n, body,
+                                     (g, jnp.float32(0.0)))[1]
+
+        def run():
+            float(chain_p(g4k, s4k, reps))  # compile+warm
+            t0 = time.time()
+            float(chain_p(g4k, s4k, reps))
+            t_lo = time.time() - t0
+            t0 = time.time()
+            float(chain_p(g4k, s4k, 3 * reps))
+            return (time.time() - t0 - t_lo) / (2 * reps)
+
+        return run
+
+    t_4kp = _contained("gf_3x_4k_padless",
+                       _time_4k_padless("slots"))
+    t_4kr = _contained("gf_3x_4k_padless_recompute",
+                       _time_4k_padless("recompute"))
+
     # training: one fused fwd+autodiff-bwd+adam step, reference batch 20
     from reflectance_filtering_tpu.models.networks import (
         NetworkConfig, init_network)
@@ -467,6 +503,8 @@ def main(profile_dir=None):
         "bf_grid_fast_mps": _r(gridf_mps),
         "bf_grid_quality_mps": _r(gridq_mps),
         "gf_3x_4k_mps": _r(h4k * w4k / t_4k / 1e6),
+        "gf_3x_4k_padless_mps": _r(h4k * w4k / t_4kp / 1e6),
+        "gf_3x_4k_padless_recompute_mps": _r(h4k * w4k / t_4kr / 1e6),
         "train_imgs_per_s": _r(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],
         "whdr_comparisons_per_image": K_COMPS,
