@@ -382,7 +382,8 @@ def test_guided_fused_padless_fold_bands(rng):
     from reflectance_filtering_tpu.ops.guided_pallas import (
         _use_fused_mxu, guided_filter_fused_iterated)
     for h, wd, r, trs, tls in [(272, 512, 8, 136, 128),
-                               (512, 512, 45, 256, 256)]:
+                               (512, 512, 45, 256, 256),
+                               (512, 512, 52, 256, 256)]:
         assert _use_fused_mxu(h, r, None)
         I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
                         .astype(np.float32))
