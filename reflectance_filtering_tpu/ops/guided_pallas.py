@@ -88,14 +88,14 @@ def _fold_band(r: int, kb: int, g: int, transpose: bool, xb, pb,
     frame index x = xb + k, where the output field position is
     P = pb + c (xb, pb: traced per-tile/per-block scalar bases).
     Entries are 0/1/2 (exact bf16): 2 where a tap and its mirror land on
-    the same source.  Out-of-frame x (negative under a clamped window,
-    or >= nax) only ever addresses the zero prefix/suffix the caller
-    stacks around the window data, so spurious `main` hits there
-    contribute exact zeros while the fold terms count the mirrored
-    source; columns therefore still sum to w against real data and the
-    1/w^2 mean normalization is unchanged.  Replaces materialized
-    reflect margins: the box-at-mirrored-position identity keeps halo
-    a,b values exact."""
+    the same source.  Every term carries 0 <= x < nax cuts, so
+    out-of-frame positions (which under the canonical scratch layout
+    hold stale-but-finite data, see _padless_ext) get weight 0 while
+    the fold terms count their taps on the mirrored in-frame sources;
+    columns therefore sum to w against real data and the 1/w^2 mean
+    normalization is unchanged.  Replaces materialized reflect margins:
+    the box-at-mirrored-position identity keeps halo a,b values
+    exact."""
     kk, cc = (g + kb - 1) * 128, g * 128
     shape = (cc, kk) if transpose else (kk, cc)
     kax, cax = (1, 0) if transpose else (0, 1)
