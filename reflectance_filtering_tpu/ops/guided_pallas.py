@@ -770,7 +770,7 @@ def _emit_q(out_q, qscr, qsem, t, nsteps, val, geo, tp, lp):
 
 def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
                      isem, psem, qscr=None, qsem=None, *, w: int, geo,
-                     frame=None):
+                     frame=None, cached_d: bool = False):
     """One guided-filter application: a,b on the [-r, th+r) halo region,
     then mean_a, mean_b boxed down to the [th, tw] output tile.  The
     final q = mean_a . I + mean_b reads the interior guide straight out
@@ -779,7 +779,13 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     qscr/qsem present, out_q is the PADDED layout and q is emitted by
     manual DMA (see _q_copy).  frame=(h, wid, Hq, Wq) selects the
     PADLESS mode: windows are clamped into the unpadded (Hq, Wq)
-    buffers and the boxes use reflect-fold bands (_fold_band)."""
+    buffers and the boxes use reflect-fold bands (_fold_band).
+
+    cached_d: st_ref carries only the 6 cofactor*inv_det planes and the
+    3 guide means are recomputed here from the guide window already in
+    VMEM — -33% stats HBM traffic for +3 of the tile's plane-boxes.
+    The recomputed means use the same boxA grouping iter1 used, so the
+    result is BITWISE identical to slots mode."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(0) * nh * nw
@@ -837,9 +843,15 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
                           fold_lane=(t_l, wid_, ext_l))
         ir, il = tp + ext_r, lp + ext_l     # canonical: static
     m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
-    m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
-    d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
-    d11, d12, d22 = st_ref[0, 6], st_ref[0, 7], st_ref[0, 8]
+    if cached_d:
+        # same boxA.multi grouping as iter1's means -> bitwise equal
+        m0, m1, m2 = boxA.multi([I0, I1, I2])
+        d00, d01, d02 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
+        d11, d12, d22 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
+    else:
+        m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
+        d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
+        d11, d12, d22 = st_ref[0, 6], st_ref[0, 7], st_ref[0, 8]
     cov0 = bip0 - m0 * m_p
     cov1 = bip1 - m1 * m_p
     cov2 = bip2 - m2 * m_p
@@ -951,12 +963,15 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
 def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
                            iscr, pscr, stscr, isem, psem, stsem,
                            qscr=None, qsem=None,
-                           *, w: int, eps: float, geo, frame=None):
+                           *, w: int, eps: float, geo, frame=None,
+                           cached_d: bool = False):
     """First GF iteration: guide stats computed in-kernel (into the
     per-tile haloed slot layout), DMA'd out for later iterations, and
     used immediately for a,b -> q — one kernel instead of stats+apply.
     The stats scratch doubles as the m/d working planes, and its HBM
-    write drains while the apply-phase dots run."""
+    write drains while the apply-phase dots run.  cached_d: only the 6
+    d-planes ship to HBM (the scratch keeps all 9 locally — zero
+    kernel-logic change); later iterations recompute the means."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(0) * nh * nw
@@ -975,8 +990,9 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
         rr = tt % (nh * nw)
         i2 = rr // nw
         j2 = rr % nw
+        src = stscr.at[pl.ds(3, 6)] if cached_d else stscr
         return pltpu.make_async_copy(
-            stscr,
+            src,
             st_hbm.at[b2, :, pl.ds(i2 * thA, thA), pl.ds(j2 * twA, twA)],
             stsem)
 
@@ -1099,7 +1115,7 @@ def _q_out(n, geo, padded_shape):
 
 
 def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
-                      frame=None):
+                      frame=None, cached_d=False):
     """One kernel: guide stats (emitted in the haloed slot layout for
     later iterations) + the first a,b -> q application."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
@@ -1107,10 +1123,11 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
     if frame is not None:
         _, _, rs_, ls_ = _padless_ext(geo, (w - 1) // 2)
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
+    nst = 6 if cached_d else 9
     return pl.pallas_call(
         functools.partial(_fused_gf_iter1_kernel, w=w, eps=float(eps),
-                          geo=geo, frame=frame),
-        out_shape=(jax.ShapeDtypeStruct((n, 9, nh * thA, nw * twA),
+                          geo=geo, frame=frame, cached_d=cached_d),
+        out_shape=(jax.ShapeDtypeStruct((n, nst, nh * thA, nw * twA),
                                         jnp.float32),
                    qshape),
         grid=(n, nh, nw),
@@ -1152,19 +1169,21 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
 
 
 def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
-                      frame=None):
+                      frame=None, cached_d=False):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     rs_, ls_ = rowsA, lanesA
     if frame is not None:
         _, _, rs_, ls_ = _padless_ext(geo, (w - 1) // 2)
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
+    nst = 6 if cached_d else 9
     return pl.pallas_call(
-        functools.partial(_fused_gf_kernel, w=w, geo=geo, frame=frame),
+        functools.partial(_fused_gf_kernel, w=w, geo=geo, frame=frame,
+                          cached_d=cached_d),
         out_shape=qshape,
         grid=(n, nh, nw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((1, 9, thA, twA),
+                  pl.BlockSpec((1, nst, thA, twA),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=qspec,
@@ -1196,7 +1215,18 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     0..255 — every decoded image) and stores the padded guide in bf16:
     integers < 256 are bf16-exact and the box dots' hi/lo data split
     yields lo == 0, so the result is BITWISE identical while the guide
-    windows move half the HBM bytes per kernel call (~130 MB at 4K)."""
+    windows move half the HBM bytes per kernel call (~130 MB at 4K).
+
+    stats_mode: "slots" caches all 9 guide-stat planes in the per-tile
+    haloed layout; "cached-d" ships only the 6 cofactor*inv_det planes
+    and recomputes the means in the apply kernel (-33% stats traffic,
+    +3 plane-boxes/tile); "recompute" (padless tilings only) caches
+    nothing and rebuilds all stats per tile.  All three are bitwise
+    identical (same box-dot grouping)."""
+    if stats_mode not in ("slots", "cached-d", "recompute"):
+        raise ValueError("stats_mode must be slots|cached-d|recompute, "
+                         "got %r" % (stats_mode,))
+    cached_d = stats_mode == "cached-d"
     n, _, h, wid = guide.shape
     c_src = src.shape[1]
     w = 2 * radius + 1
@@ -1228,10 +1258,12 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                     elif st is None:
                         st, pq = _fused_iter1_call(gq, pq, n, geo, w,
                                                    float(eps),
-                                                   frame=frame)
+                                                   frame=frame,
+                                                   cached_d=cached_d)
                     else:
                         pq = _fused_apply_call(gq, pq, st, n, geo, w,
-                                               frame=frame)
+                                               frame=frame,
+                                               cached_d=cached_d)
                 chans.append(pq)
             return chans[0] if c_src == 1 else jnp.concatenate(chans,
                                                                axis=1)
@@ -1257,10 +1289,11 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                     # first application computes the stats in-kernel and
                     # emits them for every later iteration/channel
                     st, qp = _fused_iter1_call(ipad2, ppad2, n, geo, w,
-                                               float(eps), shp)
+                                               float(eps), shp,
+                                               cached_d=cached_d)
                 else:
                     qp = _fused_apply_call(ipad2, ppad2, st, n, geo, w,
-                                           shp)
+                                           shp, cached_d=cached_d)
                 if not last:
                     ppad2 = (_fill_margins(qp, radius, geo, h, wid)
                              if pre else

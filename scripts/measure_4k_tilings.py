@@ -50,7 +50,8 @@ def time_tiling(tr, tl, mode="slots"):
 # semantics (e.g. zero-store vs DMA ordering into the same scratch)
 ref = None
 for tr, tl, mode in [(None, None, "slots"), (240, 768, "slots"),
-                     (240, 768, "recompute")]:
+                     (240, 768, "recompute"), (240, 768, "cached-d"),
+                     (None, None, "cached-d")]:
     out = np.asarray(guided_filter_fused_iterated(
         g4k, s4k, 45, 3.0, 3, guide_u8=True,
         tile_rows=tr, tile_lanes=tl, stats_mode=mode))
@@ -69,7 +70,8 @@ for tr, tl, mode in [(240, 1280, "slots"), (240, 1280, "recompute"),
                      (216, 1280, "slots"), (240, 640, "slots"),
                      (216, 768, "recompute"), (144, 1280, "slots"),
                      (240, None, "slots"), (216, None, "slots"),
-                     (240, 640, "recompute")]:
+                     (240, 640, "recompute"), (240, 768, "cached-d"),
+                     (240, 1280, "cached-d"), (None, None, "cached-d")]:
     try:
         time_tiling(tr, tl, mode)
     except Exception as e:

@@ -407,6 +407,32 @@ def test_guided_fused_padless_fold_bands(rng):
             I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
             stats_mode="recompute"))
         np.testing.assert_array_equal(rec, got)
+        # stats_mode="cached-d" (6-plane stats, means recomputed in the
+        # apply kernel with the same boxA grouping) — bitwise too
+        cd = np.asarray(guided_filter_fused_iterated(
+            I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
+            stats_mode="cached-d"))
+        np.testing.assert_array_equal(cd, got)
+
+
+def test_guided_fused_cached_d_padded_path(rng):
+    """cached-d on the DEFAULT (padded aligned-halo) fused path is
+    bitwise equal to slots mode — the apply kernel's recomputed means
+    use the identical boxA grouping iter1 used."""
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _use_fused_mxu, guided_filter_fused_iterated)
+    h, wd, r = 300, 1100, 45          # non-exact tiling -> padded path
+    assert _use_fused_mxu(h, r, None)
+    I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
+                    .astype(np.float32))
+    p = jnp.asarray((rng.rand(1, 1, h, wd) * 255).astype(np.float32))
+    got = np.asarray(guided_filter_fused_iterated(I, p, r, 9.0, 2))
+    cd = np.asarray(guided_filter_fused_iterated(
+        I, p, r, 9.0, 2, stats_mode="cached-d"))
+    np.testing.assert_array_equal(cd, got)
+    with pytest.raises(ValueError):
+        guided_filter_fused_iterated(I, p, r, 9.0, 2,
+                                     stats_mode="nonsense")
 
 
 def test_guided_fused_u8_guide_bitwise(rng):

@@ -64,11 +64,16 @@ def test_fused_gf_kernels_lower():
     _lower(lambda a, b: guided_filter_fused_iterated(
         a, b, 8, 9.0, 2, tile_rows=136, tile_lanes=128,
         stats_mode="recompute"), g, s)
+    _lower(lambda a, b: guided_filter_fused_iterated(
+        a, b, 8, 9.0, 2, tile_rows=136, tile_lanes=128,
+        stats_mode="cached-d"), g, s)
     # default (padded aligned-halo) path
     g2 = jnp.zeros((1, 3, 300, 1100), jnp.float32)
     s2 = jnp.zeros((1, 1, 300, 1100), jnp.float32)
     _lower(lambda a, b: guided_filter_fused_iterated(a, b, 8, 9.0, 2),
            g2, s2)
+    _lower(lambda a, b: guided_filter_fused_iterated(
+        a, b, 8, 9.0, 2, stats_mode="cached-d"), g2, s2)
 
 
 def test_bilateral_kernels_lower():
