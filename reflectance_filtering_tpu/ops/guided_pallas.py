@@ -873,6 +873,46 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
         _emit_q(out_q, qscr, qsem, t, nsteps, val, geo, tp, lp)
 
 
+def _gf_tile_math(I0, I1, I2, p, boxA, boxB, eps, ir, il, th, tw):
+    """Full GF tile computation with in-kernel guide stats: moments,
+    cofactor solve, a,b, then box(a,b) -> q over the interior guide.
+    Shared by the recompute and merged kernels (identical op sequence,
+    so their outputs stay bitwise equal)."""
+    m0, m1, m2 = boxA.multi([I0, I1, I2])
+    b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
+    b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
+    rr = b00 - m0 * m0 + eps
+    rg = b01 - m0 * m1
+    rb = b02 - m0 * m2
+    gg = b11 - m1 * m1 + eps
+    gb = b12 - m1 * m2
+    bb = b22 - m2 * m2 + eps
+    c00 = gg * bb - gb * gb
+    c01 = gb * rb - rg * bb
+    c02 = rg * gb - gg * rb
+    c11 = rr * bb - rb * rb
+    c12 = rb * rg - rr * gb
+    c22 = rr * gg - rg * rg
+    inv_det = 1.0 / (rr * c00 + rg * c01 + rb * c02)
+    d00, d01, d02 = c00 * inv_det, c01 * inv_det, c02 * inv_det
+    d11, d12, d22 = c11 * inv_det, c12 * inv_det, c22 * inv_det
+    m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
+    cov0 = bip0 - m0 * m_p
+    cov1 = bip1 - m1 * m_p
+    cov2 = bip2 - m2 * m_p
+    a0 = d00 * cov0 + d01 * cov1 + d02 * cov2
+    a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
+    a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
+    bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
+    ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
+
+    def interior(v):
+        return v[ir:ir + th, il:il + tw]
+
+    return (ma0 * interior(I0) + ma1 * interior(I1) +
+            ma2 * interior(I2) + mb)
+
+
 def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
                                isem, psem, *, w: int, eps: float, geo,
                                frame):
@@ -924,40 +964,9 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
                       fold_row=(t_r, h_, ext_r),
                       fold_lane=(t_l, wid_, ext_l))
     ir, il = tp + ext_r, lp + ext_l
-    m0, m1, m2 = boxA.multi([I0, I1, I2])
-    b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
-    b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
-    rr = b00 - m0 * m0 + eps
-    rg = b01 - m0 * m1
-    rb = b02 - m0 * m2
-    gg = b11 - m1 * m1 + eps
-    gb = b12 - m1 * m2
-    bb = b22 - m2 * m2 + eps
-    c00 = gg * bb - gb * gb
-    c01 = gb * rb - rg * bb
-    c02 = rg * gb - gg * rb
-    c11 = rr * bb - rb * rb
-    c12 = rb * rg - rr * gb
-    c22 = rr * gg - rg * rg
-    inv_det = 1.0 / (rr * c00 + rg * c01 + rb * c02)
-    d00, d01, d02 = c00 * inv_det, c01 * inv_det, c02 * inv_det
-    d11, d12, d22 = c11 * inv_det, c12 * inv_det, c22 * inv_det
-    m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
-    cov0 = bip0 - m0 * m_p
-    cov1 = bip1 - m1 * m_p
-    cov2 = bip2 - m2 * m_p
-    a0 = d00 * cov0 + d01 * cov1 + d02 * cov2
-    a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
-    a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
-    bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
     boxB = _mkbox_mxu(w, th, tw, thA)
-    ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
-
-    def interior(v):
-        return v[ir:ir + th, il:il + tw]
-
-    out_q[0, 0] = (ma0 * interior(I0) + ma1 * interior(I1) +
-                   ma2 * interior(I2) + mb)
+    out_q[0, 0] = _gf_tile_math(I0, I1, I2, p, boxA, boxB, eps,
+                                ir, il, th, tw)
 
 
 def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
@@ -1168,6 +1177,206 @@ def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
     )(ipad, ppad)
 
 
+def _merge_safe(geo, radius: int, h: int, wid: int) -> bool:
+    """True when the merged multi-iteration kernel's cross-iteration
+    DMA pipelining is hazard-free BY GEOMETRY.
+
+    In the merged kernel, q writes are double-buffered: while iteration
+    k+1's first tiles fetch their (clamped, haloed) read windows from
+    iteration k's q buffer, up to the last THREE tiles of iteration k
+    may still have writes in flight (write w drains at step w+2, and
+    the prefetch for step s is issued at step s-1, racing writes s-3
+    and s-2).  The race is harmless iff the read windows of tiles
+    {0, 1, 2} cannot intersect the output tiles {last 3} — a static
+    property of the tiling, checked here with plain ints.  The product
+    4K/8K tilings pass by a huge margin (top-of-frame windows vs
+    bottom-of-frame writes)."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    tp, lp, _, _ = _fused_offsets(radius)
+    tiles = nh * nw
+
+    def window(s):
+        i2, j2 = s // nw, s % nw
+        r0 = min(max(i2 * th - tp, 0), h - rowsA)
+        l0 = min(max(j2 * tw - lp, 0), wid - lanesA)
+        return r0, r0 + rowsA, l0, l0 + lanesA
+
+    def tile(s):
+        i2, j2 = s // nw, s % nw
+        return i2 * th, (i2 + 1) * th, j2 * tw, (j2 + 1) * tw
+
+    for s in range(min(3, tiles)):
+        for wt in range(max(0, tiles - 3), tiles):
+            r0, r1, l0, l1 = window(s)
+            wr0, wr1, wl0, wl1 = tile(wt)
+            if not (r1 <= wr0 or wr1 <= r0 or l1 <= wl0 or wl1 <= l0):
+                return False
+    return True
+
+
+def _fused_gf_merged_kernel(ipad_hbm, ppad_hbm, out_qa, out_qb,
+                            iscr, pscr, qscr, isem, psem, qsem,
+                            *, w: int, eps: float, geo, frame,
+                            iterations: int):
+    """The WHOLE iterated chain in one pallas_call: grid
+    (n, iterations, nh, nw), stats recomputed per tile (no stats
+    buffer), q ping-ponged between two plain-layout HBM buffers —
+    iteration it writes qa if it is even else qb, and iterations >= 1
+    read the other buffer (iteration 0 reads the src operand).  Kills
+    the per-pallas_call launch/pipeline-warmup floor of the 3-call
+    chain.  PADLESS only, and only for tilings where _merge_safe
+    proves the cross-iteration prefetch race impossible."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    b, it, i, j = (pl.program_id(0), pl.program_id(1),
+                   pl.program_id(2), pl.program_id(3))
+    tiles = nh * nw
+    per_b = iterations * tiles
+    nsteps = pl.num_programs(0) * per_b
+    t = (b * iterations + it) * tiles + i * nw + j
+    slot = jax.lax.rem(t, 2)
+    tp, lp, _, _ = _fused_offsets((w - 1) // 2)
+    ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(geo, (w - 1) // 2)
+    clamp = frame[2:] + (ext_r, ext_l)
+
+    def decode(tt):
+        b2 = tt // per_b
+        r = tt % per_b
+        # flat = collapsed (batch, tile) id in _prefetch_window's terms
+        return r // tiles, b2 * tiles + r % tiles
+
+    def i_fetch(tt, isl):
+        _, flat = decode(tt)
+        return _prefetch_window(ipad_hbm, iscr, isem, flat, isl,
+                                th, tw, rowsA, lanesA, nh, nw,
+                                clamp, tp, lp)
+
+    def p_sel(tt, isl, op):
+        """Start/wait tile tt's src-window DMA from the right source:
+        ppad for iteration 0, else the previous iteration's q buffer.
+        The wait mirrors the conditional so interpret mode (which may
+        realize copies at wait time) sees the true descriptor; on TPU
+        all three have identical shapes, so the semaphore math is the
+        same either way."""
+        it2, flat = decode(tt)
+        par = jax.lax.rem(it2, 2)
+
+        def mk(src):
+            return _prefetch_window(src, pscr, psem, flat, isl,
+                                    th, tw, rowsA, lanesA, nh, nw,
+                                    clamp, tp, lp)
+
+        @pl.when(it2 == 0)
+        def _():
+            op(mk(ppad_hbm))
+
+        @pl.when((it2 > 0) & (par == 1))
+        def _():
+            op(mk(out_qa))       # iteration it2-1 (even) wrote qa
+
+        @pl.when((it2 > 0) & (par == 0))
+        def _():
+            op(mk(out_qb))
+
+    def q_sel(tt, op):
+        """Start/wait tile tt's q write into its iteration's buffer."""
+        it2, flat = decode(tt)
+        par = jax.lax.rem(it2, 2)
+        i2 = (flat % tiles) // nw
+        j2 = flat % nw
+        b2 = flat // tiles
+        sl = jax.lax.rem(tt, 2)
+
+        def mk(dst):
+            return pltpu.make_async_copy(
+                qscr.at[sl],
+                dst.at[b2, 0, pl.ds(i2 * th, th), pl.ds(j2 * tw, tw)],
+                qsem.at[sl])
+
+        @pl.when(par == 0)
+        def _():
+            op(mk(out_qa))
+
+        @pl.when(par == 1)
+        def _():
+            op(mk(out_qb))
+
+    start = lambda cp: cp.start()
+    wait = lambda cp: cp.wait()
+
+    @pl.when(t == 0)
+    def _():
+        # fold-band zero-weight positions must hold FINITE data
+        iscr[...] = jnp.zeros(iscr.shape, iscr.dtype)
+        pscr[...] = jnp.zeros(pscr.shape, pscr.dtype)
+        i_fetch(t, slot).start()
+        p_sel(t, slot, start)
+
+    @pl.when(t + 1 < nsteps)
+    def _():
+        i_fetch(t + 1, 1 - slot).start()
+        p_sel(t + 1, 1 - slot, start)
+
+    i_fetch(t, slot).wait()
+    p_sel(t, slot, wait)
+
+    I0 = iscr[slot, 0].astype(jnp.float32)
+    I1 = iscr[slot, 1].astype(jnp.float32)
+    I2 = iscr[slot, 2].astype(jnp.float32)
+    p = pscr[slot, 0]
+    h_, wid_ = frame[0], frame[1]
+    boxA = _mkbox_mxu(w, thA, twA, rows_scr,
+                      fold_row=(i * th, h_, ext_r),
+                      fold_lane=(j * tw, wid_, ext_l))
+    boxB = _mkbox_mxu(w, th, tw, thA)
+    val = _gf_tile_math(I0, I1, I2, p, boxA, boxB, eps,
+                        tp + ext_r, lp + ext_l, th, tw)
+
+    @pl.when(t >= 2)
+    def _():
+        q_sel(t - 2, wait)
+
+    qscr[slot] = val
+    q_sel(t, start)
+
+    @pl.when((t + 1 == nsteps) & (nsteps >= 2))
+    def _():
+        q_sel(t - 1, wait)
+
+    @pl.when(t + 1 == nsteps)
+    def _():
+        q_sel(t, wait)
+
+
+def _fused_merged_call(ipad, ppad, n, geo, w, eps, frame,
+                       iterations: int):
+    """Single-call iterated chain (see _fused_gf_merged_kernel);
+    returns the buffer the last iteration wrote."""
+    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+    _, _, rows_scr, lanes_scr = _padless_ext(geo, (w - 1) // 2)
+    h, wid = frame[0], frame[1]
+    qshape = jax.ShapeDtypeStruct((n, 1, h, wid), jnp.float32)
+    qa, qb = pl.pallas_call(
+        functools.partial(_fused_gf_merged_kernel, w=w, eps=float(eps),
+                          geo=geo, frame=frame, iterations=iterations),
+        out_shape=(qshape, qshape),
+        grid=(n, iterations, nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.VMEM((2, 3, rows_scr, lanes_scr),
+                                   ipad.dtype),
+                        pltpu.VMEM((2, 1, rows_scr, lanes_scr),
+                                   jnp.float32),
+                        pltpu.VMEM((2, th, tw), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=_VMEM_FUSED,
+    )(ipad, ppad)
+    return qa if (iterations - 1) % 2 == 0 else qb
+
+
 def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
                       frame=None, cached_d=False):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
@@ -1221,11 +1430,15 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     haloed layout; "cached-d" ships only the 6 cofactor*inv_det planes
     and recomputes the means in the apply kernel (-33% stats traffic,
     +3 plane-boxes/tile); "recompute" (padless tilings only) caches
-    nothing and rebuilds all stats per tile.  All three are bitwise
-    identical (same box-dot grouping)."""
-    if stats_mode not in ("slots", "cached-d", "recompute"):
-        raise ValueError("stats_mode must be slots|cached-d|recompute, "
-                         "got %r" % (stats_mode,))
+    nothing and rebuilds all stats per tile; "merged" additionally runs
+    ALL iterations of a channel in ONE pallas_call (recompute stats,
+    q ping-ponged between two HBM buffers — kills the per-call floor;
+    falls back to recompute when _merge_safe rejects the tiling).  All
+    modes are bitwise identical (same box-dot grouping)."""
+    if stats_mode not in ("slots", "cached-d", "recompute", "merged"):
+        raise ValueError(
+            "stats_mode must be slots|cached-d|recompute|merged, "
+            "got %r" % (stats_mode,))
     cached_d = stats_mode == "cached-d"
     n, _, h, wid = guide.shape
     c_src = src.shape[1]
@@ -1247,12 +1460,19 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                 and wid >= lanesA:
             gq = guide.astype(jnp.bfloat16) if guide_u8 else guide
             frame = (h, wid, h, wid)
+            merged = (stats_mode == "merged"
+                      and _merge_safe(geo, radius, h, wid))
             st = None
             chans = []
             for c in range(c_src):
                 pq = src[:, c:c + 1]
+                if merged:
+                    chans.append(_fused_merged_call(
+                        gq, pq, n, geo, w, float(eps), frame,
+                        iterations))
+                    continue
                 for it in range(iterations):
-                    if stats_mode == "recompute":
+                    if stats_mode in ("recompute", "merged"):
                         pq = _fused_recompute_call(gq, pq, n, geo, w,
                                                    float(eps), frame)
                     elif st is None:

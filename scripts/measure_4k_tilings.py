@@ -51,7 +51,7 @@ def time_tiling(tr, tl, mode="slots"):
 ref = None
 for tr, tl, mode in [(None, None, "slots"), (240, 768, "slots"),
                      (240, 768, "recompute"), (240, 768, "cached-d"),
-                     (None, None, "cached-d")]:
+                     (None, None, "cached-d"), (240, 768, "merged")]:
     out = np.asarray(guided_filter_fused_iterated(
         g4k, s4k, 45, 3.0, 3, guide_u8=True,
         tile_rows=tr, tile_lanes=tl, stats_mode=mode))
@@ -71,7 +71,9 @@ for tr, tl, mode in [(240, 1280, "slots"), (240, 1280, "recompute"),
                      (216, 768, "recompute"), (144, 1280, "slots"),
                      (240, None, "slots"), (216, None, "slots"),
                      (240, 640, "recompute"), (240, 768, "cached-d"),
-                     (240, 1280, "cached-d"), (None, None, "cached-d")]:
+                     (240, 1280, "cached-d"), (None, None, "cached-d"),
+                     (240, 768, "merged"), (240, 1280, "merged"),
+                     (216, 768, "merged")]:
     try:
         time_tiling(tr, tl, mode)
     except Exception as e:
@@ -108,7 +110,7 @@ def time_8k(tr, tl, mode="slots"):
 
 
 for tr, tl, mode in [(None, None, "slots"), (240, 768, "slots"),
-                     (240, 768, "recompute")]:
+                     (240, 768, "recompute"), (240, 768, "merged")]:
     try:
         time_8k(tr, tl, mode)
     except Exception as e:

@@ -413,6 +413,41 @@ def test_guided_fused_padless_fold_bands(rng):
             I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
             stats_mode="cached-d"))
         np.testing.assert_array_equal(cd, got)
+        # stats_mode="merged" (whole chain in ONE pallas_call, q
+        # ping-ponged between two HBM buffers) — bitwise when the
+        # tiling is _merge_safe, graceful recompute fallback when not
+        mg = np.asarray(guided_filter_fused_iterated(
+            I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
+            stats_mode="merged"))
+        np.testing.assert_array_equal(mg, got)
+
+
+def test_guided_fused_merged_chain(rng):
+    """TRUE merged-kernel runs (a _merge_safe tiling, 12 tiles so the
+    cross-iteration prefetch pipeline is exercised): 1 and 3 iterations
+    (odd counts land in the other ping-pong buffer), u8 guide, batch 2
+    — all bitwise vs the per-iteration recompute calls.  Also asserts
+    the product 4K tiling is merge-safe while the small parity-test
+    tilings are NOT (their fallback path is covered elsewhere)."""
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _fused_geometry, _merge_safe, guided_filter_fused_iterated)
+    h, wd, r, trs, tls = 768, 512, 45, 128, 256
+    assert _merge_safe(_fused_geometry(h, wd, r, trs, tls), r, h, wd)
+    assert _merge_safe(_fused_geometry(2160, 3840, 45, 240, 768),
+                       45, 2160, 3840)
+    assert not _merge_safe(_fused_geometry(512, 512, 45, 256, 256),
+                           45, 512, 512)
+    I = jnp.asarray(np.floor(rng.rand(2, 3, h, wd) * 256)
+                    .astype(np.float32))
+    p = jnp.asarray((rng.rand(2, 1, h, wd) * 255).astype(np.float32))
+    for iters, u8 in ((1, False), (3, True)):
+        exp = np.asarray(guided_filter_fused_iterated(
+            I, p, r, 3.0, iters, guide_u8=u8, tile_rows=trs,
+            tile_lanes=tls, stats_mode="recompute"))
+        got = np.asarray(guided_filter_fused_iterated(
+            I, p, r, 3.0, iters, guide_u8=u8, tile_rows=trs,
+            tile_lanes=tls, stats_mode="merged"))
+        np.testing.assert_array_equal(got, exp)
 
 
 def test_guided_fused_cached_d_padded_path(rng):
