@@ -159,7 +159,7 @@ def run_gate():
         with ctx:
             anchor = np.floor(np.asarray(
                 guided_filter_planar(gp_, sp_, 45, 3.0)))
-            for mode in ("slots", "recompute"):
+            for mode in ("slots", "recompute", "cached-d"):
                 got_p = np.floor(np.asarray(
                     guided_filter_fused_iterated(
                         gp_, sp_, 45, 3.0, 1, guide_u8=True,
@@ -167,6 +167,18 @@ def run_gate():
                         stats_mode=mode)))
                 padless["gf_padless_" + mode] = int(
                     np.abs(got_p - anchor).max())
+            # merged single-call chain needs a _merge_safe tiling
+            # (256x256 on 512x512 falls back to recompute)
+            gm_ = jnp.concatenate([gp_, gp_[:, :, ::-1]], axis=2)
+            sm_ = jnp.concatenate([sp_, sp_[:, :, ::-1]], axis=2)
+            am = np.floor(np.asarray(
+                guided_filter_planar(gm_, sm_, 45, 3.0)))
+            got_m = np.floor(np.asarray(
+                guided_filter_fused_iterated(
+                    gm_, sm_, 45, 3.0, 1, guide_u8=True,
+                    tile_rows=128, tile_lanes=256,
+                    stats_mode="merged")))
+            padless["gf_padless_merged"] = int(np.abs(got_m - am).max())
     except Exception as err:  # noqa: BLE001
         padless["gf_padless_error"] = repr(err)[:200]
     if _gp._AUTO_TILES:
@@ -433,6 +445,8 @@ def main(profile_dir=None):
                        _time_4k_padless("slots"))
     t_4kr = _contained("gf_3x_4k_padless_recompute",
                        _time_4k_padless("recompute"))
+    t_4km = _contained("gf_3x_4k_padless_merged",
+                       _time_4k_padless("merged"))
 
     # training: one fused fwd+autodiff-bwd+adam step, reference batch 20
     from reflectance_filtering_tpu.models.networks import (
@@ -505,6 +519,7 @@ def main(profile_dir=None):
         "gf_3x_4k_mps": _r(h4k * w4k / t_4k / 1e6),
         "gf_3x_4k_padless_mps": _r(h4k * w4k / t_4kp / 1e6),
         "gf_3x_4k_padless_recompute_mps": _r(h4k * w4k / t_4kr / 1e6),
+        "gf_3x_4k_padless_merged_mps": _r(h4k * w4k / t_4km / 1e6),
         "train_imgs_per_s": _r(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],
         "whdr_comparisons_per_image": K_COMPS,
