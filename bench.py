@@ -157,25 +157,31 @@ def run_gate():
     padless = {}
     try:
         with ctx:
-            anchor = np.floor(np.asarray(
-                guided_filter_planar(gp_, sp_, 45, 3.0)))
+            # TWO iterations: iteration >= 2 is what exercises the
+            # cached-d APPLY kernel (mean recompute off the 6-plane
+            # stats) and merged's cross-iteration ping-pong reads —
+            # a 1-iteration run never executes those code paths
+            anchor = np.floor(np.asarray(guided_filter_planar(
+                gp_, guided_filter_planar(gp_, sp_, 45, 3.0),
+                45, 3.0)))
             for mode in ("slots", "recompute", "cached-d"):
                 got_p = np.floor(np.asarray(
                     guided_filter_fused_iterated(
-                        gp_, sp_, 45, 3.0, 1, guide_u8=True,
+                        gp_, sp_, 45, 3.0, 2, guide_u8=True,
                         tile_rows=256, tile_lanes=256,
                         stats_mode=mode)))
                 padless["gf_padless_" + mode] = int(
                     np.abs(got_p - anchor).max())
             # merged single-call chain needs a _merge_safe tiling
-            # (256x256 on 512x512 falls back to recompute)
+            # (256x256 on 512x512 would raise)
             gm_ = jnp.concatenate([gp_, gp_[:, :, ::-1]], axis=2)
             sm_ = jnp.concatenate([sp_, sp_[:, :, ::-1]], axis=2)
-            am = np.floor(np.asarray(
-                guided_filter_planar(gm_, sm_, 45, 3.0)))
+            am = np.floor(np.asarray(guided_filter_planar(
+                gm_, guided_filter_planar(gm_, sm_, 45, 3.0),
+                45, 3.0)))
             got_m = np.floor(np.asarray(
                 guided_filter_fused_iterated(
-                    gm_, sm_, 45, 3.0, 1, guide_u8=True,
+                    gm_, sm_, 45, 3.0, 2, guide_u8=True,
                     tile_rows=128, tile_lanes=256,
                     stats_mode="merged")))
             padless["gf_padless_merged"] = int(np.abs(got_m - am).max())

@@ -1184,13 +1184,19 @@ def _merge_safe(geo, radius: int, h: int, wid: int) -> bool:
     In the merged kernel, q writes are double-buffered: while iteration
     k+1's first tiles fetch their (clamped, haloed) read windows from
     iteration k's q buffer, up to the last THREE tiles of iteration k
-    may still have writes in flight (write w drains at step w+2, and
-    the prefetch for step s is issued at step s-1, racing writes s-3
-    and s-2).  The race is harmless iff the read windows of tiles
-    {0, 1, 2} cannot intersect the output tiles {last 3} — a static
-    property of the tiling, checked here with plain ints.  The product
-    4K/8K tilings pass by a huge margin (top-of-frame windows vs
-    bottom-of-frame writes)."""
+    may still have writes in flight.  Precisely: the prefetch for step
+    s is issued at the TOP of step s-1 and waited at the top of step s,
+    so it races writes s-3 and s-2 (in flight when issued, drained at
+    steps s-1/s) AND write s-1 (started at the END of step s-1, while
+    the prefetch may still be running).  A write races a read only
+    cross-buffer — write in iteration k, read in k+1 — so for reader
+    tiles {0, 1, 2} of k+1 the racing same-buffer writes are always a
+    subset of iteration k's LAST THREE tiles (s-1 for readers 1, 2 is
+    a k+1 tile writing the OTHER buffer).  The race is harmless iff
+    the read windows of tiles {0, 1, 2} cannot intersect the output
+    tiles {last 3} — a static property of the tiling, checked here
+    with plain ints.  The product 4K/8K tilings pass by a huge margin
+    (top-of-frame windows vs bottom-of-frame writes)."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     tp, lp, _, _ = _fused_offsets(radius)
     tiles = nh * nw
@@ -1487,6 +1493,14 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                 chans.append(pq)
             return chans[0] if c_src == 1 else jnp.concatenate(chans,
                                                                axis=1)
+        if stats_mode in ("recompute", "merged"):
+            # no silent slots degradation: a timing sweep would label
+            # slots numbers as recompute/merged and steer the
+            # _AUTO_TILES decision wrong
+            raise ValueError(
+                "stats_mode=%r requires an exact-divide padless tiling"
+                "; %dx%d tiles don't cover %dx%d (use slots/cached-d)"
+                % (stats_mode, th_, tw_, h, wid))
         ipad2 = _pad_fused(guide, radius, geo, h, wid)
         if guide_u8:
             ipad2 = ipad2.astype(jnp.bfloat16)
@@ -1526,6 +1540,11 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                      else qp[:, :, :h, :wid])
             chans.append(p)
         return chans[0] if c_src == 1 else jnp.concatenate(chans, axis=1)
+    if stats_mode != "slots":
+        raise ValueError(
+            "stats_mode=%r requires the fused path; this frame/radius "
+            "dispatches to the banded kernels (slots only)"
+            % (stats_mode,))
     mxu, geo = _geometry(h, wid, radius, th)
     th_, nh, rows, tw, nw, lanes = geo
     ipad = _pad_banded(guide, radius, geo, h, wid)

@@ -42,13 +42,15 @@ for ig in (True, False):
     lower("trunk grad input_grad=%s" % ig,
           lambda pp, v, _l=loss: jax.grad(_l)(pp, v), kb, im)
 
-# 3) padless fused GF chain (both stats modes) at 4K geometry
+# 3) padless fused GF chain (ALL stats modes) at 4K geometry
 from reflectance_filtering_tpu.ops.guided_pallas import (
     guided_filter_fused_iterated)
 g4 = jnp.zeros((1, 3, 2160, 3840), jnp.float32)
 s4 = jnp.zeros((1, 1, 2160, 3840), jnp.float32)
 for trs, tls, mode in [(240, 1280, "slots"), (240, 1280, "recompute"),
-                       (240, 768, "slots"), (240, 768, "recompute")]:
+                       (240, 768, "slots"), (240, 768, "recompute"),
+                       (240, 768, "cached-d"), (240, 768, "merged"),
+                       (240, 1280, "merged")]:
     lower("gf padless %dx%d %s" % (trs, tls, mode),
           lambda g, s, a=trs, b=tls, m=mode: guided_filter_fused_iterated(
               g, s, 45, 3.0, 3, guide_u8=True, tile_rows=a,
