@@ -503,11 +503,25 @@ def main(profile_dir=None):
 
     # on-chip parity bit: the golden gallery through the real TPU
     # dispatch (VERDICT r2 item 2) — a gate failure must not lose the
-    # throughput numbers, so contain and report
+    # throughput numbers, so contain and report.  SIGALRM bounds a
+    # HUNG gate kernel too (the gate runs last; without the alarm a
+    # hang would lose the whole JSON line, not just the parity bit)
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("gate timeout")
+
+    if hasattr(signal, "SIGALRM"):
+        old_h = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(1200)
     try:
         parity_ok, parity_diffs = run_gate()
-    except Exception as err:  # fixture missing, compile failure, ...
+    except Exception as err:  # fixture missing, compile failure, hang
         parity_ok, parity_diffs = False, {"error": repr(err)}
+    finally:
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_h)
 
     print(json.dumps({
         "metric": "BF(CNN,CNN) end-to-end megapixels/sec/chip "
