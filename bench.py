@@ -451,8 +451,6 @@ def main(profile_dir=None):
                        _time_4k_padless("slots"))
     t_4kr = _contained("gf_3x_4k_padless_recompute",
                        _time_4k_padless("recompute"))
-    t_4km = _contained("gf_3x_4k_padless_merged",
-                       _time_4k_padless("merged"))
 
     # training: one fused fwd+autodiff-bwd+adam step, reference batch 20
     from reflectance_filtering_tpu.models.networks import (
@@ -501,27 +499,44 @@ def main(profile_dir=None):
     gf_mps = MP / t_gf
     cnn_mps = MP / t_cnn
 
-    # on-chip parity bit: the golden gallery through the real TPU
-    # dispatch (VERDICT r2 item 2) — a gate failure must not lose the
-    # throughput numbers, so contain and report.  SIGALRM bounds a
-    # HUNG gate kernel too (the gate runs last; without the alarm a
-    # hang would lose the whole JSON line, not just the parity bit)
+    # experimental stages and the gate run LAST so a hung kernel can
+    # only cost their own numbers; SIGALRM bounds the hang itself
+    # (without it a hang would lose the whole JSON line, since bench
+    # prints only at the end)
     import signal
 
-    def _alarm(signum, frame):
-        raise TimeoutError("gate timeout")
+    def _alarmed(name, thunk, seconds):
+        def run():
+            if not hasattr(signal, "SIGALRM"):
+                return thunk()
 
-    if hasattr(signal, "SIGALRM"):
-        old_h = signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(1200)
+            def _alarm(signum, frame):
+                raise TimeoutError(name + " timeout")
+
+            old_h = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(seconds)
+            try:
+                return thunk()
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old_h)
+        return run
+
+    # merged single-call chain: never yet compiled on real TPU, so it
+    # runs after every established stage (measure-script policy)
+    t_4km = _contained("gf_3x_4k_padless_merged",
+                       _alarmed("gf_3x_4k_padless_merged",
+                                _time_4k_padless("merged"), 1200))
+
+    # on-chip parity bit: the golden gallery through the real TPU
+    # dispatch (VERDICT r2 item 2) — a gate failure must not lose the
+    # throughput numbers, so contain and report.  1800 s covers a
+    # post-tunnel-recovery cold-compile backlog (a single CLI run has
+    # taken >300 s there; the gate compiles ~8 distinct kernels).
     try:
-        parity_ok, parity_diffs = run_gate()
+        parity_ok, parity_diffs = _alarmed("gate", run_gate, 1800)()
     except Exception as err:  # fixture missing, compile failure, hang
         parity_ok, parity_diffs = False, {"error": repr(err)}
-    finally:
-        if hasattr(signal, "SIGALRM"):
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old_h)
 
     print(json.dumps({
         "metric": "BF(CNN,CNN) end-to-end megapixels/sec/chip "

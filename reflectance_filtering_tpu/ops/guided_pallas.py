@@ -1439,8 +1439,9 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     nothing and rebuilds all stats per tile; "merged" additionally runs
     ALL iterations of a channel in ONE pallas_call (recompute stats,
     q ping-ponged between two HBM buffers — kills the per-call floor;
-    falls back to recompute when _merge_safe rejects the tiling).  All
-    modes are bitwise identical (same box-dot grouping)."""
+    RAISES when _merge_safe rejects the tiling, and iterations==1
+    dispatches to the single recompute call).  All modes are bitwise
+    identical (same box-dot grouping)."""
     if stats_mode not in ("slots", "cached-d", "recompute", "merged"):
         raise ValueError(
             "stats_mode must be slots|cached-d|recompute|merged, "
@@ -1466,8 +1467,15 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                 and wid >= lanesA:
             gq = guide.astype(jnp.bfloat16) if guide_u8 else guide
             frame = (h, wid, h, wid)
-            merged = (stats_mode == "merged"
-                      and _merge_safe(geo, radius, h, wid))
+            merged = stats_mode == "merged" and iterations > 1
+            if merged and not _merge_safe(geo, radius, h, wid):
+                # no silent recompute degradation (same sweep-
+                # mislabeling hazard as the non-exact-tiling raise)
+                raise ValueError(
+                    "stats_mode='merged': %dx%d tiles on %dx%d are not "
+                    "_merge_safe (cross-iteration DMA race possible); "
+                    "use stats_mode='recompute'"
+                    % (geo[0], geo[1], h, wid))
             st = None
             chans = []
             for c in range(c_src):
@@ -1478,6 +1486,8 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                         iterations))
                     continue
                 for it in range(iterations):
+                    # merged with iterations==1 IS a single recompute
+                    # call (same math, no dead second q buffer)
                     if stats_mode in ("recompute", "merged"):
                         pq = _fused_recompute_call(gq, pq, n, geo, w,
                                                    float(eps), frame)

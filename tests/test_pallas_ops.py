@@ -413,22 +413,24 @@ def test_guided_fused_padless_fold_bands(rng):
             I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
             stats_mode="cached-d"))
         np.testing.assert_array_equal(cd, got)
-        # stats_mode="merged" (whole chain in ONE pallas_call, q
-        # ping-ponged between two HBM buffers) — bitwise when the
-        # tiling is _merge_safe, graceful recompute fallback when not
-        mg = np.asarray(guided_filter_fused_iterated(
-            I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
-            stats_mode="merged"))
-        np.testing.assert_array_equal(mg, got)
+        # stats_mode="merged" RAISES on merge-UNSAFE tilings (these
+        # small geometries all are) instead of silently mislabeling
+        # recompute results; true merged runs are covered by
+        # test_guided_fused_merged_chain
+        with pytest.raises(ValueError, match="_merge_safe"):
+            guided_filter_fused_iterated(
+                I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
+                stats_mode="merged")
 
 
 def test_guided_fused_merged_chain(rng):
     """TRUE merged-kernel runs (a _merge_safe tiling, 12 tiles so the
-    cross-iteration prefetch pipeline is exercised): 1 and 3 iterations
-    (odd counts land in the other ping-pong buffer), u8 guide, batch 2
-    — all bitwise vs the per-iteration recompute calls.  Also asserts
-    the product 4K tiling is merge-safe while the small parity-test
-    tilings are NOT (their fallback path is covered elsewhere)."""
+    cross-iteration prefetch pipeline is exercised): 3 iterations (odd
+    count lands in ping-pong buffer qa), u8 guide, batch 2 — bitwise
+    vs the per-iteration recompute calls; iterations=1 checks the
+    dispatch-to-single-recompute-call shortcut.  Also asserts the
+    product 4K tiling is merge-safe while the small parity-test
+    tilings are NOT (those now raise, tested elsewhere)."""
     from reflectance_filtering_tpu.ops.guided_pallas import (
         _fused_geometry, _merge_safe, guided_filter_fused_iterated)
     h, wd, r, trs, tls = 768, 512, 45, 128, 256
