@@ -54,6 +54,51 @@ def _r(x, nd=2):
     return round(x, nd) if np.isfinite(x) else None
 
 
+def _backend_ready():
+    """Block until the accelerator backend answers, with a short bounded
+    retry (VERDICT r3 item 2: a tunnel blip at startup must not crash
+    bench before it can emit its JSON line).
+
+    The probe runs in a SUBPROCESS with a hard timeout: with the axon
+    tunnel down, jax.devices() does not raise — it HANGS inside the
+    PJRT plugin's C init (measured 2026-08-18: >60 s, uninterruptible
+    by SIGALRM because the block never returns to the interpreter).
+    A killable child is the only reliable bounded probe.  Only after a
+    probe succeeds does this process touch the backend itself.
+    Retries/wait/timeout are env-tunable so the outage-simulation test
+    stays fast."""
+    import subprocess
+    retries = max(int(os.environ.get("BENCH_INIT_RETRIES", "4")), 1)
+    wait = float(os.environ.get("BENCH_INIT_WAIT", "30"))
+    probe_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "180"))
+    code = "import jax; print(jax.devices()[0].platform)"
+    last = None
+    for i in range(retries):
+        try:
+            subprocess.run([sys.executable, "-c", code], check=True,
+                           timeout=probe_timeout, capture_output=True,
+                           text=True)
+            return
+        except subprocess.TimeoutExpired:
+            last = TimeoutError(
+                "backend init probe hung >%gs (tunnel down?)"
+                % probe_timeout)
+        except subprocess.CalledProcessError as err:
+            last = RuntimeError("backend init failed: %s"
+                                % (err.stderr or "")[-300:])
+        except Exception as err:  # noqa: BLE001
+            last = err
+        print("backend init attempt %d/%d failed: %r"
+              % (i + 1, retries, last), file=sys.stderr)
+        if i + 1 < retries:
+            time.sleep(wait)
+    raise last
+
+
+_HEADLINE = ("BF(CNN,CNN) end-to-end megapixels/sec/chip "
+             "(CNN+u8-write+joint-bilateral c20 s22+WHDR)")
+
+
 def _timed_loop(fn, x, iters):
     """Per-iteration device time by the SLOPE method.
 
@@ -222,7 +267,10 @@ def run_gate():
     return ok, diffs
 
 
-def main(profile_dir=None):
+def _run(profile_dir=None):
+    """The benchmark proper.  Returns the result record (a dict); main()
+    owns printing it so that a setup-time failure — backend init, weight
+    load, device_put — still produces one parseable JSON line."""
     from reflectance_filtering_tpu.models.caffe_io import (
         load_reference_weights)
     from reflectance_filtering_tpu.models.networks import (
@@ -452,6 +500,33 @@ def main(profile_dir=None):
     t_4kr = _contained("gf_3x_4k_padless_recompute",
                        _time_4k_padless("recompute"))
 
+    # config 4b: the same 3x chain on one 8K frame — the resolution
+    # where the u8 big-frame dispatch used to crash (fixed aef6c4f), so
+    # the driver artifact pins it (VERDICT r3 item 4).  Product dispatch
+    # only; the frame + chain intermediates are ~1.6 GB so the inputs
+    # are created inside the containment and freed right after.
+    h8k, w8k = 4320, 7680
+    reps8 = 4
+
+    def _time_8k():
+        g8k = jax.device_put(np.floor(
+            rng.rand(1, 3, h8k, w8k) * 256).astype(np.float32))
+        s8k = jax.device_put(np.floor(
+            rng.rand(1, 1, h8k, w8k) * 256).astype(np.float32))
+        try:
+            float(chain_many(g8k, s8k, reps8))  # compile+warm
+            t0 = time.time()
+            float(chain_many(g8k, s8k, reps8))
+            t_lo = time.time() - t0
+            t0 = time.time()
+            float(chain_many(g8k, s8k, 3 * reps8))
+            return (time.time() - t0 - t_lo) / (2 * reps8)
+        finally:
+            g8k.delete()
+            s8k.delete()
+
+    t_8k = _contained("gf_3x_8k", _time_8k)
+
     # training: one fused fwd+autodiff-bwd+adam step, reference batch 20
     from reflectance_filtering_tpu.models.networks import (
         NetworkConfig, init_network)
@@ -538,9 +613,8 @@ def main(profile_dir=None):
     except Exception as err:  # fixture missing, compile failure, hang
         parity_ok, parity_diffs = False, {"error": repr(err)}
 
-    print(json.dumps({
-        "metric": "BF(CNN,CNN) end-to-end megapixels/sec/chip "
-                  "(CNN+u8-write+joint-bilateral c20 s22+WHDR)",
+    return {
+        "metric": _HEADLINE,
         "value": _r(bf_mps),
         "unit": "MP/s/chip",
         "vs_baseline": _r(bf_mps / BASELINE_MPS, 1),
@@ -555,17 +629,46 @@ def main(profile_dir=None):
         "gf_3x_4k_padless_mps": _r(h4k * w4k / t_4kp / 1e6),
         "gf_3x_4k_padless_recompute_mps": _r(h4k * w4k / t_4kr / 1e6),
         "gf_3x_4k_padless_merged_mps": _r(h4k * w4k / t_4km / 1e6),
+        "gf_3x_8k_mps": _r(h8k * w8k / t_8k / 1e6),
         "train_imgs_per_s": _r(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],
         "whdr_comparisons_per_image": K_COMPS,
         "parity_ok": parity_ok,
         "parity_max_diffs": parity_diffs,
-    }))
+    }
+
+
+def main(profile_dir=None):
+    """Outage-proof driver entry: ALWAYS prints exactly one JSON line.
+
+    An unrecoverable setup failure (backend init after bounded retries,
+    weight load, device_put of the shared inputs) yields the headline
+    record with null metrics and an "error" field, then rc=1 — a tunnel
+    blip must never again produce an artifact with no parseable JSON
+    (BENCH_r03.json).  Per-stage failures inside _run stay contained as
+    nulls with rc=0."""
+    try:
+        _backend_ready()
+        record = _run(profile_dir)
+        rc = 0
+    except BaseException as err:  # incl. KeyboardInterrupt/SystemExit:
+        # partial runs must still leave a parseable artifact
+        record = {"metric": _HEADLINE, "value": None,
+                  "unit": "MP/s/chip", "vs_baseline": None,
+                  "parity_ok": False,
+                  "error": repr(err)[:500]}
+        rc = 1
+    print(json.dumps(record))
+    return rc
 
 
 if __name__ == "__main__":
     if "--gate" in sys.argv:
-        ok, d = run_gate()
+        try:
+            _backend_ready()
+            ok, d = run_gate()
+        except BaseException as err:  # noqa: BLE001
+            ok, d = False, {"error": repr(err)[:500]}
         print(json.dumps({"parity_ok": ok, "parity_max_diffs": d}))
         sys.exit(0 if ok else 1)
     prof = None
@@ -573,4 +676,4 @@ if __name__ == "__main__":
         i = sys.argv.index("--profile")
         prof = (sys.argv[i + 1] if i + 1 < len(sys.argv)
                 else "/tmp/reflectance_trace")
-    main(profile_dir=prof)
+    sys.exit(main(profile_dir=prof))

@@ -1,0 +1,58 @@
+"""bench.py must be outage-proof (VERDICT r3 item 2).
+
+BENCH_r03.json was lost because the axon tunnel was down at capture time
+and bench.py crashed during backend init, before printing anything.  The
+contract under test: with the accelerator backend unavailable, bench.py
+still prints EXACTLY one parseable JSON line (headline metric null, an
+"error" field) and exits nonzero.
+
+The failure is simulated by pointing JAX_PLATFORMS at a platform that
+does not exist in a fresh subprocess — the same failure shape as the
+axon plugin failing to reach the TPU (jax.devices() raises at init).
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run_bench(*argv):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "nonexistent_backend"
+    env["BENCH_INIT_RETRIES"] = "2"   # exercise the retry loop, fast
+    env["BENCH_INIT_WAIT"] = "0"
+    # with an unreachable backend jax.devices() HANGS rather than
+    # raising (the real tunnel-down failure shape) — the probe's hard
+    # subprocess timeout is what bounds it
+    env["BENCH_INIT_TIMEOUT"] = "20"
+    return subprocess.run(
+        [sys.executable, BENCH] + list(argv),
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+
+
+def test_bench_emits_json_line_when_backend_unavailable():
+    p = _run_bench()
+    assert p.returncode == 1, p.stderr[-2000:]
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, p.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] is None
+    assert rec["vs_baseline"] is None
+    assert rec["parity_ok"] is False
+    assert "error" in rec and rec["error"]
+    assert rec["metric"].startswith("BF(CNN,CNN)")
+    # the bounded retry ran (both attempts logged to stderr)
+    assert "attempt 1/2" in p.stderr and "attempt 2/2" in p.stderr
+
+
+def test_gate_emits_json_line_when_backend_unavailable():
+    p = _run_bench("--gate")
+    assert p.returncode == 1, p.stderr[-2000:]
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, p.stdout
+    rec = json.loads(lines[0])
+    assert rec["parity_ok"] is False
+    assert "error" in rec["parity_max_diffs"]
