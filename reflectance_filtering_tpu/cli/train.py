@@ -287,6 +287,11 @@ def fit_predict_net(args, results_dir: str):
             if args.profile_dir:
                 from ..utils.profiling import device_trace
                 trace_ctx = device_trace(args.profile_dir)
+            # live val WHDR at every checkpoint (the reference's
+            # interleaved test phase, helper:286-294)
+            from ..train.loop import make_val_whdr_fn
+            val_fn = (make_val_whdr_fn(net_cfg, X_val, args.batch_size)
+                      if X_val is not None else None)
             with matmul_precision(args.matmul_precision), trace_ctx:
                 fit(net_cfg, loss_cfg, X, iterations, args.batch_size,
                     args.solverType, args.base_lr, args.random_seed,
@@ -295,7 +300,8 @@ def fit_predict_net(args, results_dir: str):
                     base_samples=base_samples,
                     callbacks=callbacks, checkpointer=checkptr,
                     progress=progress,
-                    on_checkpoint=FilterVisualizer(results_dir))
+                    on_checkpoint=FilterVisualizer(results_dir),
+                    val_fn=val_fn)
             training_time = timeit.default_timer() - start_train
             print("Total training time is", training_time)
 

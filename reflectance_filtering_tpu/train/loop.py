@@ -87,6 +87,59 @@ def _drain_chunk(pending, fan_out_metrics, maybe_checkpoint,
     maybe_checkpoint(st)
 
 
+def make_val_whdr_fn(net_cfg: NetworkConfig, X_val: Dict,
+                     batch_size: int = 20) -> Optional[Callable]:
+    """Live validation metric for fit(): mean exact WHDR (delta 0.1 —
+    the metric layer's pinned delta) of the val split under the current
+    params.
+
+    Realizes the reference's interleaved test phase: it schedules a test
+    net alongside training (train_with_barrista_helper.py:286-294) and
+    shows a live 'Test' WHDR field in the progressbar
+    (extend_monitoring.py:326-360).  Here the whole split is
+    device-resident and the sweep is ONE jitted scan, so an eval costs a
+    single device program instead of the reference's per-batch Python
+    callbacks.
+
+    Returns ``params -> float`` (WHDR fraction), or None for an empty
+    split.
+    """
+    from ..losses.whdr import whdr_per_image
+    images = np.asarray(X_val["images"], np.float32)
+    comps = np.asarray(X_val["comparisons"], np.float32)
+    n = images.shape[0]
+    if n == 0:
+        return None
+    bs = min(batch_size, n)
+    pad = (-n) % bs
+    if pad:  # wrap-pad to a batch multiple; padded rows masked below
+        images = np.concatenate([images, images[:pad]], axis=0)
+        comps = np.concatenate([comps, comps[:pad]], axis=0)
+    nb = images.shape[0] // bs
+    im_d = jnp.asarray(images.reshape((nb, bs) + images.shape[1:]))
+    cp_d = jnp.asarray(comps.reshape((nb, bs) + comps.shape[1:]))
+    mode = net_cfg.rs_est_mode.split("-")[0]
+
+    @jax.jit
+    def _eval(params):
+        def body(carry, xs):
+            im, cp = xs
+            blobs = apply_network(params, im, net_cfg, train=False)
+            if mode == "rDirectly":
+                refl = jax.nn.relu(blobs["RS_est"])
+            else:
+                refl, _ = recover_reflectance_shading(
+                    blobs["RS_est"], im, net_cfg.rs_est_mode)
+            return carry, whdr_per_image(refl, cp, 0.1)
+        _, w = jax.lax.scan(body, jnp.float32(0.0), (im_d, cp_d))
+        return jnp.mean(w.reshape(-1)[:n])
+
+    def val_whdr(params) -> float:
+        return float(_eval(params))
+
+    return val_whdr
+
+
 def make_optimizer(solver_type: str = "ADAM", base_lr: float = 0.001):
     """helper:447-460."""
     if solver_type in ("SGD", "sgd"):
@@ -273,7 +326,8 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         init_params=None, init_opt_state=None, base_samples: int = 0,
         callbacks=(), checkpointer=None,
         progress: Optional[Callable] = None,
-        on_checkpoint: Optional[Callable] = None) -> TrainState:
+        on_checkpoint: Optional[Callable] = None,
+        val_fn: Optional[Callable] = None) -> TrainState:
     """Train for ``iterations`` samples (the reference's unit, helper:286).
 
     X: {'images' [N,H,W,3], 'comparisons' [N,K+1,6][, 'augmented']} — the
@@ -366,7 +420,17 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         images_d = _wrap_pad(images)
         metric_d = _wrap_pad(metric_comps)
 
+    # live validation (reference: interleaved test phase + progressbar
+    # 'Test' field): evaluated at every checkpoint save, carried into
+    # the metric stream of all subsequent steps — the callbacks (jsonl
+    # log) and ProgressPrinter pick 'val_whdr' up from there.  Eval uses
+    # no RNG and reads nothing the trainer mutates, so batch order,
+    # per-step keys and resume equivalence are untouched.
+    last_val = [None]
+
     def fan_out_metrics(s_global, samples, host_metrics):
+        if last_val[0] is not None:
+            host_metrics.setdefault("val_whdr", last_val[0])
         # callbacks see the GLOBAL step so a resumed run keeps the step
         # sequence monotonic (JsonlLogger records / print cadence)
         for cb in callbacks:  # each: (step, metrics) -> metrics | None
@@ -380,8 +444,13 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         if checkpointer is not None:
             saved = checkpointer.maybe_save(st.samples, st.params,
                                             st.opt_state)
-            if saved and on_checkpoint is not None:
-                on_checkpoint(st.samples, st.params)
+            if saved:
+                if val_fn is not None:
+                    last_val[0] = val_fn(st.params)
+                    print("Validation WHDR at iteration {}: {:.2f}"
+                          .format(st.samples, 100.0 * last_val[0]))
+                if on_checkpoint is not None:
+                    on_checkpoint(st.samples, st.params)
 
     if on_device and num_steps > 0:
         # Scan-chunked trainer: k steps per device program, one host
@@ -470,6 +539,10 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
     if checkpointer is not None and num_steps > 0:
         saved = checkpointer.maybe_save(state.samples, state.params,
                                         state.opt_state, finalize=True)
-        if saved and on_checkpoint is not None:
-            on_checkpoint(state.samples, state.params)
+        if saved:
+            if val_fn is not None:
+                print("Validation WHDR at iteration {}: {:.2f}".format(
+                    state.samples, 100.0 * val_fn(state.params)))
+            if on_checkpoint is not None:
+                on_checkpoint(state.samples, state.params)
     return state

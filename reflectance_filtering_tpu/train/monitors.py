@@ -182,6 +182,12 @@ class ProgressPrinter:
         if "whdr_original" in metrics:
             parts.append("|WHDR: {0:5.2f}".format(
                 metrics["whdr_original"] * 100))
+        if "val_whdr" in metrics:
+            # live validation WHDR from the latest checkpoint (the
+            # reference progressbar's 'Test' field,
+            # extend_monitoring.py:326-360)
+            parts.append("|Test: {0:5.2f}".format(
+                metrics["val_whdr"] * 100))
         ra = metrics.get("running_average", np.nan)
         if not np.isnan(ra):
             parts.append("|RunAvg: {0:5.2f}".format(ra * 100))

@@ -401,3 +401,66 @@ def test_fit_dataset_smaller_than_batch_wraps(tiny_data):
     assert st.samples == 20
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(st.params))
+
+
+def test_fit_live_val_whdr(tiny_data, tmp_path):
+    """Live validation WHDR (reference: interleaved test phase +
+    progressbar 'Test' field): val_fn runs at every checkpoint save and
+    the value rides the metric stream of subsequent steps."""
+    from reflectance_filtering_tpu.train.loop import make_val_whdr_fn
+
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    # val split with a size that is NOT a batch multiple (exercises the
+    # wrap-pad + mask)
+    val = {"images": tiny_data["images"][:5],
+           "comparisons": tiny_data["comparisons"][:5]}
+    val_fn = make_val_whdr_fn(cfg, val, batch_size=4)
+    seen = []
+    evals = []
+
+    def spy(params):
+        v = val_fn(params)
+        evals.append(v)
+        return v
+
+    def track(step, samples, metrics):
+        seen.append((step, metrics.get("val_whdr")))
+
+    ck = Checkpointer(str(tmp_path), "d", interval=16)
+    fit(cfg, LossConfig(), tiny_data, iterations=48, batch_size=4,
+        base_lr=0.01, random_seed=0, checkpointer=ck, progress=track,
+        val_fn=spy)
+    # checkpoints at 16/32/48 samples -> three evals
+    assert len(evals) == 3
+    assert all(0.0 <= v <= 1.0 for v in evals)
+    # steps strictly after the first checkpoint carry val_whdr; the ones
+    # before it don't
+    before = [v for s, v in seen if s < 4]
+    after = [v for s, v in seen if s >= 5]
+    assert all(v is None for v in before)
+    assert after and all(v is not None for v in after)
+    assert after[0] == evals[0]
+
+
+def test_make_val_whdr_matches_direct_whdr(tiny_data):
+    """The scan-batched evaluator equals a direct per-image computation
+    (pad rows masked out)."""
+    from reflectance_filtering_tpu.train.loop import make_val_whdr_fn
+    from reflectance_filtering_tpu.losses.whdr import whdr_per_image
+    from reflectance_filtering_tpu.models.networks import apply_network
+
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(1), cfg)
+    val = {"images": tiny_data["images"][:5],
+           "comparisons": tiny_data["comparisons"][:5]}
+    got = make_val_whdr_fn(cfg, val, batch_size=2)(params)
+    blobs = apply_network(params, jnp.asarray(val["images"]), cfg,
+                          train=False)
+    refl = jax.nn.relu(blobs["RS_est"])
+    exp = float(jnp.mean(whdr_per_image(
+        refl, jnp.asarray(val["comparisons"]), 0.1)))
+    assert got == pytest.approx(exp, rel=1e-5, abs=1e-6)
