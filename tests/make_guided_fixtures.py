@@ -7,6 +7,13 @@ tests/test_guided_golden.py fails if either the product filters or the
 committed oracle drift; see guided_cpp_oracle.py's docstring for why a
 transcription oracle stands in for the unacquirable ximgproc binary.
 
+Provenance: on any machine WITH opencv-contrib,
+``python scripts/regen_guided_fixtures.py`` recomputes every out_* key
+from the real cv2.ximgproc.guidedFilter binary on these same inputs and
+diffs against the committed npz (``--write`` adopts the binary's
+outputs) — the one-command check that closes the transcription-risk gap
+the moment egress exists.
+
 Combos (VERDICT r2 item 1): r in {3, 45, 52}, eps in {3, 7}, gray and
 color guides.  r=3 runs on a 96x128 image (interior-dominated); r=45/52
 run on 128x160 (EVERY pixel is within r of a border there, so a wrong

@@ -86,3 +86,24 @@ def test_product_gray_guide_matches_fixtures(golden, radius, eps):
     got = guided_filter_u8(gg, src, radius, eps)
     _assert_within_one_level(got, golden["out_{}_gray".format(tag)],
                              tag + "_gray")
+
+
+def test_regen_script_import_guard():
+    """scripts/regen_guided_fixtures.py must run on any machine: with
+    opencv-contrib absent (this env) it exits 2 with a clear message;
+    with it present it diffs the committed fixtures against the real
+    binary (provenance contract, VERDICT r3 item 6)."""
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts",
+                                       "regen_guided_fixtures.py")],
+        capture_output=True, text=True, timeout=300)
+    import cv2
+    if hasattr(cv2, "ximgproc"):
+        assert p.returncode == 0, p.stdout + p.stderr
+        assert "worst max_diff" in p.stdout
+    else:
+        assert p.returncode == 2, p.stdout + p.stderr
+        assert "ximgproc" in p.stderr
