@@ -173,13 +173,21 @@ def fit_predict_net(args, results_dir: str):
     net_cfg = net_config_from_args(args)
     loss_cfg = loss_config_from_args(args)
 
-    # record the network architecture (the reference draws the caffe graph,
-    # networks.py:148-152; here the config is the graph)
+    # record the network architecture: config JSON + drawn layer DAG
+    # (the reference draws the caffe graph next to the prototxt,
+    # networks.py:148-152)
     os.makedirs(os.path.join(results_dir, "networks"), exist_ok=True)
     with open(os.path.join(results_dir, "networks",
                            net_params + ".json"), "w") as f:
         json.dump({"network_config": net_cfg.__dict__,
                    "loss_config": loss_cfg.__dict__}, f, indent=2)
+    try:
+        from ..models.draw import render_network_graph
+        render_network_graph(net_cfg, os.path.join(
+            results_dir, "networks", net_params + ".png"))
+    except Exception as err:  # noqa: BLE001 — an artifact, not the run
+        print("network graph rendering failed:", repr(err),
+              file=sys.stderr)
 
     iterations = args.iterations
     if iterations is None:

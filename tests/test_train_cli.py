@@ -68,8 +68,10 @@ def test_fit_lifecycle(dataset, tmp_path):
         lines = [json.loads(l) for l in f]
     assert len(lines) == 4  # 16 samples / batch 4
     assert "loss_whdr_hinge" in lines[0]
-    # networks dir records the architecture config
-    assert os.listdir(os.path.join(exp, "networks"))
+    # networks dir records the architecture config + drawn layer DAG
+    nets = os.listdir(os.path.join(exp, "networks"))
+    assert any(f.endswith(".json") for f in nets)
+    assert any(f.endswith(".png") for f in nets)
 
 
 def test_checkpoint_interval_rounds_to_batch_multiple(dataset, tmp_path):
