@@ -120,3 +120,15 @@ def test_whdr_gather_lowers():
     img = jnp.zeros((2, 64, 64, 1), jnp.float32)
     comps = jnp.zeros((2, 21, 6), jnp.float32)
     _lower(lambda a, b: whdr_batch(a, b), img, comps)
+
+
+def test_8k_product_chain_lowers():
+    """The bench gf_3x_8k stage's EXACT geometry (4320x7680, r=45, 3
+    iterations, u8 guide) through the product dispatch — the path that
+    crashed at 8K until aef6c4f.  ~35 s, but it is the one geometry the
+    driver artifact pins that no smaller lowering covers."""
+    from reflectance_filtering_tpu.ops.guided import guided_filter_iterated
+    g = jnp.zeros((1, 3, 4320, 7680), jnp.float32)
+    s = jnp.zeros((1, 1, 4320, 7680), jnp.float32)
+    _lower(lambda a, b: guided_filter_iterated(
+        a, b, 45, 3.0, 3, planar=True, guide_u8=True), g, s)
