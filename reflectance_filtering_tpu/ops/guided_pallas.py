@@ -137,12 +137,26 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     row_off/lane_off shift the band start when the input window begins
     above/left of the [-2r, ...) origin (aligned-halo layouts).
 
-    fold_row/fold_lane = (T, n, ext) select the PADLESS reflect-fold
-    bands instead (see _fold_band): T = tile origin (traced), n = frame
-    extent, ext = the canonical-scratch extension on that axis
-    (_padless_ext).  Fold bands are absolute-position-dependent, so
-    they are built per block; slices stay static at ext-shifted block
-    positions.
+    fold_row/fold_lane = (T, n, ext[, bin_, bout]) select the PADLESS
+    reflect-fold bands instead (see _fold_band): T = tile origin
+    (traced), n = frame extent, ext = the canonical-scratch extension
+    on that axis (_padless_ext).  bin_/bout give the INPUT and OUTPUT
+    base offsets below T: input index m holds frame position
+    T - bin_ - ext + m and output index c is position T - bout + c.
+    They default to the stage-A geometry (input = the haloed window at
+    T - tp_/lp_ - ext, output = the a,b field at T - r).  Stage B
+    passes (T, n, 0, r, 0): input = the field at T - r, output = the
+    tile at T.  Stage B MUST fold in padless mode — a plain band over
+    over-reflect field rows is only correct while every mirrored tap of
+    an out-of-frame field position stays inside that block's k-window,
+    which fails for th < 2r + 256 - tp_ (e.g. th=240 at r=45; found on
+    real TPU 2026-08-19, bottom ~40 rows off by up to 5 u8 levels).
+    Folding stage B instead reads only in-frame field rows — cv2's
+    BORDER_REFLECT box of a,b verbatim — and the out-of-frame field
+    rows (whose fold-band windows cannot see all their mirrored taps)
+    become weight-0 garbage.  Fold bands are absolute-position-
+    dependent, so they are built per block; slices stay static at
+    ext-shifted block positions.
     """
     r2 = w - 1
     r = r2 // 2
@@ -155,26 +169,28 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     # fold mode they also size the zero prefixes
     tp_, lp_ = r2 + (-r2) % 8, r2 + (-r2) % 128
     # Fold mode: operands arrive in the CANONICAL extended layout
-    # (scratch index m <-> frame x = T - pad - ext + m, see
-    # _padless_ext), so every slice below is STATIC at the ext-shifted
-    # block position and only the band ENTRIES are traced.  Out-of-frame
-    # band hits get weight 0 (x cuts in _fold_band): the canonical
-    # margins hold stale-but-finite data.
+    # (scratch index m <-> frame x = T - bin_ - ext + m), so every
+    # slice below is STATIC at the ext-shifted block position and only
+    # the band ENTRIES are traced.  Out-of-frame band hits get weight 0
+    # (x cuts in _fold_band): the canonical margins hold
+    # stale-but-finite data.
     if fold_lane is None:
         S = [_band_mat(r2, kb, g, transpose=False, off=lane_off)] * (
             tw // (g * 128))                    # rows pass (lanes axis)
     else:
-        Tl, nl, ext_l = fold_lane
-        S = [_fold_band(r, kb, g, False, Tl - lp_ + j * g * 128,
-                        Tl - r + j * g * 128, nl)
+        Tl, nl, ext_l = fold_lane[:3]
+        lbin, lbout = fold_lane[3:] if len(fold_lane) > 3 else (lp_, r)
+        S = [_fold_band(r, kb, g, False, Tl - lbin + j * g * 128,
+                        Tl - lbout + j * g * 128, nl)
              for j in range(tw // (g * 128))]
     if fold_row is None:
         M = [_band_mat(r2, kb, 1, transpose=True,
                        off=row_off)] * nblk     # cols pass (sublanes)
     else:
-        Tr, nr, ext_r = fold_row
-        M = [_fold_band(r, kb, 1, True, Tr - tp_ + i * 128,
-                        Tr - r + i * 128, nr)
+        Tr, nr, ext_r = fold_row[:3]
+        rbin, rbout = fold_row[3:] if len(fold_row) > 3 else (tp_, r)
+        M = [_fold_band(r, kb, 1, True, Tr - rbin + i * 128,
+                        Tr - rbout + i * 128, nr)
              for i in range(nblk)]
     scale = 1.0 / (w * w)
 
@@ -715,13 +731,28 @@ def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw,
         dst = scr.at[sl]
     else:
         hq, wq, ext_r, ext_l = clamp
-        r0 = jnp.clip(i2 * th - tp, 0, hq - rowsA)
-        l0 = jnp.clip(j2 * tw - lp, 0, wq - lanesA)
+        # Mosaic must PROVE the traced offsets divisible by the (8, 128)
+        # tiling, and its divisibility analysis does not see through a
+        # clip (real-TPU reject 2026-08-19: "Failed to prove that a tile
+        # index in dimension 2 is divisible by the tiling (8)").  All
+        # quantities are multiples of the tiling by construction
+        # (asserted below), so do the clamp arithmetic in TILING UNITS
+        # and multiply back at the end — the outermost constant multiply
+        # makes the divisibility trivially provable whatever the inner
+        # expression is.
+        assert th % 8 == 0 and tp % 8 == 0 and rowsA % 8 == 0 \
+            and hq % 8 == 0 and ext_r % 8 == 0
+        assert tw % 128 == 0 and lp % 128 == 0 and lanesA % 128 == 0 \
+            and wq % 128 == 0 and ext_l % 128 == 0
+        r0q = jnp.clip(i2 * (th // 8) - tp // 8, 0, (hq - rowsA) // 8)
+        l0q = jnp.clip(j2 * (tw // 128) - lp // 128, 0,
+                       (wq - lanesA) // 128)
+        r0, l0 = r0q * 8, l0q * 128
         # canonical landing spot: scratch row m <-> frame row
         # (T - TP - EXT) + m, so the data block starts at the traced
         # (8, 128)-aligned offset below
-        dr = r0 - i2 * th + tp + ext_r
-        dl = l0 - j2 * tw + lp + ext_l
+        dr = (r0q - i2 * (th // 8) + tp // 8) * 8 + ext_r
+        dl = (l0q - j2 * (tw // 128) + lp // 128) * 128 + ext_l
         dst = scr.at[sl, :, pl.ds(dr, rowsA), pl.ds(dl, lanesA)]
     return pltpu.make_async_copy(
         hbm.at[b2, :, pl.ds(r0, rowsA), pl.ds(l0, lanesA)],
@@ -859,7 +890,9 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
     a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
     bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
-    boxB = _mkbox_mxu(w, th, tw, thA)
+    boxB = _mkbox_mxu(w, th, tw, thA) if frame is None else _mkbox_mxu(
+        w, th, tw, thA, fold_row=(t_r, h_, 0, (w - 1) // 2, 0),
+        fold_lane=(t_l, wid_, 0, (w - 1) // 2, 0))
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
 
     def interior(v):
@@ -964,7 +997,9 @@ def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
                       fold_row=(t_r, h_, ext_r),
                       fold_lane=(t_l, wid_, ext_l))
     ir, il = tp + ext_r, lp + ext_l
-    boxB = _mkbox_mxu(w, th, tw, thA)
+    boxB = _mkbox_mxu(w, th, tw, thA,
+                      fold_row=(t_r, h_, 0, (w - 1) // 2, 0),
+                      fold_lane=(t_l, wid_, 0, (w - 1) // 2, 0))
     out_q[0, 0] = _gf_tile_math(I0, I1, I2, p, boxA, boxB, eps,
                                 ir, il, th, tw)
 
@@ -1082,7 +1117,9 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
     a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
     bf = m_p - a0 * stscr[0] - a1 * stscr[1] - a2 * stscr[2]
-    boxB = _mkbox_mxu(w, th, tw, thA)
+    boxB = _mkbox_mxu(w, th, tw, thA) if frame is None else _mkbox_mxu(
+        w, th, tw, thA, fold_row=(t_r, h_, 0, (w - 1) // 2, 0),
+        fold_lane=(t_l, wid_, 0, (w - 1) // 2, 0))
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
 
     def interior(v):
@@ -1333,7 +1370,9 @@ def _fused_gf_merged_kernel(ipad_hbm, ppad_hbm, out_qa, out_qb,
     boxA = _mkbox_mxu(w, thA, twA, rows_scr,
                       fold_row=(i * th, h_, ext_r),
                       fold_lane=(j * tw, wid_, ext_l))
-    boxB = _mkbox_mxu(w, th, tw, thA)
+    boxB = _mkbox_mxu(w, th, tw, thA,
+                      fold_row=(i * th, h_, 0, (w - 1) // 2, 0),
+                      fold_lane=(j * tw, wid_, 0, (w - 1) // 2, 0))
     val = _gf_tile_math(I0, I1, I2, p, boxA, boxB, eps,
                         tp + ext_r, lp + ext_l, th, tw)
 
@@ -1440,8 +1479,11 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     ALL iterations of a channel in ONE pallas_call (recompute stats,
     q ping-ponged between two HBM buffers — kills the per-call floor;
     RAISES when _merge_safe rejects the tiling, and iterations==1
-    dispatches to the single recompute call).  All modes are bitwise
-    identical (same box-dot grouping)."""
+    dispatches to the single recompute call).  All modes share the same
+    box-dot grouping; recompute/merged are bitwise identical (same
+    _gf_tile_math graph) while slots/cached-d may drift by ~1 ulp from
+    them at some geometries (different kernel graphs -> different FMA
+    contraction)."""
     if stats_mode not in ("slots", "cached-d", "recompute", "merged"):
         raise ValueError(
             "stats_mode must be slots|cached-d|recompute|merged, "

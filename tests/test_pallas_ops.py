@@ -373,6 +373,65 @@ def test_fold_band_entries_match_bruteforce():
                 assert mat[k, c] == want, (r, n, T, a, blk, k, c)
 
 
+def test_padless_composite_box_vs_oracle(rng):
+    """Canonical-scratch boxA (fold) -> boxB (fold) composite == oracle
+    reflect-box-of-reflect-box, per tile, PURE XLA (no pallas).
+
+    Regression for the dropped-mirror-tap bug (real TPU, 2026-08-19):
+    boxA's fold-band k-window [T - tp + 128i, +kb*128) cannot reach the
+    mirrored taps of far out-of-frame field positions when
+    th < 2r + 256 - tp (th=240 at r=45), so stage B must fold instead
+    of consuming over-reflect field rows.  The old small-geometry
+    parity tests (th=256, th=136) coincidentally satisfied the
+    inequality; every 4K-sweep row tiling (240/216/144) violates it.
+    """
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        _fused_geometry, _fused_offsets, _mkbox_mxu, _padless_ext)
+
+    def oracle_box2(plane, r):
+        w = 2 * r + 1
+        x = np.pad(plane.astype(np.float64), r, mode="symmetric")
+        c = np.pad(np.cumsum(np.cumsum(x, 0), 1), ((1, 0), (1, 0)))
+        h_, w_ = plane.shape
+        s = (c[w:w + h_, w:w + w_] - c[:h_, w:w + w_]
+             - c[w:w + h_, :w_] + c[:h_, :w_]) / (w * w)
+        return s
+
+    for h, wd, r, trs, tls in [(720, 1536, 45, 240, 768),
+                               (648, 1536, 45, 216, 768),
+                               (432, 1280, 45, 144, 640),
+                               (408, 1280, 52, 136, 640)]:
+        w = 2 * r + 1
+        geo = _fused_geometry(h, wd, r, trs, tls)
+        th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
+        assert nh * th == h and nw * tw == wd
+        assert h >= rowsA and wd >= lanesA
+        ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(geo, r)
+        tp, lp, _, _ = _fused_offsets(r)
+        plane = np.floor(rng.rand(h, wd) * 256).astype(np.float32)
+        want = oracle_box2(oracle_box2(plane, r), r)
+        for ti, tj in [(0, 0), (1, 0), (nh - 1, 0), (nh - 1, nw - 1),
+                       (0, nw - 1)]:
+            Tr, Tl = ti * th, tj * tw
+            scr = np.zeros((rows_scr, lanes_scr), np.float32)
+            r0 = min(max(Tr - tp, 0), h - rowsA)
+            l0 = min(max(Tl - lp, 0), wd - lanesA)
+            dr, dl = r0 - Tr + tp + ext_r, l0 - Tl + lp + ext_l
+            scr[dr:dr + rowsA, dl:dl + lanesA] = plane[r0:r0 + rowsA,
+                                                       l0:l0 + lanesA]
+            boxA = _mkbox_mxu(w, thA, twA, rows_scr,
+                              fold_row=(Tr, h, ext_r),
+                              fold_lane=(Tl, wd, ext_l))
+            field = boxA.multi([jnp.asarray(scr)])[0]
+            boxB = _mkbox_mxu(w, th, tw, thA,
+                              fold_row=(Tr, h, 0, r, 0),
+                              fold_lane=(Tl, wd, 0, r, 0))
+            got = np.asarray(boxB.multi([field])[0])
+            np.testing.assert_allclose(
+                got, want[Tr:Tr + th, Tl:Tl + tw], atol=0.02,
+                err_msg=str((h, wd, r, trs, tls, ti, tj)))
+
+
 def test_guided_fused_padless_fold_bands(rng):
     """PADLESS fused chain (exact-divide tiling + clamped windows +
     reflect-fold band matrices): matches the XLA reflect-padded chain on
@@ -381,9 +440,14 @@ def test_guided_fused_padless_fold_bands(rng):
     from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
     from reflectance_filtering_tpu.ops.guided_pallas import (
         _use_fused_mxu, guided_filter_fused_iterated)
+    # (720, 1536, 240, 768) is the regression geometry for the dropped-
+    # mirror-tap bug (th < 2r + 256 - tp, same tile shape as the 4K
+    # sweep's 240x768): nh=3 exercises top-clamped, interior AND
+    # bottom-clamped tiles — the nh=2 geometries cannot catch it
     for h, wd, r, trs, tls in [(272, 512, 8, 136, 128),
                                (512, 512, 45, 256, 256),
-                               (512, 512, 52, 256, 256)]:
+                               (512, 512, 52, 256, 256),
+                               (720, 1536, 45, 240, 768)]:
         assert _use_fused_mxu(h, r, None)
         I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
                         .astype(np.float32))
@@ -402,17 +466,23 @@ def test_guided_fused_padless_fold_bands(rng):
             tile_lanes=tls))
         np.testing.assert_array_equal(g8, got)
         # stats_mode="recompute" (no stats buffer) computes the same
-        # stats with the same dot grouping — bitwise vs slots mode
+        # stats with the same dot grouping.  The iter1/apply and
+        # recompute kernels are DIFFERENT graphs, so the compiler may
+        # contract a*b+c chains into FMAs differently — geometry-
+        # dependent 1-ulp drift (first seen at th=240; the older
+        # geometries happen to match bitwise).  Gate at a tight
+        # tolerance, not bitwise.
         rec = np.asarray(guided_filter_fused_iterated(
             I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
             stats_mode="recompute"))
-        np.testing.assert_array_equal(rec, got)
+        np.testing.assert_allclose(rec, got, rtol=0, atol=1e-3)
         # stats_mode="cached-d" (6-plane stats, means recomputed in the
-        # apply kernel with the same boxA grouping) — bitwise too
+        # apply kernel with the same boxA grouping) — same-kernel
+        # iteration 1, different apply graph: tight tolerance
         cd = np.asarray(guided_filter_fused_iterated(
             I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
             stats_mode="cached-d"))
-        np.testing.assert_array_equal(cd, got)
+        np.testing.assert_allclose(cd, got, rtol=0, atol=1e-3)
         # stats_mode="merged" RAISES on merge-UNSAFE tilings (these
         # small geometries all are) instead of silently mislabeling
         # recompute results; true merged runs are covered by
