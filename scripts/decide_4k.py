@@ -70,14 +70,14 @@ def main(path):
               "_AUTO_TILES=False.")
         return 0
     margin = (base[0] - best[0]) / base[0] * 100 if base else float("nan")
-    print("Winner: tiles (%d, %d) stats_mode=%r — %.2f ms vs base "
+    print("Winner: tiles (%s, %s) stats_mode=%r — %.2f ms vs base "
           "%.2f ms (%.1f%% faster)."
           % (best[2], best[3], best[4], best[0],
              base[0] if base else float("nan"), margin))
     print("Edits (guided_pallas.py):")
     print("  1. _AUTO_TILES = True")
-    print("  2. _pick_exact_tiles: put th=%d first in the row order, "
-          "tw=%d first in the lane order" % (best[2], best[3]))
+    print("  2. _pick_exact_tiles: put th=%s first in the row order, "
+          "tw=%s first in the lane order" % (best[2], best[3]))
     if best[4] != "slots":
         print("  3. default stats_mode=%r for the PADLESS branch only "
               "(keep slots for the padded path)" % best[4])

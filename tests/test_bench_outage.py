@@ -22,6 +22,12 @@ BENCH = os.path.join(REPO, "bench.py")
 def _run_bench(*argv):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "nonexistent_backend"
+    # The axon sitecustomize (gated on PALLAS_AXON_POOL_IPS) latches the
+    # platform at interpreter start, overriding JAX_PLATFORMS — with the
+    # tunnel UP the "unavailable backend" subprocess would happily run
+    # the real bench on the TPU for 300 s (observed 2026-08-19).
+    # Clearing the gate makes the env override effective again.
+    env["PALLAS_AXON_POOL_IPS"] = ""
     env["BENCH_INIT_RETRIES"] = "2"   # exercise the retry loop, fast
     env["BENCH_INIT_WAIT"] = "0"
     # with an unreachable backend jax.devices() HANGS rather than
