@@ -180,62 +180,34 @@ def run_gate():
     diffs["bf_gray_self_cv2"] = int(
         np.abs(got_bf.astype(np.int32) - exp_bf.astype(np.int32)).max())
 
-    # PADLESS band-tiled guided filter (the 4K/8K chain path) vs the
+    # Band-tiled fused guided filter (the 4K/8K chain path) vs the
     # fixture-anchored whole-plane dispatch on the same input — the
-    # committed fixtures can't cover every tiling, so gate the padless
-    # kernels (canonical scratch + fold bands, both stats modes) by
-    # consistency with the already-gated path, on-chip
+    # committed fixtures can't cover every tiling, so gate the fused
+    # kernels by consistency with the already-gated path, on-chip.
+    # 480 rows makes the default tile rule pick the 240-row tiles the
+    # product 4K path uses (exact divide, off-128-grid col blocks).
     from reflectance_filtering_tpu.ops.guided import guided_filter_planar
     from reflectance_filtering_tpu.ops.guided_pallas import (
-        guided_filter_fused_iterated)
+        _fused_geometry, guided_filter_fused_iterated)
+    assert _fused_geometry(480, 512, 45)[0] == 240  # 2160-class tiling
     rngp = np.random.RandomState(3)
-    gp_ = jnp.asarray(np.floor(rngp.rand(1, 3, 512, 512) * 256)
+    gp_ = jnp.asarray(np.floor(rngp.rand(1, 3, 480, 512) * 256)
                       .astype(np.float32))
-    sp_ = jnp.asarray(np.floor(rngp.rand(1, 1, 512, 512) * 256)
+    sp_ = jnp.asarray(np.floor(rngp.rand(1, 1, 480, 512) * 256)
                       .astype(np.float32))
-    from reflectance_filtering_tpu.ops import guided_pallas as _gp
     if jax.default_backend() == "tpu":
         ctx = contextlib.nullcontext()
     else:  # CPU fallback drive (verify skill): interpret the kernels
         from jax.experimental.pallas import tpu as pltpu
         ctx = pltpu.force_tpu_interpret_mode()
-    padless = {}
-    try:
-        with ctx:
-            # TWO iterations: iteration >= 2 is what exercises the
-            # cached-d APPLY kernel (mean recompute off the 6-plane
-            # stats) and merged's cross-iteration ping-pong reads —
-            # a 1-iteration run never executes those code paths
-            anchor = np.floor(np.asarray(guided_filter_planar(
-                gp_, guided_filter_planar(gp_, sp_, 45, 3.0),
-                45, 3.0)))
-            for mode in ("slots", "recompute", "cached-d"):
-                got_p = np.floor(np.asarray(
-                    guided_filter_fused_iterated(
-                        gp_, sp_, 45, 3.0, 2, guide_u8=True,
-                        tile_rows=256, tile_lanes=256,
-                        stats_mode=mode)))
-                padless["gf_padless_" + mode] = int(
-                    np.abs(got_p - anchor).max())
-            # merged single-call chain needs a _merge_safe tiling
-            # (256x256 on 512x512 would raise)
-            gm_ = jnp.concatenate([gp_, gp_[:, :, ::-1]], axis=2)
-            sm_ = jnp.concatenate([sp_, sp_[:, :, ::-1]], axis=2)
-            am = np.floor(np.asarray(guided_filter_planar(
-                gm_, guided_filter_planar(gm_, sm_, 45, 3.0),
-                45, 3.0)))
-            got_m = np.floor(np.asarray(
-                guided_filter_fused_iterated(
-                    gm_, sm_, 45, 3.0, 2, guide_u8=True,
-                    tile_rows=128, tile_lanes=256,
-                    stats_mode="merged")))
-            padless["gf_padless_merged"] = int(np.abs(got_m - am).max())
-    except Exception as err:  # noqa: BLE001
-        padless["gf_padless_error"] = repr(err)[:200]
-    if _gp._AUTO_TILES:
-        # padless IS the product 4K/8K path: its parity gates the bit
-        diffs.update({k: (v if isinstance(v, int) else 99)
-                      for k, v in padless.items()})
+    with ctx:
+        # TWO iterations so the apply kernel (iteration >= 2) runs too
+        anchor = np.floor(np.asarray(guided_filter_planar(
+            gp_, guided_filter_planar(gp_, sp_, 45, 3.0),
+            45, 3.0)))
+        got_p = np.floor(np.asarray(guided_filter_fused_iterated(
+            gp_, sp_, 45, 3.0, 2, guide_u8=True)))
+        diffs["gf_fused_240row"] = int(np.abs(got_p - anchor).max())
 
     # CNN -r.png byte path vs f64 numpy forward off the caffemodel blobs
     from reflectance_filtering_tpu.cli.decompose import ReflectanceCNN
@@ -261,9 +233,6 @@ def run_gate():
     diffs["cnn_r_png"] = int(np.abs(got_r - exp_r).max())
 
     ok = all(d <= 1 for d in diffs.values())
-    if not _gp._AUTO_TILES:
-        # experimental-path results reported but not gating
-        diffs.update(padless)
     return ok, diffs
 
 
@@ -464,42 +433,6 @@ def _run(profile_dir=None):
 
     t_4k = _contained("gf_3x_4k", _time_4k)
 
-    # PADLESS exact-divide chain (canonical-scratch fold-band kernels),
-    # reported ALONGSIDE the product dispatch until the on-chip sweep
-    # picks the default (CLAUDE.md playbook): 240x768 tiles a 4K frame
-    # with zero XLA glue and zero over-tail waste
-    from reflectance_filtering_tpu.ops.guided_pallas import (
-        guided_filter_fused_iterated)
-
-    def _time_4k_padless(mode):
-        @jax.jit
-        def chain_p(g, s, n):
-            def body(i, carry):
-                g, acc = carry
-                g = g.at[0, 0, 0, 0].mul(1.0 + 1e-12 * acc)
-                out = guided_filter_fused_iterated(
-                    g, s, 45, 3.0, 3, guide_u8=True, tile_rows=240,
-                    tile_lanes=768, stats_mode=mode)
-                return g, acc + out[0, 0, 0, 0] * 1e-9
-            return jax.lax.fori_loop(0, n, body,
-                                     (g, jnp.float32(0.0)))[1]
-
-        def run():
-            float(chain_p(g4k, s4k, reps))  # compile+warm
-            t0 = time.time()
-            float(chain_p(g4k, s4k, reps))
-            t_lo = time.time() - t0
-            t0 = time.time()
-            float(chain_p(g4k, s4k, 3 * reps))
-            return (time.time() - t0 - t_lo) / (2 * reps)
-
-        return run
-
-    t_4kp = _contained("gf_3x_4k_padless",
-                       _time_4k_padless("slots"))
-    t_4kr = _contained("gf_3x_4k_padless_recompute",
-                       _time_4k_padless("recompute"))
-
     # config 4b: the same 3x chain on one 8K frame — the resolution
     # where the u8 big-frame dispatch used to crash (fixed aef6c4f), so
     # the driver artifact pins it (VERDICT r3 item 4).  Product dispatch
@@ -597,12 +530,6 @@ def _run(profile_dir=None):
                 signal.signal(signal.SIGALRM, old_h)
         return run
 
-    # merged single-call chain: never yet compiled on real TPU, so it
-    # runs after every established stage (measure-script policy)
-    t_4km = _contained("gf_3x_4k_padless_merged",
-                       _alarmed("gf_3x_4k_padless_merged",
-                                _time_4k_padless("merged"), 1200))
-
     # on-chip parity bit: the golden gallery through the real TPU
     # dispatch (VERDICT r2 item 2) — a gate failure must not lose the
     # throughput numbers, so contain and report.  1800 s covers a
@@ -626,9 +553,6 @@ def _run(profile_dir=None):
         "bf_grid_fast_mps": _r(gridf_mps),
         "bf_grid_quality_mps": _r(gridq_mps),
         "gf_3x_4k_mps": _r(h4k * w4k / t_4k / 1e6),
-        "gf_3x_4k_padless_mps": _r(h4k * w4k / t_4kp / 1e6),
-        "gf_3x_4k_padless_recompute_mps": _r(h4k * w4k / t_4kr / 1e6),
-        "gf_3x_4k_padless_merged_mps": _r(h4k * w4k / t_4km / 1e6),
         "gf_3x_8k_mps": _r(h8k * w8k / t_8k / 1e6),
         "train_imgs_per_s": _r(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],

@@ -81,40 +81,6 @@ def _band_mat(r2: int, kb: int, g: int, transpose: bool, off: int = 0):
                      1.0, 0.0).astype(_BF)
 
 
-def _fold_band(r: int, kb: int, g: int, transpose: bool, xb, pb,
-               nax: int):
-    """Reflect-fold band block for the PADLESS path: entry (k, c) counts
-    the taps t in [P-r, P+r] whose BORDER_REFLECT image into [0, nax) is
-    frame index x = xb + k, where the output field position is
-    P = pb + c (xb, pb: traced per-tile/per-block scalar bases).
-    Entries are 0/1/2 (exact bf16): 2 where a tap and its mirror land on
-    the same source.  Every term carries 0 <= x < nax cuts, so
-    out-of-frame positions (which under the canonical scratch layout
-    hold stale-but-finite data, see _padless_ext) get weight 0 while
-    the fold terms count their taps on the mirrored in-frame sources;
-    columns therefore sum to w against real data and the 1/w^2 mean
-    normalization is unchanged.  Replaces materialized reflect margins:
-    the box-at-mirrored-position identity keeps halo a,b values
-    exact."""
-    kk, cc = (g + kb - 1) * 128, g * 128
-    shape = (cc, kk) if transpose else (kk, cc)
-    kax, cax = (1, 0) if transpose else (0, 1)
-    k = jax.lax.broadcasted_iota(jnp.int32, shape, kax)
-    c = jax.lax.broadcasted_iota(jnp.int32, shape, cax)
-    x = xb + k                            # frame index held by this row
-    P = pb + c                            # output field position
-    # every term requires 0 <= x < nax: under the canonical scratch
-    # layout, out-of-frame positions hold STALE (finite) data, not
-    # zeros — they must get weight 0 (their taps are counted on the
-    # mirrored in-frame sources)
-    main = (x >= P - r) & (x <= P + r) & (x <= nax - 1) & (x >= 0)
-    top = (x + P <= r - 1) & (x >= 0)     # t in [P-r, -1] -> -1-t == x
-    bot = ((x >= 2 * nax - 1 - P - r) & (x <= nax - 1) & (x >= 0)
-           & (x <= 2 * nax - 1 - (P - r)))   # t in [max(nax, P-r), P+r]
-    return (main.astype(F32) + top.astype(F32)
-            + bot.astype(F32)).astype(_BF)
-
-
 # Output blocks emitted per row-pass dot.  g > 1 trades extra MACs per
 # value (K = (g+kb-1)*128 instead of kb*128) for g x fewer MXU dots —
 # the per-dot issue overhead, not FLOPs, dominates these band matmuls.
@@ -122,8 +88,7 @@ _ROW_G = 2
 
 
 def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
-               row_off: int = 0, lane_off: int = 0,
-               fold_row=None, fold_lane=None):
+               row_off: int = 0, lane_off: int = 0):
     """Box factory for haloed [rows, lanes] tiles -> [th, tw] means.
 
     Requires tw % 128 == 0 and th % 8 == 0 (see _band_geometry_mxu); a
@@ -136,62 +101,17 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     pass, so the dot count per tile is ~14 instead of ~28 per plane.
     row_off/lane_off shift the band start when the input window begins
     above/left of the [-2r, ...) origin (aligned-halo layouts).
-
-    fold_row/fold_lane = (T, n, ext[, bin_, bout]) select the PADLESS
-    reflect-fold bands instead (see _fold_band): T = tile origin
-    (traced), n = frame extent, ext = the canonical-scratch extension
-    on that axis (_padless_ext).  bin_/bout give the INPUT and OUTPUT
-    base offsets below T: input index m holds frame position
-    T - bin_ - ext + m and output index c is position T - bout + c.
-    They default to the stage-A geometry (input = the haloed window at
-    T - tp_/lp_ - ext, output = the a,b field at T - r).  Stage B
-    passes (T, n, 0, r, 0): input = the field at T - r, output = the
-    tile at T.  Stage B MUST fold in padless mode — a plain band over
-    over-reflect field rows is only correct while every mirrored tap of
-    an out-of-frame field position stays inside that block's k-window,
-    which fails for th < 2r + 256 - tp_ (e.g. th=240 at r=45; found on
-    real TPU 2026-08-19, bottom ~40 rows off by up to 5 u8 levels).
-    Folding stage B instead reads only in-frame field rows — cv2's
-    BORDER_REFLECT box of a,b verbatim — and the out-of-frame field
-    rows (whose fold-band windows cannot see all their mirrored taps)
-    become weight-0 garbage.  Fold bands are absolute-position-
-    dependent, so they are built per block; slices stay static at
-    ext-shifted block positions.
     """
     r2 = w - 1
-    r = r2 // 2
     kb = 1 + -(-r2 // 128)
     g = _ROW_G if tw % (_ROW_G * 128) == 0 else 1
     nblk = -(-th // 128)                        # col-pass blocks (last may
     rows_rs = (nblk - 1) * 128 + kb * 128       # be partial); rows read
     kw = (g + kb - 1) * 128
-    # the tile's (8, 128)-aligned pads of the aligned-halo layout; in
-    # fold mode they also size the zero prefixes
-    tp_, lp_ = r2 + (-r2) % 8, r2 + (-r2) % 128
-    # Fold mode: operands arrive in the CANONICAL extended layout
-    # (scratch index m <-> frame x = T - bin_ - ext + m), so every
-    # slice below is STATIC at the ext-shifted block position and only
-    # the band ENTRIES are traced.  Out-of-frame band hits get weight 0
-    # (x cuts in _fold_band): the canonical margins hold
-    # stale-but-finite data.
-    if fold_lane is None:
-        S = [_band_mat(r2, kb, g, transpose=False, off=lane_off)] * (
-            tw // (g * 128))                    # rows pass (lanes axis)
-    else:
-        Tl, nl, ext_l = fold_lane[:3]
-        lbin, lbout = fold_lane[3:] if len(fold_lane) > 3 else (lp_, r)
-        S = [_fold_band(r, kb, g, False, Tl - lbin + j * g * 128,
-                        Tl - lbout + j * g * 128, nl)
-             for j in range(tw // (g * 128))]
-    if fold_row is None:
-        M = [_band_mat(r2, kb, 1, transpose=True,
-                       off=row_off)] * nblk     # cols pass (sublanes)
-    else:
-        Tr, nr, ext_r = fold_row[:3]
-        rbin, rbout = fold_row[3:] if len(fold_row) > 3 else (tp_, r)
-        M = [_fold_band(r, kb, 1, True, Tr - rbin + i * 128,
-                        Tr - rbout + i * 128, nr)
-             for i in range(nblk)]
+    S = [_band_mat(r2, kb, g, transpose=False, off=lane_off)] * (
+        tw // (g * 128))                        # rows pass (lanes axis)
+    M = [_band_mat(r2, kb, 1, transpose=True,
+                   off=row_off)] * nblk         # cols pass (sublanes)
     scale = 1.0 / (w * w)
 
     def dot_split(a, b, lhs_split):
@@ -207,24 +127,22 @@ def _mkbox_mxu(w: int, th: int, tw: int, rows: int,
     def box_multi(planes):
         p = len(planes)
         x = planes[0] if p == 1 else jnp.concatenate(planes, axis=0)
-        rbase = 0 if fold_row is None else ext_r
-        lbase = 0 if fold_lane is None else ext_l
         blocks = []
         for j in range(tw // (g * 128)):
-            sl = x[:, lbase + j * g * 128:lbase + j * g * 128 + kw]
+            sl = x[:, j * g * 128:j * g * 128 + kw]
             blocks.append(dot_split(sl, S[j], lhs_split=True))
         rs = jnp.concatenate(blocks, axis=1)        # [p*rows, tw]
         # restack planes along lanes so the col pass shares dots too
         if p > 1:
             rs = jnp.concatenate(
                 [rs[i * rows:(i + 1) * rows] for i in range(p)], axis=1)
-        if rbase + rows_rs > rows:
+        if rows_rs > rows:
             rs = jnp.concatenate(
-                [rs, jnp.zeros((rbase + rows_rs - rows, p * tw), F32)],
+                [rs, jnp.zeros((rows_rs - rows, p * tw), F32)],
                 axis=0)
         outs = []
         for i in range(nblk):
-            sl = rs[rbase + i * 128:rbase + i * 128 + kb * 128, :]
+            sl = rs[i * 128:i * 128 + kb * 128, :]
             outs.append(dot_split(M[i], sl, lhs_split=False))
         out = jnp.concatenate(outs, axis=0)[:th] * scale  # [th, p*tw]
         if p == 1:
@@ -568,46 +486,22 @@ def _use_fused_mxu(h: int, radius: int, th) -> bool:
     return th is None and 8 <= radius <= 64 and h >= 256
 
 
-# Flip to True once the padless exact-divide tilings are measured on
-# chip (see /tmp/measure_4k_tilings.py protocol in the working notes):
-# auto-picks an exact-divide tiling so 4K/8K frames take the PADLESS
-# path by default.
-_AUTO_TILES = False
-
-
-def _pick_exact_tiles(h: int, wid: int, radius: int):
-    """First exact-divide (tile_rows, tile_lanes) whose clamped windows
-    fit the bare frame, in measured preference order; None if none.
-    Candidate order is seeded by the 4K sweep (2026-08-17)."""
-    for trs in (240, 256, 216, 232, 224, 208, 192, 144, 176, 160, 128):
-        if h % trs:
-            continue
-        # 768 before 1280: the 1280 padless windows + stats slots sit
-        # near the VMEM ceiling (estimate ~110 of 116 MB in slots mode)
-        for tls in (1024, 768, 896, 640, 1280, 1152, 512, 1408, 384,
-                    256, 128):
-            if wid % tls:
-                continue
-            geo = _fused_geometry(h, wid, radius, trs, tls)
-            _, _, _, _, rowsA, lanesA, _, _ = geo
-            if h >= rowsA and wid >= lanesA:
-                return trs, tls
-    return None
-
-
 def _fused_geometry(h: int, wid: int, radius: int,
                     tile_rows: int = None, tile_lanes: int = None):
     """th, tw: output tile; thA, twA: stage-A (a,b field) region, covering
     [-r, th+r) x [-r, tw+r); rowsA, lanesA: haloed DMA window (2r).
 
-    tile_rows/tile_lanes override the defaults (mult of 8 / 128) — an
-    exact-divide tiling (e.g. 240x1280 on a 2160x3840 frame) removes the
-    over-tail tile waste and lets the last chain iteration emit the
-    plain layout with no output slice."""
+    tile_rows/tile_lanes override the defaults (mult of 8 / 128).  The
+    default tile rows drop from 256 to 240 when that does NOT add a
+    tile row: at 2160 rows (4K) both need 9 tiles but 240 pads zero
+    rows vs 144 dead rows for 256 — measured 3% faster on the 4K chain
+    (7.00 vs 7.14 ms best-of-3, 2026-08-19).  When 240 would add a
+    tile (4320 rows: 18 vs 17), the extra per-tile cost outweighs the
+    small waste — 256 measured 5% faster at 8K (26.4 vs 27.8 ms)."""
     def up(v, m):
         return -(-v // m) * m
     kb = 1 + -(-2 * radius // 128)
-    th = tile_rows or 256
+    th = tile_rows or (240 if -(-h // 240) == -(-h // 256) else 256)
     tw = tile_lanes or min(up(wid, 128), 1024)
     thA = up(th + 2 * radius, 128)
     twA = up(tw + 2 * radius, 128)
@@ -633,29 +527,6 @@ def _fused_offsets(radius: int):
     row_off = (-r2) % 8
     lane_off = (-r2) % 128
     return r2 + row_off, r2 + lane_off, row_off, lane_off
-
-
-def _padless_ext(geo, radius: int):
-    """Canonical-scratch extents for the PADLESS path.
-
-    The window DMA lands at a traced destination offset inside an
-    EXTENDED scratch so that scratch row m always maps to frame row
-    (T - TP - EXT) + m regardless of the clamp — every in-kernel slice
-    is then static and only the fold-band ENTRIES are traced (Pallas TPU
-    has no dynamic_slice lowering for values).  ext_r/ext_l absorb the
-    worst clamp shift (bottom/right tiles pinned to frame end); the
-    scratch also covers the static col/row pass slice reach."""
-    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    tp, lp, _, _ = _fused_offsets(radius)
-    r2 = 2 * radius
-    kb = 1 + -(-r2 // 128)
-    nblk = -(-thA // 128)
-    rows_rs = (nblk - 1) * 128 + kb * 128
-    ext_r = -(-(thA - th) // 8) * 8
-    ext_l = -(-(twA - tw) // 128) * 128
-    rows_scr = ext_r + max(rowsA + tp, rows_rs)
-    lanes_scr = ext_l + lp + lanesA
-    return ext_r, ext_l, rows_scr, lanes_scr
 
 
 def _pad_fused(x, radius: int, geo, h: int, wid: int):
@@ -712,51 +583,16 @@ def _fill_margins(buf, radius: int, geo, h: int, wid: int):
     return buf
 
 
-def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw,
-                     clamp=None, tp=0, lp=0):
-    """Start the async fetch of tile tt's haloed window.
-
-    Padded layout (clamp=None): the window starts at (i*th, j*tw) of the
-    TP/LP-padded buffer.  PADLESS (clamp=(Hq, Wq)): the window starts at
-    the in-bounds clamp of (i*th - TP, j*tw - LP) into the unpadded
-    buffer — all quantities are multiples of (8, 128), so the clamped
-    start stays aligned; the kernel compensates via per-tile fold bands
-    and a dynamic interior slice."""
+def _prefetch_window(hbm, scr, sem, tt, sl, th, tw, rowsA, lanesA, nh, nw):
+    """Start the async fetch of tile tt's haloed window: it starts at
+    (i*th, j*tw) of the TP/LP-padded buffer (see _fused_offsets)."""
     b2 = tt // (nh * nw)
     rr = tt % (nh * nw)
     i2 = rr // nw
     j2 = rr % nw
-    if clamp is None:
-        r0, l0 = i2 * th, j2 * tw
-        dst = scr.at[sl]
-    else:
-        hq, wq, ext_r, ext_l = clamp
-        # Mosaic must PROVE the traced offsets divisible by the (8, 128)
-        # tiling, and its divisibility analysis does not see through a
-        # clip (real-TPU reject 2026-08-19: "Failed to prove that a tile
-        # index in dimension 2 is divisible by the tiling (8)").  All
-        # quantities are multiples of the tiling by construction
-        # (asserted below), so do the clamp arithmetic in TILING UNITS
-        # and multiply back at the end — the outermost constant multiply
-        # makes the divisibility trivially provable whatever the inner
-        # expression is.
-        assert th % 8 == 0 and tp % 8 == 0 and rowsA % 8 == 0 \
-            and hq % 8 == 0 and ext_r % 8 == 0
-        assert tw % 128 == 0 and lp % 128 == 0 and lanesA % 128 == 0 \
-            and wq % 128 == 0 and ext_l % 128 == 0
-        r0q = jnp.clip(i2 * (th // 8) - tp // 8, 0, (hq - rowsA) // 8)
-        l0q = jnp.clip(j2 * (tw // 128) - lp // 128, 0,
-                       (wq - lanesA) // 128)
-        r0, l0 = r0q * 8, l0q * 128
-        # canonical landing spot: scratch row m <-> frame row
-        # (T - TP - EXT) + m, so the data block starts at the traced
-        # (8, 128)-aligned offset below
-        dr = (r0q - i2 * (th // 8) + tp // 8) * 8 + ext_r
-        dl = (l0q - j2 * (tw // 128) + lp // 128) * 128 + ext_l
-        dst = scr.at[sl, :, pl.ds(dr, rowsA), pl.ds(dl, lanesA)]
     return pltpu.make_async_copy(
-        hbm.at[b2, :, pl.ds(r0, rowsA), pl.ds(l0, lanesA)],
-        dst, sem.at[sl])
+        hbm.at[b2, :, pl.ds(i2 * th, rowsA), pl.ds(j2 * tw, lanesA)],
+        scr.at[sl], sem.at[sl])
 
 
 def _q_copy(out_q, qscr, qsem, tt, geo, tp, lp):
@@ -800,51 +636,29 @@ def _emit_q(out_q, qscr, qsem, t, nsteps, val, geo, tp, lp):
 
 
 def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
-                     isem, psem, qscr=None, qsem=None, *, w: int, geo,
-                     frame=None, cached_d: bool = False):
+                     isem, psem, qscr=None, qsem=None, *, w: int, geo):
     """One guided-filter application: a,b on the [-r, th+r) halo region,
     then mean_a, mean_b boxed down to the [th, tw] output tile.  The
     final q = mean_a . I + mean_b reads the interior guide straight out
     of the haloed window already in VMEM (aligned at (TP, LP), see
     _fused_offsets) — no separate unpadded-guide operand.  With
     qscr/qsem present, out_q is the PADDED layout and q is emitted by
-    manual DMA (see _q_copy).  frame=(h, wid, Hq, Wq) selects the
-    PADLESS mode: windows are clamped into the unpadded (Hq, Wq)
-    buffers and the boxes use reflect-fold bands (_fold_band).
-
-    cached_d: st_ref carries only the 6 cofactor*inv_det planes and the
-    3 guide means are recomputed here from the guide window already in
-    VMEM — -33% stats HBM traffic for +3 of the tile's plane-boxes.
-    The recomputed means use the same boxA grouping iter1 used, so the
-    result is BITWISE identical to slots mode."""
+    manual DMA (see _q_copy)."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(0) * nh * nw
     t = (b * nh + i) * nw + j
     slot = jax.lax.rem(t, 2)
     tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
-    if frame is None:
-        clamp = None
-    else:
-        ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(
-            geo, (w - 1) // 2)
-        clamp = frame[2:] + (ext_r, ext_l)
 
     def fetch(tt, isl):
         return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw,
-                                 clamp, tp, lp),
+                                 th, tw, rowsA, lanesA, nh, nw),
                 _prefetch_window(ppad_hbm, pscr, psem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw,
-                                 clamp, tp, lp))
+                                 th, tw, rowsA, lanesA, nh, nw))
 
     @pl.when(t == 0)
     def _():
-        if frame is not None:
-            # fold-band zero-weight positions must hold FINITE data:
-            # junk now, stale window data thereafter
-            iscr[...] = jnp.zeros(iscr.shape, iscr.dtype)
-            pscr[...] = jnp.zeros(pscr.shape, pscr.dtype)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -862,27 +676,13 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     I1 = iscr[slot, 1].astype(jnp.float32)
     I2 = iscr[slot, 2].astype(jnp.float32)
     p = pscr[slot, 0]
-    if frame is None:
-        boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off,
-                          lane_off=l_off)
-        ir, il = tp, lp                     # interior offset in window
-    else:
-        h_, wid_, hq, wq = frame
-        t_r, t_l = i * th, j * tw
-        boxA = _mkbox_mxu(w, thA, twA, rows_scr,
-                          fold_row=(t_r, h_, ext_r),
-                          fold_lane=(t_l, wid_, ext_l))
-        ir, il = tp + ext_r, lp + ext_l     # canonical: static
+    boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off,
+                      lane_off=l_off)
+    ir, il = tp, lp                         # interior offset in window
     m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
-    if cached_d:
-        # same boxA.multi grouping as iter1's means -> bitwise equal
-        m0, m1, m2 = boxA.multi([I0, I1, I2])
-        d00, d01, d02 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
-        d11, d12, d22 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
-    else:
-        m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
-        d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
-        d11, d12, d22 = st_ref[0, 6], st_ref[0, 7], st_ref[0, 8]
+    m0, m1, m2 = st_ref[0, 0], st_ref[0, 1], st_ref[0, 2]
+    d00, d01, d02 = st_ref[0, 3], st_ref[0, 4], st_ref[0, 5]
+    d11, d12, d22 = st_ref[0, 6], st_ref[0, 7], st_ref[0, 8]
     cov0 = bip0 - m0 * m_p
     cov1 = bip1 - m1 * m_p
     cov2 = bip2 - m2 * m_p
@@ -890,9 +690,7 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
     a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
     a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
     bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
-    boxB = _mkbox_mxu(w, th, tw, thA) if frame is None else _mkbox_mxu(
-        w, th, tw, thA, fold_row=(t_r, h_, 0, (w - 1) // 2, 0),
-        fold_lane=(t_l, wid_, 0, (w - 1) // 2, 0))
+    boxB = _mkbox_mxu(w, th, tw, thA)
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
 
     def interior(v):
@@ -906,153 +704,40 @@ def _fused_gf_kernel(ipad_hbm, ppad_hbm, st_ref, out_q, iscr, pscr,
         _emit_q(out_q, qscr, qsem, t, nsteps, val, geo, tp, lp)
 
 
-def _gf_tile_math(I0, I1, I2, p, boxA, boxB, eps, ir, il, th, tw):
-    """Full GF tile computation with in-kernel guide stats: moments,
-    cofactor solve, a,b, then box(a,b) -> q over the interior guide.
-    Shared by the recompute and merged kernels (identical op sequence,
-    so their outputs stay bitwise equal)."""
-    m0, m1, m2 = boxA.multi([I0, I1, I2])
-    b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
-    b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
-    rr = b00 - m0 * m0 + eps
-    rg = b01 - m0 * m1
-    rb = b02 - m0 * m2
-    gg = b11 - m1 * m1 + eps
-    gb = b12 - m1 * m2
-    bb = b22 - m2 * m2 + eps
-    c00 = gg * bb - gb * gb
-    c01 = gb * rb - rg * bb
-    c02 = rg * gb - gg * rb
-    c11 = rr * bb - rb * rb
-    c12 = rb * rg - rr * gb
-    c22 = rr * gg - rg * rg
-    inv_det = 1.0 / (rr * c00 + rg * c01 + rb * c02)
-    d00, d01, d02 = c00 * inv_det, c01 * inv_det, c02 * inv_det
-    d11, d12, d22 = c11 * inv_det, c12 * inv_det, c22 * inv_det
-    m_p, bip0, bip1, bip2 = boxA.multi([p, I0 * p, I1 * p, I2 * p])
-    cov0 = bip0 - m0 * m_p
-    cov1 = bip1 - m1 * m_p
-    cov2 = bip2 - m2 * m_p
-    a0 = d00 * cov0 + d01 * cov1 + d02 * cov2
-    a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
-    a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
-    bf = m_p - a0 * m0 - a1 * m1 - a2 * m2
-    ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
-
-    def interior(v):
-        return v[ir:ir + th, il:il + tw]
-
-    return (ma0 * interior(I0) + ma1 * interior(I1) +
-            ma2 * interior(I2) + mb)
-
-
-def _fused_gf_recompute_kernel(ipad_hbm, ppad_hbm, out_q, iscr, pscr,
-                               isem, psem, *, w: int, eps: float, geo,
-                               frame):
-    """One GF application with the guide statistics recomputed in-kernel
-    from the guide windows the apply already fetches — NO stats buffer.
-    The slots layout moves ~16 MB/tile each way at 4K (~573 MB/call,
-    comparable to the box dots themselves); this trades that traffic
-    for ~2.1x the box-dot work.  PADLESS only: every chain iteration
-    runs this same kernel, plain-layout q feeding the next."""
-    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    nsteps = pl.num_programs(0) * nh * nw
-    t = (b * nh + i) * nw + j
-    slot = jax.lax.rem(t, 2)
-    tp, lp, _, _ = _fused_offsets((w - 1) // 2)
-    ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(geo, (w - 1) // 2)
-    clamp = frame[2:] + (ext_r, ext_l)
-
-    def fetch(tt, isl):
-        return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw,
-                                 clamp, tp, lp),
-                _prefetch_window(ppad_hbm, pscr, psem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw,
-                                 clamp, tp, lp))
-
-    @pl.when(t == 0)
-    def _():
-        iscr[...] = jnp.zeros(iscr.shape, iscr.dtype)
-        pscr[...] = jnp.zeros(pscr.shape, pscr.dtype)
-        for cp in fetch(t, slot):
-            cp.start()
-
-    @pl.when(t + 1 < nsteps)
-    def _():
-        for cp in fetch(t + 1, 1 - slot):
-            cp.start()
-
-    for cp in fetch(t, slot):
-        cp.wait()
-
-    I0 = iscr[slot, 0].astype(jnp.float32)
-    I1 = iscr[slot, 1].astype(jnp.float32)
-    I2 = iscr[slot, 2].astype(jnp.float32)
-    p = pscr[slot, 0]
-    h_, wid_, hq, wq = frame
-    t_r, t_l = i * th, j * tw
-    boxA = _mkbox_mxu(w, thA, twA, rows_scr,
-                      fold_row=(t_r, h_, ext_r),
-                      fold_lane=(t_l, wid_, ext_l))
-    ir, il = tp + ext_r, lp + ext_l
-    boxB = _mkbox_mxu(w, th, tw, thA,
-                      fold_row=(t_r, h_, 0, (w - 1) // 2, 0),
-                      fold_lane=(t_l, wid_, 0, (w - 1) // 2, 0))
-    out_q[0, 0] = _gf_tile_math(I0, I1, I2, p, boxA, boxB, eps,
-                                ir, il, th, tw)
-
-
 def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
                            iscr, pscr, stscr, isem, psem, stsem,
                            qscr=None, qsem=None,
-                           *, w: int, eps: float, geo, frame=None,
-                           cached_d: bool = False):
+                           *, w: int, eps: float, geo):
     """First GF iteration: guide stats computed in-kernel (into the
     per-tile haloed slot layout), DMA'd out for later iterations, and
     used immediately for a,b -> q — one kernel instead of stats+apply.
     The stats scratch doubles as the m/d working planes, and its HBM
-    write drains while the apply-phase dots run.  cached_d: only the 6
-    d-planes ship to HBM (the scratch keeps all 9 locally — zero
-    kernel-logic change); later iterations recompute the means."""
+    write drains while the apply-phase dots run."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(0) * nh * nw
     t = (b * nh + i) * nw + j
     slot = jax.lax.rem(t, 2)
     tp, lp, r_off, l_off = _fused_offsets((w - 1) // 2)
-    if frame is None:
-        clamp = None
-    else:
-        ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(
-            geo, (w - 1) // 2)
-        clamp = frame[2:] + (ext_r, ext_l)
 
     def st_copy(tt):
         b2 = tt // (nh * nw)
         rr = tt % (nh * nw)
         i2 = rr // nw
         j2 = rr % nw
-        src = stscr.at[pl.ds(3, 6)] if cached_d else stscr
         return pltpu.make_async_copy(
-            src,
+            stscr,
             st_hbm.at[b2, :, pl.ds(i2 * thA, thA), pl.ds(j2 * twA, twA)],
             stsem)
 
     def fetch(tt, isl):
         return (_prefetch_window(ipad_hbm, iscr, isem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw,
-                                 clamp, tp, lp),
+                                 th, tw, rowsA, lanesA, nh, nw),
                 _prefetch_window(ppad_hbm, pscr, psem, tt, isl,
-                                 th, tw, rowsA, lanesA, nh, nw,
-                                 clamp, tp, lp))
+                                 th, tw, rowsA, lanesA, nh, nw))
 
     @pl.when(t == 0)
     def _():
-        if frame is not None:
-            iscr[...] = jnp.zeros(iscr.shape, iscr.dtype)
-            pscr[...] = jnp.zeros(pscr.shape, pscr.dtype)
         for cp in fetch(t, slot):
             cp.start()
 
@@ -1074,17 +759,9 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     I1 = iscr[slot, 1].astype(jnp.float32)
     I2 = iscr[slot, 2].astype(jnp.float32)
     p = pscr[slot, 0]
-    if frame is None:
-        boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off,
-                          lane_off=l_off)
-        ir, il = tp, lp
-    else:
-        h_, wid_, hq, wq = frame
-        t_r, t_l = i * th, j * tw
-        boxA = _mkbox_mxu(w, thA, twA, rows_scr,
-                          fold_row=(t_r, h_, ext_r),
-                          fold_lane=(t_l, wid_, ext_l))
-        ir, il = tp + ext_r, lp + ext_l
+    boxA = _mkbox_mxu(w, thA, twA, rowsA, row_off=r_off,
+                      lane_off=l_off)
+    ir, il = tp, lp
     m0, m1, m2 = boxA.multi([I0, I1, I2])
     b00, b01, b02 = boxA.multi([I0 * I0, I0 * I1, I0 * I2])
     b11, b12, b22 = boxA.multi([I1 * I1, I1 * I2, I2 * I2])
@@ -1117,9 +794,7 @@ def _fused_gf_iter1_kernel(ipad_hbm, ppad_hbm, st_hbm, out_q,
     a1 = d01 * cov0 + d11 * cov1 + d12 * cov2
     a2 = d02 * cov0 + d12 * cov1 + d22 * cov2
     bf = m_p - a0 * stscr[0] - a1 * stscr[1] - a2 * stscr[2]
-    boxB = _mkbox_mxu(w, th, tw, thA) if frame is None else _mkbox_mxu(
-        w, th, tw, thA, fold_row=(t_r, h_, 0, (w - 1) // 2, 0),
-        fold_lane=(t_l, wid_, 0, (w - 1) // 2, 0))
+    boxB = _mkbox_mxu(w, th, tw, thA)
     ma0, ma1, ma2, mb = boxB.multi([a0, a1, a2, bf])
 
     def interior(v):
@@ -1160,28 +835,23 @@ def _q_out(n, geo, padded_shape):
              pltpu.SemaphoreType.DMA((2,))])
 
 
-def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
-                      frame=None, cached_d=False):
+def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None):
     """One kernel: guide stats (emitted in the haloed slot layout for
     later iterations) + the first a,b -> q application."""
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    rs_, ls_ = rowsA, lanesA
-    if frame is not None:
-        _, _, rs_, ls_ = _padless_ext(geo, (w - 1) // 2)
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
-    nst = 6 if cached_d else 9
     return pl.pallas_call(
         functools.partial(_fused_gf_iter1_kernel, w=w, eps=float(eps),
-                          geo=geo, frame=frame, cached_d=cached_d),
-        out_shape=(jax.ShapeDtypeStruct((n, nst, nh * thA, nw * twA),
+                          geo=geo),
+        out_shape=(jax.ShapeDtypeStruct((n, 9, nh * thA, nw * twA),
                                         jnp.float32),
                    qshape),
         grid=(n, nh, nw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY), qspec],
-        scratch_shapes=[pltpu.VMEM((2, 3, rs_, ls_), ipad.dtype),
-                        pltpu.VMEM((2, 1, rs_, ls_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
+                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
                         pltpu.VMEM((9, thA, twA), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
@@ -1190,259 +860,21 @@ def _fused_iter1_call(ipad, ppad, n, geo, w, eps, padded_shape=None,
     )(ipad, ppad)
 
 
-def _fused_recompute_call(ipad, ppad, n, geo, w, eps, frame):
-    """PADLESS stats-free application: plain-layout q out, no stats
-    operand or output."""
+def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None):
     th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    _, _, rows_scr, lanes_scr = _padless_ext(geo, (w - 1) // 2)
-    qshape, qspec, _ = _q_out(n, geo, None)
-    return pl.pallas_call(
-        functools.partial(_fused_gf_recompute_kernel, w=w,
-                          eps=float(eps), geo=geo, frame=frame),
-        out_shape=qshape,
-        grid=(n, nh, nw),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=qspec,
-        scratch_shapes=[pltpu.VMEM((2, 3, rows_scr, lanes_scr),
-                                   ipad.dtype),
-                        pltpu.VMEM((2, 1, rows_scr, lanes_scr),
-                                   jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,))],
-        compiler_params=_VMEM_FUSED,
-    )(ipad, ppad)
-
-
-def _merge_safe(geo, radius: int, h: int, wid: int) -> bool:
-    """True when the merged multi-iteration kernel's cross-iteration
-    DMA pipelining is hazard-free BY GEOMETRY.
-
-    In the merged kernel, q writes are double-buffered: while iteration
-    k+1's first tiles fetch their (clamped, haloed) read windows from
-    iteration k's q buffer, up to the last THREE tiles of iteration k
-    may still have writes in flight.  Precisely: the prefetch for step
-    s is issued at the TOP of step s-1 and waited at the top of step s,
-    so it races writes s-3 and s-2 (in flight when issued, drained at
-    steps s-1/s) AND write s-1 (started at the END of step s-1, while
-    the prefetch may still be running).  A write races a read only
-    cross-buffer — write in iteration k, read in k+1 — so for reader
-    tiles {0, 1, 2} of k+1 the racing same-buffer writes are always a
-    subset of iteration k's LAST THREE tiles (s-1 for readers 1, 2 is
-    a k+1 tile writing the OTHER buffer).  The race is harmless iff
-    the read windows of tiles {0, 1, 2} cannot intersect the output
-    tiles {last 3} — a static property of the tiling, checked here
-    with plain ints.  The product 4K/8K tilings pass by a huge margin
-    (top-of-frame windows vs bottom-of-frame writes)."""
-    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    tp, lp, _, _ = _fused_offsets(radius)
-    tiles = nh * nw
-
-    def window(s):
-        i2, j2 = s // nw, s % nw
-        r0 = min(max(i2 * th - tp, 0), h - rowsA)
-        l0 = min(max(j2 * tw - lp, 0), wid - lanesA)
-        return r0, r0 + rowsA, l0, l0 + lanesA
-
-    def tile(s):
-        i2, j2 = s // nw, s % nw
-        return i2 * th, (i2 + 1) * th, j2 * tw, (j2 + 1) * tw
-
-    for s in range(min(3, tiles)):
-        for wt in range(max(0, tiles - 3), tiles):
-            r0, r1, l0, l1 = window(s)
-            wr0, wr1, wl0, wl1 = tile(wt)
-            if not (r1 <= wr0 or wr1 <= r0 or l1 <= wl0 or wl1 <= l0):
-                return False
-    return True
-
-
-def _fused_gf_merged_kernel(ipad_hbm, ppad_hbm, out_qa, out_qb,
-                            iscr, pscr, qscr, isem, psem, qsem,
-                            *, w: int, eps: float, geo, frame,
-                            iterations: int):
-    """The WHOLE iterated chain in one pallas_call: grid
-    (n, iterations, nh, nw), stats recomputed per tile (no stats
-    buffer), q ping-ponged between two plain-layout HBM buffers —
-    iteration it writes qa if it is even else qb, and iterations >= 1
-    read the other buffer (iteration 0 reads the src operand).  Kills
-    the per-pallas_call launch/pipeline-warmup floor of the 3-call
-    chain.  PADLESS only, and only for tilings where _merge_safe
-    proves the cross-iteration prefetch race impossible."""
-    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    b, it, i, j = (pl.program_id(0), pl.program_id(1),
-                   pl.program_id(2), pl.program_id(3))
-    tiles = nh * nw
-    per_b = iterations * tiles
-    nsteps = pl.num_programs(0) * per_b
-    t = (b * iterations + it) * tiles + i * nw + j
-    slot = jax.lax.rem(t, 2)
-    tp, lp, _, _ = _fused_offsets((w - 1) // 2)
-    ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(geo, (w - 1) // 2)
-    clamp = frame[2:] + (ext_r, ext_l)
-
-    def decode(tt):
-        b2 = tt // per_b
-        r = tt % per_b
-        # flat = collapsed (batch, tile) id in _prefetch_window's terms
-        return r // tiles, b2 * tiles + r % tiles
-
-    def i_fetch(tt, isl):
-        _, flat = decode(tt)
-        return _prefetch_window(ipad_hbm, iscr, isem, flat, isl,
-                                th, tw, rowsA, lanesA, nh, nw,
-                                clamp, tp, lp)
-
-    def p_sel(tt, isl, op):
-        """Start/wait tile tt's src-window DMA from the right source:
-        ppad for iteration 0, else the previous iteration's q buffer.
-        The wait mirrors the conditional so interpret mode (which may
-        realize copies at wait time) sees the true descriptor; on TPU
-        all three have identical shapes, so the semaphore math is the
-        same either way."""
-        it2, flat = decode(tt)
-        par = jax.lax.rem(it2, 2)
-
-        def mk(src):
-            return _prefetch_window(src, pscr, psem, flat, isl,
-                                    th, tw, rowsA, lanesA, nh, nw,
-                                    clamp, tp, lp)
-
-        @pl.when(it2 == 0)
-        def _():
-            op(mk(ppad_hbm))
-
-        @pl.when((it2 > 0) & (par == 1))
-        def _():
-            op(mk(out_qa))       # iteration it2-1 (even) wrote qa
-
-        @pl.when((it2 > 0) & (par == 0))
-        def _():
-            op(mk(out_qb))
-
-    def q_sel(tt, op):
-        """Start/wait tile tt's q write into its iteration's buffer."""
-        it2, flat = decode(tt)
-        par = jax.lax.rem(it2, 2)
-        i2 = (flat % tiles) // nw
-        j2 = flat % nw
-        b2 = flat // tiles
-        sl = jax.lax.rem(tt, 2)
-
-        def mk(dst):
-            return pltpu.make_async_copy(
-                qscr.at[sl],
-                dst.at[b2, 0, pl.ds(i2 * th, th), pl.ds(j2 * tw, tw)],
-                qsem.at[sl])
-
-        @pl.when(par == 0)
-        def _():
-            op(mk(out_qa))
-
-        @pl.when(par == 1)
-        def _():
-            op(mk(out_qb))
-
-    start = lambda cp: cp.start()
-    wait = lambda cp: cp.wait()
-
-    @pl.when(t == 0)
-    def _():
-        # fold-band zero-weight positions must hold FINITE data
-        iscr[...] = jnp.zeros(iscr.shape, iscr.dtype)
-        pscr[...] = jnp.zeros(pscr.shape, pscr.dtype)
-        i_fetch(t, slot).start()
-        p_sel(t, slot, start)
-
-    @pl.when(t + 1 < nsteps)
-    def _():
-        i_fetch(t + 1, 1 - slot).start()
-        p_sel(t + 1, 1 - slot, start)
-
-    i_fetch(t, slot).wait()
-    p_sel(t, slot, wait)
-
-    I0 = iscr[slot, 0].astype(jnp.float32)
-    I1 = iscr[slot, 1].astype(jnp.float32)
-    I2 = iscr[slot, 2].astype(jnp.float32)
-    p = pscr[slot, 0]
-    h_, wid_ = frame[0], frame[1]
-    boxA = _mkbox_mxu(w, thA, twA, rows_scr,
-                      fold_row=(i * th, h_, ext_r),
-                      fold_lane=(j * tw, wid_, ext_l))
-    boxB = _mkbox_mxu(w, th, tw, thA,
-                      fold_row=(i * th, h_, 0, (w - 1) // 2, 0),
-                      fold_lane=(j * tw, wid_, 0, (w - 1) // 2, 0))
-    val = _gf_tile_math(I0, I1, I2, p, boxA, boxB, eps,
-                        tp + ext_r, lp + ext_l, th, tw)
-
-    @pl.when(t >= 2)
-    def _():
-        q_sel(t - 2, wait)
-
-    qscr[slot] = val
-    q_sel(t, start)
-
-    @pl.when((t + 1 == nsteps) & (nsteps >= 2))
-    def _():
-        q_sel(t - 1, wait)
-
-    @pl.when(t + 1 == nsteps)
-    def _():
-        q_sel(t, wait)
-
-
-def _fused_merged_call(ipad, ppad, n, geo, w, eps, frame,
-                       iterations: int):
-    """Single-call iterated chain (see _fused_gf_merged_kernel);
-    returns the buffer the last iteration wrote."""
-    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    _, _, rows_scr, lanes_scr = _padless_ext(geo, (w - 1) // 2)
-    h, wid = frame[0], frame[1]
-    qshape = jax.ShapeDtypeStruct((n, 1, h, wid), jnp.float32)
-    qa, qb = pl.pallas_call(
-        functools.partial(_fused_gf_merged_kernel, w=w, eps=float(eps),
-                          geo=geo, frame=frame, iterations=iterations),
-        out_shape=(qshape, qshape),
-        grid=(n, iterations, nh, nw),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((2, 3, rows_scr, lanes_scr),
-                                   ipad.dtype),
-                        pltpu.VMEM((2, 1, rows_scr, lanes_scr),
-                                   jnp.float32),
-                        pltpu.VMEM((2, th, tw), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,))],
-        compiler_params=_VMEM_FUSED,
-    )(ipad, ppad)
-    return qa if (iterations - 1) % 2 == 0 else qb
-
-
-def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
-                      frame=None, cached_d=False):
-    th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-    rs_, ls_ = rowsA, lanesA
-    if frame is not None:
-        _, _, rs_, ls_ = _padless_ext(geo, (w - 1) // 2)
     qshape, qspec, qscratch = _q_out(n, geo, padded_shape)
-    nst = 6 if cached_d else 9
     return pl.pallas_call(
-        functools.partial(_fused_gf_kernel, w=w, geo=geo, frame=frame,
-                          cached_d=cached_d),
+        functools.partial(_fused_gf_kernel, w=w, geo=geo),
         out_shape=qshape,
         grid=(n, nh, nw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((1, nst, thA, twA),
+                  pl.BlockSpec((1, 9, thA, twA),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=qspec,
-        scratch_shapes=[pltpu.VMEM((2, 3, rs_, ls_), ipad.dtype),
-                        pltpu.VMEM((2, 1, rs_, ls_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, rowsA, lanesA), ipad.dtype),
+                        pltpu.VMEM((2, 1, rowsA, lanesA), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))] + qscratch,
         compiler_params=_VMEM_FUSED,
@@ -1451,14 +883,12 @@ def _fused_apply_call(ipad, ppad, st, n, geo, w, padded_shape=None,
 
 @functools.partial(jax.jit,
                    static_argnames=("radius", "eps", "iterations", "th",
-                                    "guide_u8", "tile_rows", "tile_lanes",
-                                    "stats_mode"))
+                                    "guide_u8", "tile_rows", "tile_lanes"))
 def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                                  iterations: int = 3, th: int = None,
                                  guide_u8: bool = False,
                                  tile_rows: int = None,
-                                 tile_lanes: int = None,
-                                 stats_mode: str = "slots"):
+                                 tile_lanes: int = None):
     """Zoran-style iterated chain: guide statistics computed once and
     reused every iteration AND every src channel (they depend only on
     the guide), and all intermediates kept in the PADDED tile layout —
@@ -1471,88 +901,22 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
     yields lo == 0, so the result is BITWISE identical while the guide
     windows move half the HBM bytes per kernel call (~130 MB at 4K).
 
-    stats_mode: "slots" caches all 9 guide-stat planes in the per-tile
-    haloed layout; "cached-d" ships only the 6 cofactor*inv_det planes
-    and recomputes the means in the apply kernel (-33% stats traffic,
-    +3 plane-boxes/tile); "recompute" (padless tilings only) caches
-    nothing and rebuilds all stats per tile; "merged" additionally runs
-    ALL iterations of a channel in ONE pallas_call (recompute stats,
-    q ping-ponged between two HBM buffers — kills the per-call floor;
-    RAISES when _merge_safe rejects the tiling, and iterations==1
-    dispatches to the single recompute call).  All modes share the same
-    box-dot grouping; recompute/merged are bitwise identical (same
-    _gf_tile_math graph) while slots/cached-d may drift by ~1 ulp from
-    them at some geometries (different kernel graphs -> different FMA
-    contraction)."""
-    if stats_mode not in ("slots", "cached-d", "recompute", "merged"):
-        raise ValueError(
-            "stats_mode must be slots|cached-d|recompute|merged, "
-            "got %r" % (stats_mode,))
-    cached_d = stats_mode == "cached-d"
+    tile_rows/tile_lanes override the default tile schedule (see
+    _fused_geometry).  The guide-stat planes are cached in the per-tile
+    haloed "slot" layout; alternatives (a padless exact-divide tiling
+    with reflect-fold band matrices, recompute-stats, 6-plane cached-d,
+    and a whole-chain merged kernel) were built, validated bitwise, and
+    MEASURED SLOWER on the 4K/8K chains (2026-08-19 sweep: padless
+    slots 7.66 ms vs padded 7.00 at 4K, recompute 13.4, merged 13.3,
+    cached-d 8.8; 8K padless 30.9 vs padded 26.3) — deleted, see
+    CLAUDE.md measured-rejection notes."""
     n, _, h, wid = guide.shape
     c_src = src.shape[1]
     w = 2 * radius + 1
     if _use_fused_mxu(h, radius, th):
-        if _AUTO_TILES and tile_rows is None and tile_lanes is None:
-            auto = _pick_exact_tiles(h, wid, radius)
-            if auto is not None:
-                tile_rows, tile_lanes = auto
         geo = _fused_geometry(h, wid, radius, tile_rows, tile_lanes)
         th_, tw_, _, _, rowsA, lanesA, nh, nw = geo
         tp, lp, _, _ = _fused_offsets(radius)
-        # PADLESS mode: an exact-divide tiling whose clamped windows fit
-        # the bare frame needs NO reflect-pads, NO inter-iteration
-        # margin rebuilds and NO output slice — reflection is encoded in
-        # per-tile fold bands (_fold_band) and each iteration's plain-
-        # layout q feeds the next directly.  Zero XLA glue per chain.
-        if nh * th_ == h and nw * tw_ == wid and h >= rowsA \
-                and wid >= lanesA:
-            gq = guide.astype(jnp.bfloat16) if guide_u8 else guide
-            frame = (h, wid, h, wid)
-            merged = stats_mode == "merged" and iterations > 1
-            if merged and not _merge_safe(geo, radius, h, wid):
-                # no silent recompute degradation (same sweep-
-                # mislabeling hazard as the non-exact-tiling raise)
-                raise ValueError(
-                    "stats_mode='merged': %dx%d tiles on %dx%d are not "
-                    "_merge_safe (cross-iteration DMA race possible); "
-                    "use stats_mode='recompute'"
-                    % (geo[0], geo[1], h, wid))
-            st = None
-            chans = []
-            for c in range(c_src):
-                pq = src[:, c:c + 1]
-                if merged:
-                    chans.append(_fused_merged_call(
-                        gq, pq, n, geo, w, float(eps), frame,
-                        iterations))
-                    continue
-                for it in range(iterations):
-                    # merged with iterations==1 IS a single recompute
-                    # call (same math, no dead second q buffer)
-                    if stats_mode in ("recompute", "merged"):
-                        pq = _fused_recompute_call(gq, pq, n, geo, w,
-                                                   float(eps), frame)
-                    elif st is None:
-                        st, pq = _fused_iter1_call(gq, pq, n, geo, w,
-                                                   float(eps),
-                                                   frame=frame,
-                                                   cached_d=cached_d)
-                    else:
-                        pq = _fused_apply_call(gq, pq, st, n, geo, w,
-                                               frame=frame,
-                                               cached_d=cached_d)
-                chans.append(pq)
-            return chans[0] if c_src == 1 else jnp.concatenate(chans,
-                                                               axis=1)
-        if stats_mode in ("recompute", "merged"):
-            # no silent slots degradation: a timing sweep would label
-            # slots numbers as recompute/merged and steer the
-            # _AUTO_TILES decision wrong
-            raise ValueError(
-                "stats_mode=%r requires an exact-divide padless tiling"
-                "; %dx%d tiles don't cover %dx%d (use slots/cached-d)"
-                % (stats_mode, th_, tw_, h, wid))
         ipad2 = _pad_fused(guide, radius, geo, h, wid)
         if guide_u8:
             ipad2 = ipad2.astype(jnp.bfloat16)
@@ -1575,11 +939,10 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                     # first application computes the stats in-kernel and
                     # emits them for every later iteration/channel
                     st, qp = _fused_iter1_call(ipad2, ppad2, n, geo, w,
-                                               float(eps), shp,
-                                               cached_d=cached_d)
+                                               float(eps), shp)
                 else:
                     qp = _fused_apply_call(ipad2, ppad2, st, n, geo, w,
-                                           shp, cached_d=cached_d)
+                                           shp)
                 if not last:
                     ppad2 = (_fill_margins(qp, radius, geo, h, wid)
                              if pre else
@@ -1592,11 +955,6 @@ def guided_filter_fused_iterated(guide, src, radius: int, eps: float,
                      else qp[:, :, :h, :wid])
             chans.append(p)
         return chans[0] if c_src == 1 else jnp.concatenate(chans, axis=1)
-    if stats_mode != "slots":
-        raise ValueError(
-            "stats_mode=%r requires the fused path; this frame/radius "
-            "dispatches to the banded kernels (slots only)"
-            % (stats_mode,))
     mxu, geo = _geometry(h, wid, radius, th)
     th_, nh, rows, tw, nw, lanes = geo
     ipad = _pad_banded(guide, radius, geo, h, wid)

@@ -42,21 +42,16 @@ for ig in (True, False):
     lower("trunk grad input_grad=%s" % ig,
           lambda pp, v, _l=loss: jax.grad(_l)(pp, v), kb, im)
 
-# 3) padless fused GF chain (ALL stats modes) at 4K geometry
+# 3) fused GF chain at the 4K bench geometry (default = 240-row tiles)
 from reflectance_filtering_tpu.ops.guided_pallas import (
     guided_filter_fused_iterated)
 g4 = jnp.zeros((1, 3, 2160, 3840), jnp.float32)
 s4 = jnp.zeros((1, 1, 2160, 3840), jnp.float32)
-for trs, tls, mode in [(240, 1280, "slots"), (240, 1280, "recompute"),
-                       (240, 768, "slots"), (240, 768, "recompute"),
-                       (240, 768, "cached-d"), (240, 768, "merged"),
-                       (240, 1280, "merged")]:
-    lower("gf padless %dx%d %s" % (trs, tls, mode),
-          lambda g, s, a=trs, b=tls, m=mode: guided_filter_fused_iterated(
-              g, s, 45, 3.0, 3, guide_u8=True, tile_rows=a,
-              tile_lanes=b, stats_mode=m), g4, s4)
-# default (padded) path still lowers
-lower("gf default 256x1024",
+lower("gf default 4K",
       lambda g, s: guided_filter_fused_iterated(g, s, 45, 3.0, 3,
                                                 guide_u8=True), g4, s4)
+lower("gf 256-row override 4K",
+      lambda g, s: guided_filter_fused_iterated(g, s, 45, 3.0, 3,
+                                                guide_u8=True,
+                                                tile_rows=256), g4, s4)
 print("ALL OK" if ok else "FAILURES PRESENT")

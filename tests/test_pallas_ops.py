@@ -315,233 +315,6 @@ def test_guided_fused_exact_divide_tiling(rng):
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-3)
 
 
-def test_pick_exact_tiles_standard_video():
-    """Every standard video size gets an exact-divide padless tiling
-    whose clamped windows fit the bare frame."""
-    from reflectance_filtering_tpu.ops.guided_pallas import (
-        _fused_geometry, _pick_exact_tiles)
-    for h, wd in [(2160, 3840), (4320, 7680), (1080, 1920), (720, 1280),
-                  (1440, 2560)]:
-        got = _pick_exact_tiles(h, wd, 45)
-        assert got is not None, (h, wd)
-        trs, tls = got
-        geo = _fused_geometry(h, wd, 45, trs, tls)
-        th, tw, _, _, rowsA, lanesA, nh, nw = geo
-        assert nh * th == h and nw * tw == wd
-        assert h >= rowsA and wd >= lanesA
-    # an awkward frame with no divisor tiling falls back
-    assert _pick_exact_tiles(2162, 3842, 45) is None
-
-
-def test_fold_band_entries_match_bruteforce():
-    """_fold_band entries == brute-force BORDER_REFLECT tap counts for
-    every in-frame source row, across radii, block bases and clamped
-    window starts (the padless fused path's correctness core)."""
-    from reflectance_filtering_tpu.ops.guided_pallas import _fold_band
-
-    def reflect(t, n):
-        while t < 0 or t >= n:
-            t = -1 - t if t < 0 else 2 * n - 1 - t
-        return t
-
-    cases = [(8, 272, 0, 0, 0), (8, 272, 136, 0, 128),
-             (45, 512, 256, 32, 256), (45, 512, 0, 0, 0),
-             (63, 640, 384, 160, 0), (4, 256, 0, 0, 0)]
-    prng = np.random.RandomState(11)
-    for _ in range(40):  # randomized sweep over plausible geometries
-        r = int(prng.choice([4, 8, 21, 33, 45, 52, 63]))
-        n = 8 * int(prng.randint(40, 400))
-        T = 8 * int(prng.randint(0, max(1, n // 8 - 16)))
-        a = 8 * int(prng.randint(0, max(1, (T + 64) // 8)))
-        blk = 128 * int(prng.randint(0, 3))
-        cases.append((r, n, T, a, blk))
-    for r, n, T, a, blk in cases:
-        r2 = 2 * r
-        kb = 1 + -(-r2 // 128)
-        tp = r2 + (-r2) % 8
-        mat = np.asarray(_fold_band(r, kb, 1, False, T - tp + blk,
-                                    T - r + blk, n).astype(np.float32))
-        kk, cc = mat.shape
-        for c in range(0, cc, 7):
-            P = T - r + blk + c
-            for k in range(0, kk, 3):
-                x = T - tp + blk + k
-                if not 0 <= x < n:
-                    continue
-                want = sum(1 for t in range(P - r, P + r + 1)
-                           if reflect(t, n) == x)
-                assert mat[k, c] == want, (r, n, T, a, blk, k, c)
-
-
-def test_padless_composite_box_vs_oracle(rng):
-    """Canonical-scratch boxA (fold) -> boxB (fold) composite == oracle
-    reflect-box-of-reflect-box, per tile, PURE XLA (no pallas).
-
-    Regression for the dropped-mirror-tap bug (real TPU, 2026-08-19):
-    boxA's fold-band k-window [T - tp + 128i, +kb*128) cannot reach the
-    mirrored taps of far out-of-frame field positions when
-    th < 2r + 256 - tp (th=240 at r=45), so stage B must fold instead
-    of consuming over-reflect field rows.  The old small-geometry
-    parity tests (th=256, th=136) coincidentally satisfied the
-    inequality; every 4K-sweep row tiling (240/216/144) violates it.
-    """
-    from reflectance_filtering_tpu.ops.guided_pallas import (
-        _fused_geometry, _fused_offsets, _mkbox_mxu, _padless_ext)
-
-    def oracle_box2(plane, r):
-        w = 2 * r + 1
-        x = np.pad(plane.astype(np.float64), r, mode="symmetric")
-        c = np.pad(np.cumsum(np.cumsum(x, 0), 1), ((1, 0), (1, 0)))
-        h_, w_ = plane.shape
-        s = (c[w:w + h_, w:w + w_] - c[:h_, w:w + w_]
-             - c[w:w + h_, :w_] + c[:h_, :w_]) / (w * w)
-        return s
-
-    for h, wd, r, trs, tls in [(720, 1536, 45, 240, 768),
-                               (648, 1536, 45, 216, 768),
-                               (432, 1280, 45, 144, 640),
-                               (408, 1280, 52, 136, 640)]:
-        w = 2 * r + 1
-        geo = _fused_geometry(h, wd, r, trs, tls)
-        th, tw, thA, twA, rowsA, lanesA, nh, nw = geo
-        assert nh * th == h and nw * tw == wd
-        assert h >= rowsA and wd >= lanesA
-        ext_r, ext_l, rows_scr, lanes_scr = _padless_ext(geo, r)
-        tp, lp, _, _ = _fused_offsets(r)
-        plane = np.floor(rng.rand(h, wd) * 256).astype(np.float32)
-        want = oracle_box2(oracle_box2(plane, r), r)
-        for ti, tj in [(0, 0), (1, 0), (nh - 1, 0), (nh - 1, nw - 1),
-                       (0, nw - 1)]:
-            Tr, Tl = ti * th, tj * tw
-            scr = np.zeros((rows_scr, lanes_scr), np.float32)
-            r0 = min(max(Tr - tp, 0), h - rowsA)
-            l0 = min(max(Tl - lp, 0), wd - lanesA)
-            dr, dl = r0 - Tr + tp + ext_r, l0 - Tl + lp + ext_l
-            scr[dr:dr + rowsA, dl:dl + lanesA] = plane[r0:r0 + rowsA,
-                                                       l0:l0 + lanesA]
-            boxA = _mkbox_mxu(w, thA, twA, rows_scr,
-                              fold_row=(Tr, h, ext_r),
-                              fold_lane=(Tl, wd, ext_l))
-            field = boxA.multi([jnp.asarray(scr)])[0]
-            boxB = _mkbox_mxu(w, th, tw, thA,
-                              fold_row=(Tr, h, 0, r, 0),
-                              fold_lane=(Tl, wd, 0, r, 0))
-            got = np.asarray(boxB.multi([field])[0])
-            np.testing.assert_allclose(
-                got, want[Tr:Tr + th, Tl:Tl + tw], atol=0.02,
-                err_msg=str((h, wd, r, trs, tls, ti, tj)))
-
-
-def test_guided_fused_padless_fold_bands(rng):
-    """PADLESS fused chain (exact-divide tiling + clamped windows +
-    reflect-fold band matrices): matches the XLA reflect-padded chain on
-    both a small-radius and the product-radius (45) geometry, gray and
-    multi-tile, including the clamp-active edge tiles."""
-    from reflectance_filtering_tpu.ops.guided import _guided_filter_planar_xla
-    from reflectance_filtering_tpu.ops.guided_pallas import (
-        _use_fused_mxu, guided_filter_fused_iterated)
-    # (720, 1536, 240, 768) is the regression geometry for the dropped-
-    # mirror-tap bug (th < 2r + 256 - tp, same tile shape as the 4K
-    # sweep's 240x768): nh=3 exercises top-clamped, interior AND
-    # bottom-clamped tiles — the nh=2 geometries cannot catch it
-    for h, wd, r, trs, tls in [(272, 512, 8, 136, 128),
-                               (512, 512, 45, 256, 256),
-                               (512, 512, 52, 256, 256),
-                               (720, 1536, 45, 240, 768)]:
-        assert _use_fused_mxu(h, r, None)
-        I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
-                        .astype(np.float32))
-        p = jnp.asarray(np.floor(rng.rand(1, 1, h, wd) * 256)
-                        .astype(np.float32))
-        exp = p
-        for _ in range(2):
-            exp = _guided_filter_planar_xla(I, exp, r, 9.0)
-        got = np.asarray(guided_filter_fused_iterated(
-            I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls))
-        np.testing.assert_allclose(got, np.asarray(exp),
-                                   rtol=1e-3, atol=0.05)
-        # u8-guide bf16 windows stay bitwise against the padless f32 run
-        g8 = np.asarray(guided_filter_fused_iterated(
-            I, p, r, 9.0, 2, guide_u8=True, tile_rows=trs,
-            tile_lanes=tls))
-        np.testing.assert_array_equal(g8, got)
-        # stats_mode="recompute" (no stats buffer) computes the same
-        # stats with the same dot grouping.  The iter1/apply and
-        # recompute kernels are DIFFERENT graphs, so the compiler may
-        # contract a*b+c chains into FMAs differently — geometry-
-        # dependent 1-ulp drift (first seen at th=240; the older
-        # geometries happen to match bitwise).  Gate at a tight
-        # tolerance, not bitwise.
-        rec = np.asarray(guided_filter_fused_iterated(
-            I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
-            stats_mode="recompute"))
-        np.testing.assert_allclose(rec, got, rtol=0, atol=1e-3)
-        # stats_mode="cached-d" (6-plane stats, means recomputed in the
-        # apply kernel with the same boxA grouping) — same-kernel
-        # iteration 1, different apply graph: tight tolerance
-        cd = np.asarray(guided_filter_fused_iterated(
-            I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
-            stats_mode="cached-d"))
-        np.testing.assert_allclose(cd, got, rtol=0, atol=1e-3)
-        # stats_mode="merged" RAISES on merge-UNSAFE tilings (these
-        # small geometries all are) instead of silently mislabeling
-        # recompute results; true merged runs are covered by
-        # test_guided_fused_merged_chain
-        with pytest.raises(ValueError, match="_merge_safe"):
-            guided_filter_fused_iterated(
-                I, p, r, 9.0, 2, tile_rows=trs, tile_lanes=tls,
-                stats_mode="merged")
-
-
-def test_guided_fused_merged_chain(rng):
-    """TRUE merged-kernel runs (a _merge_safe tiling, 12 tiles so the
-    cross-iteration prefetch pipeline is exercised): 3 iterations (odd
-    count lands in ping-pong buffer qa), u8 guide, batch 2 — bitwise
-    vs the per-iteration recompute calls; iterations=1 checks the
-    dispatch-to-single-recompute-call shortcut.  Also asserts the
-    product 4K tiling is merge-safe while the small parity-test
-    tilings are NOT (those now raise, tested elsewhere)."""
-    from reflectance_filtering_tpu.ops.guided_pallas import (
-        _fused_geometry, _merge_safe, guided_filter_fused_iterated)
-    h, wd, r, trs, tls = 768, 512, 45, 128, 256
-    assert _merge_safe(_fused_geometry(h, wd, r, trs, tls), r, h, wd)
-    assert _merge_safe(_fused_geometry(2160, 3840, 45, 240, 768),
-                       45, 2160, 3840)
-    assert not _merge_safe(_fused_geometry(512, 512, 45, 256, 256),
-                           45, 512, 512)
-    I = jnp.asarray(np.floor(rng.rand(2, 3, h, wd) * 256)
-                    .astype(np.float32))
-    p = jnp.asarray((rng.rand(2, 1, h, wd) * 255).astype(np.float32))
-    for iters, u8 in ((1, False), (3, True)):
-        exp = np.asarray(guided_filter_fused_iterated(
-            I, p, r, 3.0, iters, guide_u8=u8, tile_rows=trs,
-            tile_lanes=tls, stats_mode="recompute"))
-        got = np.asarray(guided_filter_fused_iterated(
-            I, p, r, 3.0, iters, guide_u8=u8, tile_rows=trs,
-            tile_lanes=tls, stats_mode="merged"))
-        np.testing.assert_array_equal(got, exp)
-
-
-def test_guided_fused_cached_d_padded_path(rng):
-    """cached-d on the DEFAULT (padded aligned-halo) fused path is
-    bitwise equal to slots mode — the apply kernel's recomputed means
-    use the identical boxA grouping iter1 used."""
-    from reflectance_filtering_tpu.ops.guided_pallas import (
-        _use_fused_mxu, guided_filter_fused_iterated)
-    h, wd, r = 300, 1100, 45          # non-exact tiling -> padded path
-    assert _use_fused_mxu(h, r, None)
-    I = jnp.asarray(np.floor(rng.rand(1, 3, h, wd) * 256)
-                    .astype(np.float32))
-    p = jnp.asarray((rng.rand(1, 1, h, wd) * 255).astype(np.float32))
-    got = np.asarray(guided_filter_fused_iterated(I, p, r, 9.0, 2))
-    cd = np.asarray(guided_filter_fused_iterated(
-        I, p, r, 9.0, 2, stats_mode="cached-d"))
-    np.testing.assert_array_equal(cd, got)
-    with pytest.raises(ValueError):
-        guided_filter_fused_iterated(I, p, r, 9.0, 2,
-                                     stats_mode="nonsense")
-
-
 def test_guided_fused_u8_guide_bitwise(rng):
     """guide_u8=True (bf16-stored guide windows) must be BITWISE equal
     to the f32 path on u8-valued guides: integers < 256 are bf16-exact

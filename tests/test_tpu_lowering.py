@@ -57,34 +57,16 @@ def test_fused_gf_kernels_lower():
         guided_filter_fused_iterated)
     g = jnp.zeros((1, 3, 272, 512), jnp.float32)
     s = jnp.zeros((1, 1, 272, 512), jnp.float32)
-    # padless exact-divide (slots: iter1+apply; recompute), u8 bf16 guide
+    # exact-divide tile override (off-128-grid th, plain-layout last
+    # iteration), u8 bf16 guide
     _lower(lambda a, b: guided_filter_fused_iterated(
         a, b, 8, 9.0, 2, guide_u8=True, tile_rows=136, tile_lanes=128),
         g, s)
-    _lower(lambda a, b: guided_filter_fused_iterated(
-        a, b, 8, 9.0, 2, tile_rows=136, tile_lanes=128,
-        stats_mode="recompute"), g, s)
-    _lower(lambda a, b: guided_filter_fused_iterated(
-        a, b, 8, 9.0, 2, tile_rows=136, tile_lanes=128,
-        stats_mode="cached-d"), g, s)
-    # merged single-call chain needs a _merge_safe tiling (the 272-row
-    # frame's windows span the whole height and would fall back)
-    from reflectance_filtering_tpu.ops.guided_pallas import (
-        _fused_geometry, _merge_safe)
-    gm = jnp.zeros((1, 3, 544, 512), jnp.float32)
-    sm = jnp.zeros((1, 1, 544, 512), jnp.float32)
-    assert _merge_safe(_fused_geometry(544, 512, 8, 136, 128), 8,
-                       544, 512)
-    _lower(lambda a, b: guided_filter_fused_iterated(
-        a, b, 8, 9.0, 3, guide_u8=True, tile_rows=136, tile_lanes=128,
-        stats_mode="merged"), gm, sm)
     # default (padded aligned-halo) path
     g2 = jnp.zeros((1, 3, 300, 1100), jnp.float32)
     s2 = jnp.zeros((1, 1, 300, 1100), jnp.float32)
     _lower(lambda a, b: guided_filter_fused_iterated(a, b, 8, 9.0, 2),
            g2, s2)
-    _lower(lambda a, b: guided_filter_fused_iterated(
-        a, b, 8, 9.0, 2, stats_mode="cached-d"), g2, s2)
 
 
 def test_bilateral_kernels_lower():
