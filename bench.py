@@ -184,30 +184,36 @@ def run_gate():
     # fixture-anchored whole-plane dispatch on the same input — the
     # committed fixtures can't cover every tiling, so gate the fused
     # kernels by consistency with the already-gated path, on-chip.
-    # 480 rows makes the default tile rule pick the 240-row tiles the
-    # product 4K path uses (exact divide, off-128-grid col blocks).
+    # BOTH default tile classes: 480 rows resolves the tile rule to the
+    # 240-row tiles the product 4K path uses (exact divide, off-128-grid
+    # col blocks), 512 rows to the 256-row tiles the 8K path uses.
     from reflectance_filtering_tpu.ops.guided import guided_filter_planar
     from reflectance_filtering_tpu.ops.guided_pallas import (
         _fused_geometry, guided_filter_fused_iterated)
     assert _fused_geometry(480, 512, 45)[0] == 240  # 2160-class tiling
-    rngp = np.random.RandomState(3)
-    gp_ = jnp.asarray(np.floor(rngp.rand(1, 3, 480, 512) * 256)
-                      .astype(np.float32))
-    sp_ = jnp.asarray(np.floor(rngp.rand(1, 1, 480, 512) * 256)
-                      .astype(np.float32))
-    if jax.default_backend() == "tpu":
-        ctx = contextlib.nullcontext()
-    else:  # CPU fallback drive (verify skill): interpret the kernels
+    assert _fused_geometry(512, 512, 45)[0] == 256  # 4320-class tiling
+    def interp_ctx():
+        # one-shot context manager: build a fresh one per use
+        if jax.default_backend() == "tpu":
+            return contextlib.nullcontext()
+        # CPU fallback drive (verify skill): interpret the kernels
         from jax.experimental.pallas import tpu as pltpu
-        ctx = pltpu.force_tpu_interpret_mode()
-    with ctx:
-        # TWO iterations so the apply kernel (iteration >= 2) runs too
-        anchor = np.floor(np.asarray(guided_filter_planar(
-            gp_, guided_filter_planar(gp_, sp_, 45, 3.0),
-            45, 3.0)))
-        got_p = np.floor(np.asarray(guided_filter_fused_iterated(
-            gp_, sp_, 45, 3.0, 2, guide_u8=True)))
-        diffs["gf_fused_240row"] = int(np.abs(got_p - anchor).max())
+        return pltpu.force_tpu_interpret_mode()
+
+    rngp = np.random.RandomState(3)
+    for rows, key in ((480, "gf_fused_240row"), (512, "gf_fused_256row")):
+        gp_ = jnp.asarray(np.floor(rngp.rand(1, 3, rows, 512) * 256)
+                          .astype(np.float32))
+        sp_ = jnp.asarray(np.floor(rngp.rand(1, 1, rows, 512) * 256)
+                          .astype(np.float32))
+        with interp_ctx():
+            # TWO iterations so the apply kernel (iteration >= 2) runs
+            anchor = np.floor(np.asarray(guided_filter_planar(
+                gp_, guided_filter_planar(gp_, sp_, 45, 3.0),
+                45, 3.0)))
+            got_p = np.floor(np.asarray(guided_filter_fused_iterated(
+                gp_, sp_, 45, 3.0, 2, guide_u8=True)))
+            diffs[key] = int(np.abs(got_p - anchor).max())
 
     # CNN -r.png byte path vs f64 numpy forward off the caffemodel blobs
     from reflectance_filtering_tpu.cli.decompose import ReflectanceCNN
@@ -442,11 +448,12 @@ def _run(profile_dir=None):
     reps8 = 4
 
     def _time_8k():
-        g8k = jax.device_put(np.floor(
-            rng.rand(1, 3, h8k, w8k) * 256).astype(np.float32))
-        s8k = jax.device_put(np.floor(
-            rng.rand(1, 1, h8k, w8k) * 256).astype(np.float32))
+        g8k = s8k = None
         try:
+            g8k = jax.device_put(np.floor(
+                rng.rand(1, 3, h8k, w8k) * 256).astype(np.float32))
+            s8k = jax.device_put(np.floor(
+                rng.rand(1, 1, h8k, w8k) * 256).astype(np.float32))
             float(chain_many(g8k, s8k, reps8))  # compile+warm
             t0 = time.time()
             float(chain_many(g8k, s8k, reps8))
@@ -455,8 +462,12 @@ def _run(profile_dir=None):
             float(chain_many(g8k, s8k, 3 * reps8))
             return (time.time() - t0 - t_lo) / (2 * reps8)
         finally:
-            g8k.delete()
-            s8k.delete()
+            # device_put itself may fail (OOM): free whatever landed so
+            # a contained 8K failure cannot leak ~380 MB into the
+            # training stage
+            for buf in (g8k, s8k):
+                if buf is not None:
+                    buf.delete()
 
     t_8k = _contained("gf_3x_8k", _time_8k)
 

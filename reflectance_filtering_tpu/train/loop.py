@@ -440,17 +440,22 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         if progress is not None:
             progress(s_global, samples, host_metrics)
 
+    def on_saved(st):
+        """Checkpoint-time side effects (shared by the in-loop saves
+        and the finalize save): live val WHDR + the user callback."""
+        if val_fn is not None:
+            last_val[0] = val_fn(st.params)
+            print("Validation WHDR at iteration {}: {:.2f}"
+                  .format(st.samples, 100.0 * last_val[0]))
+        if on_checkpoint is not None:
+            on_checkpoint(st.samples, st.params)
+
     def maybe_checkpoint(st):
         if checkpointer is not None:
             saved = checkpointer.maybe_save(st.samples, st.params,
                                             st.opt_state)
             if saved:
-                if val_fn is not None:
-                    last_val[0] = val_fn(st.params)
-                    print("Validation WHDR at iteration {}: {:.2f}"
-                          .format(st.samples, 100.0 * last_val[0]))
-                if on_checkpoint is not None:
-                    on_checkpoint(st.samples, st.params)
+                on_saved(st)
 
     if on_device and num_steps > 0:
         # Scan-chunked trainer: k steps per device program, one host
@@ -540,9 +545,5 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
         saved = checkpointer.maybe_save(state.samples, state.params,
                                         state.opt_state, finalize=True)
         if saved:
-            if val_fn is not None:
-                print("Validation WHDR at iteration {}: {:.2f}".format(
-                    state.samples, 100.0 * val_fn(state.params)))
-            if on_checkpoint is not None:
-                on_checkpoint(state.samples, state.params)
+            on_saved(state)
     return state

@@ -43,20 +43,27 @@ def sweep(tag, H, W, reps, configs, rounds=3):
     loops = {}
     for tr, tl in configs:
         try:
-            loops[(tr, tl)] = make_loop(tr, tl)
-            float(loops[(tr, tl)](g, s, reps))  # compile + warm
+            loop = make_loop(tr, tl)
+            float(loop(g, s, reps))  # compile + warm
+            loops[(tr, tl)] = loop   # register only a WORKING config
             print("compiled", tag, (tr, tl), flush=True)
         except Exception as e:
             print(tag, (tr, tl), "FAILED:", repr(e)[:200], flush=True)
     best = {k: None for k in loops}
     for rnd in range(rounds):
         for k, loop in loops.items():
-            t0 = time.time(); float(loop(g, s, reps))
-            lo = time.time() - t0
-            t0 = time.time(); float(loop(g, s, 3 * reps))
-            hi = time.time() - t0
+            try:
+                t0 = time.time(); float(loop(g, s, reps))
+                lo = time.time() - t0
+                t0 = time.time(); float(loop(g, s, 3 * reps))
+                hi = time.time() - t0
+            except Exception as e:  # keep the other configs' numbers
+                print(tag, k, "round", rnd, "FAILED:", repr(e)[:200],
+                      flush=True)
+                continue
             per = (hi - lo) / (2 * reps)
             best[k] = per if best[k] is None else min(best[k], per)
+    best = {k: v for k, v in best.items() if v is not None}
     print("== %s best-of-%d ==" % (tag, rounds), flush=True)
     for k, per in sorted(best.items(), key=lambda kv: kv[1]):
         print("%s %-12s slots    : %.2f ms/chain  %.0f MP/s"
