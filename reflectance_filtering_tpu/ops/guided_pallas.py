@@ -491,18 +491,28 @@ def _fused_geometry(h: int, wid: int, radius: int,
     """th, tw: output tile; thA, twA: stage-A (a,b field) region, covering
     [-r, th+r) x [-r, tw+r); rowsA, lanesA: haloed DMA window (2r).
 
-    tile_rows/tile_lanes override the defaults (mult of 8 / 128).  The
-    default tile rows drop from 256 to 240 when that does NOT add a
-    tile row: at 2160 rows (4K) both need 9 tiles but 240 pads zero
-    rows vs 144 dead rows for 256 — measured 3% faster on the 4K chain
-    (7.00 vs 7.14 ms best-of-3, 2026-08-19).  When 240 would add a
-    tile (4320 rows: 18 vs 17), the extra per-tile cost outweighs the
-    small waste — 256 measured 5% faster at 8K (26.4 vs 27.8 ms)."""
+    tile_rows/tile_lanes override the defaults (mult of 8 / 128), which
+    adapt to the frame (all numbers: best-of-3 slope-timed 3x GF chains
+    on a quiet v5e, 2026-08-19):
+
+    - rows drop from 256 to 240 when that does NOT add a tile row: at
+      2160 rows (4K) both need 9 tiles but 240 pads zero rows vs 144
+      dead rows for 256 — 3% faster (7.00 vs 7.14 ms).  When 240 would
+      add a tile (4320 rows: 18 vs 17), the extra per-tile cost
+      outweighs the small waste — 256 wins by 5% at 8K (26.4 vs 27.8).
+    - lanes drop from 1024 to 768 when 1024 tiles leave dead lanes and
+      768 divides exactly: 3% at 4K (6.76 vs 6.87) AND at 8K (25.56 vs
+      26.35) — the extra tile column costs less than 6.7% dead lanes.
+      Narrower exact tiles lose (640: 7.55/28.64), and a non-exact 896
+      loses badly (8.49): lane waste is the dominant term."""
     def up(v, m):
         return -(-v // m) * m
     kb = 1 + -(-2 * radius // 128)
     th = tile_rows or (240 if -(-h // 240) == -(-h // 256) else 256)
-    tw = tile_lanes or min(up(wid, 128), 1024)
+    w128 = up(wid, 128)
+    tw = tile_lanes or min(w128, 1024)
+    if tile_lanes is None and w128 % tw and w128 % 768 == 0:
+        tw = 768
     thA = up(th + 2 * radius, 128)
     twA = up(tw + 2 * radius, 128)
     rowsA = up(thA + 2 * radius, 8)

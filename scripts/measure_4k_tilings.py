@@ -88,5 +88,5 @@ del ref, out
 gp.delete(); sp.delete()
 
 sweep("tiling", 2160, 3840, 8,
-      [(None, None), (256, None), (240, 768), (240, 1280)])
-sweep("8K", 4320, 7680, 2, [(None, None), (240, None)])
+      [(None, None), (240, 768), (240, 640), (240, 896)])
+sweep("8K", 4320, 7680, 2, [(None, None), (256, 768), (256, 640)])

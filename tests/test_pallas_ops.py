@@ -315,6 +315,22 @@ def test_guided_fused_exact_divide_tiling(rng):
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-3)
 
 
+def test_fused_geometry_default_schedule():
+    """Pin the measured default tile schedule (2026-08-19 sweeps):
+    240-row tiles only when they don't add a tile row; 768-lane tiles
+    when 1024 leaves dead lanes and 768 divides exactly."""
+    from reflectance_filtering_tpu.ops.guided_pallas import _fused_geometry
+    g = lambda h, w: _fused_geometry(h, w, 45)[:2]
+    assert g(2160, 3840) == (240, 768)     # 4K: 9x240, 5x768 exact
+    assert g(4320, 7680) == (256, 768)     # 8K: 17x256 (18x240 slower)
+    assert g(480, 512) == (240, 512)       # 2160-class rows, thin frame
+    assert g(512, 512) == (256, 512)       # 4320-class rows
+    assert g(1080, 1920) == (240, 1024)    # no 768 divisor: plain rule
+    assert g(2048, 2048) == (256, 1024)    # 1024 exact: keep the wider
+    # overrides always win
+    assert _fused_geometry(2160, 3840, 45, 136, 128)[:2] == (136, 128)
+
+
 def test_guided_fused_u8_guide_bitwise(rng):
     """guide_u8=True (bf16-stored guide windows) must be BITWISE equal
     to the f32 path on u8-valued guides: integers < 256 are bf16-exact
