@@ -112,34 +112,82 @@ def _fwd_kernel(x_ref, w0, b0, wm, bm, wfv, bf, pre_ref, *,
     pre_ref[...] = _fuse_vpu(hs, wfv[...], n, cout) + bf[...]
 
 
+def _dw_groups(n: int, f: int):
+    """Greedy packing of the per-layer dW_i = dz_i @ a_{i-1}^T dots into
+    [<=128, T] @ [T, <=128] stacks.  Each 32-channel layer alone uses
+    32 of the MXU's 128 rows AND 32 of its columns; stacking four layers'
+    dz (M side) and a_prev (N side) computes all four dW blocks — the
+    diagonal 32x32 blocks of the packed product — in ONE pass per bf16x3
+    term instead of four (the off-diagonal garbage is free: MXU pass cost
+    scales with the contraction length, not M/N occupancy).  a_{-1} is
+    the 8-row input block x8.  Returns a list of lists of layer indices.
+    """
+    arows = [8] + [f] * (n - 1)
+    groups, cur, curm, curn = [], [], 0, 0
+    for i in range(n):
+        if cur and (curm + f > 128 or curn + arows[i] > 128):
+            groups.append(cur)
+            cur, curm, curn = [], 0, 0
+        cur.append(i)
+        curm += f
+        curn += arows[i]
+    groups.append(cur)
+    return groups, arows
+
+
 def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
-                dw0_ref, dwm_ref, dwf_ref, dx_ref=None, *,
-                n: int, ci: int, f: int, cout: int):
+                *out_refs, n: int, ci: int, f: int, cout: int,
+                input_grad: bool):
     """Recompute fwd, backprop, accumulate param grads across grid steps.
 
     Output layout (lane-padded to 128):
       dw0_ref [f, 128]        cols 0..ci-1 = dW0^T(io->oi), col ci = db0
       dwm_ref [n-1, f, 128]   cols 0..f-1  = dW_i,          col f  = db_i
-      dwf_ref [8, nf+128pad]  rows 0..C-1: cols 0..nf-1 = dWf, col nf = dbf
+      head: cout <= 2 (the flagship's scalar head) computes the fuse dW
+        on the VPU — exact f32, and it deletes the 2-N-tile bf16x3 MXU
+        A@B^T dot (6 K-tile passes) the generic path needs:
+          dwfT_ref [nf, 128]  cols 0..cout-1 = dWf ([in, out] direct)
+          dbf_ref  [8, 128]   col 0 = dbf
+        cout > 2 keeps the MXU form (VPU cost grows with cout, MXU
+        cost does not):
+          dwf_ref [8, nfpad]  rows 0..C-1: cols 0..nf-1 = dWf, col nf = dbf
       dx_ref  [8, T]          input cotangent (rows 0..ci-1) — REQUIRED
                               for cascadeSkipLayers, whose level-1 input
                               is level-0's recovered reflectance: the
                               final loss must reach level-0's params
                               through this path (networks.py:853-1146).
-                              Omitted (None) when the input is a leaf —
+                              Omitted when the input is a leaf —
                               skips the w0T dot and a 32 B/px HBM write.
     """
+    vpu_head = cout <= 2
+    if vpu_head:
+        dw0_ref, dwm_ref, dwfT_ref, dbf_ref = out_refs[:4]
+        rest = out_refs[4:]
+    else:
+        dw0_ref, dwm_ref, dwf_ref = out_refs[:3]
+        rest = out_refs[3:]
+    dx_ref = rest[0] if input_grad else None
+
     x = x_ref[...]
     g = g_ref[...]                       # [8, T] cotangent wrt pre
     hs = _fwd_tile(x, w0[...], b0[...], wm, bm, n, ci)
-    cat = hs[0] if n == 1 else jnp.concatenate(hs, axis=0)
 
-    # fuse head.  dwf keeps the MXU A@B^T form (contraction over the
-    # pixel axis belongs there); dcat = Wf^T g is a rank-cout broadcast
-    # — VPU mults instead of a 2-M-tile dot (and it overlaps the chain
-    # dots below).
-    dwf = _dotT3(g, cat)                 # [8, nf]
+    # fuse head.  dcat = Wf^T g is a rank-cout broadcast — VPU mults
+    # instead of a 2-M-tile dot (and it overlaps the chain dots below).
     dbf = jnp.sum(g, axis=1, keepdims=True)
+    if vpu_head:
+        # dWf^T[(i,f), c] = sum_px hs[i] * g_c: per-layer broadcast
+        # multiply + lane reduction, f32-exact
+        cols = []
+        for c in range(cout):
+            grow = jnp.broadcast_to(g[c:c + 1, :], (f, g.shape[1]))
+            cols.append(jnp.concatenate(
+                [jnp.sum(hs[i] * grow, axis=1, keepdims=True)
+                 for i in range(n)], axis=0))          # [nf, 1]
+        dwfT = jnp.concatenate(cols, axis=1)           # [nf, cout]
+    else:
+        cat = hs[0] if n == 1 else jnp.concatenate(hs, axis=0)
+        dwf = _dotT3(g, cat)             # [8, nf]
 
     def dcat_i(i):
         # one broadcast axis per op ([f,1]x[1,T] double-broadcast is
@@ -155,38 +203,58 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
 
     # conv chain, last to first
     dz = None
-    dws = []
+    dzs = [None] * n
     for i in range(n - 1, -1, -1):
         dh = dcat_i(i)
         if i < n - 1:
             dh = dh + _dot3(wmT[i], dz)
         dz = jnp.where(hs[i] > 0.0, dh, 0.0)
-        a_prev = hs[i - 1] if i > 0 else x[:ci]
-        dws.append((_dotT3(dz, a_prev), jnp.sum(dz, axis=1, keepdims=True)))
-    dws.reverse()
+        dzs[i] = dz
     if dx_ref is not None:
         dx = _dot3(w0T[...], dz)             # [ci, T]
         dx_ref[...] = jnp.pad(dx, ((0, 8 - ci), (0, 0)))
 
+    # per-layer weight grads via packed A@B^T stacks (see _dw_groups)
+    aprevs = [x] + hs[:n - 1]            # a_{-1} = x8, 8 rows (ci real)
+    groups, arows = _dw_groups(n, f)
+    dws = [None] * n
+    for grp in groups:
+        if len(grp) == 1:
+            i = grp[0]
+            dws[i] = _dotT3(dzs[i], aprevs[i][:ci] if i == 0
+                            else aprevs[i])
+        else:
+            packed = _dotT3(
+                jnp.concatenate([dzs[i] for i in grp], axis=0),
+                jnp.concatenate([aprevs[i] for i in grp], axis=0))
+            ro = co = 0
+            for i in grp:
+                blk = packed[ro:ro + f, co:co + arows[i]]
+                dws[i] = blk[:, :ci] if i == 0 else blk
+                ro += f
+                co += arows[i]
+    dbs = [jnp.sum(dzs[i], axis=1, keepdims=True) for i in range(n)]
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        dw0_ref[...] = jnp.zeros_like(dw0_ref)
-        dwm_ref[...] = jnp.zeros_like(dwm_ref)
-        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        for ref in out_refs[:4 if vpu_head else 3]:
+            ref[...] = jnp.zeros_like(ref)
 
     def lanepad(a, width):
         # full-lane accumulate: Mosaic dislikes sub-128-lane stores
         return jnp.pad(a, ((0, 0), (0, width - a.shape[1])))
 
-    dw0, db0 = dws[0]
-    dw0_ref[...] += lanepad(jnp.concatenate([dw0, db0], axis=1),
+    dw0_ref[...] += lanepad(jnp.concatenate([dws[0], dbs[0]], axis=1),
                             dw0_ref.shape[1])
     for i in range(1, n):
-        dwi, dbi = dws[i]
         dwm_ref[i - 1] += lanepad(
-            jnp.concatenate([dwi, dbi], axis=1), dwm_ref.shape[2])
-    dwf_ref[...] += lanepad(
-        jnp.concatenate([dwf, dbf], axis=1), dwf_ref.shape[1])
+            jnp.concatenate([dws[i], dbs[i]], axis=1), dwm_ref.shape[2])
+    if vpu_head:
+        dwfT_ref[...] += lanepad(dwfT, dwfT_ref.shape[1])
+        dbf_ref[...] += lanepad(dbf, dbf_ref.shape[1])
+    else:
+        dwf_ref[...] += lanepad(
+            jnp.concatenate([dwf, dbf], axis=1), dwf_ref.shape[1])
 
 
 # ---------------------------------------------------------------------------
@@ -270,27 +338,37 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int,
         wfv, _ = _pack_head(kernels, biases, n, f, cout)
         wmT, w0T = _pack_bwd(kernels, n, f)
         nf = n * f
+        vpu_head = cout <= 2
         nfpad = -(-(nf + 1) // 128) * 128
         fpad = -(-(f + 1) // 128) * 128
         out_shape = [
             jax.ShapeDtypeStruct((f, 128), F32),
             jax.ShapeDtypeStruct((max(n - 1, 1), f, fpad), F32),
-            jax.ShapeDtypeStruct((8, nfpad), F32),
         ]
         out_specs = [
             pl.BlockSpec((f, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(n - 1, 1), f, fpad), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, nfpad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ]
+        if vpu_head:   # see _bwd_kernel: dWf direct + dbf in its own ref
+            out_shape += [jax.ShapeDtypeStruct((nf, 128), F32),
+                          jax.ShapeDtypeStruct((8, 128), F32)]
+            out_specs += [pl.BlockSpec((nf, 128), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)]
+        else:
+            out_shape.append(jax.ShapeDtypeStruct((8, nfpad), F32))
+            out_specs.append(pl.BlockSpec((8, nfpad), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
         if input_grad:
             out_shape.append(jax.ShapeDtypeStruct((8, p), F32))
             out_specs.append(pl.BlockSpec((8, tile), lambda i: (0, i),
                                           memory_space=pltpu.VMEM))
         outs = pl.pallas_call(
-            functools.partial(_bwd_kernel, n=n, ci=ci, f=f, cout=cout),
+            functools.partial(_bwd_kernel, n=n, ci=ci, f=f, cout=cout,
+                              input_grad=input_grad),
             out_shape=out_shape,
             grid=(p // tile,),
             in_specs=[
@@ -303,16 +381,22 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(x8, g, w0, b0, wm, bm, wfv, wmT, w0T)
-        dw0, dwm, dwf = outs[:3]
-        dx8 = outs[3] if input_grad else jnp.zeros((8, p), F32)
+        dw0, dwm = outs[:2]
+        dx8 = outs[-1] if input_grad else jnp.zeros((8, p), F32)
 
         dkernels = [dw0[:, :ci].T]                    # back to [in, out]
         dbiases = [dw0[:, ci]]
         for i in range(1, n):
             dkernels.append(dwm[i - 1, :, :f].T)
             dbiases.append(dwm[i - 1, :, f])
-        dkernels.append(dwf[:cout, :nf].T)            # [nf, cout]
-        dbiases.append(dwf[:cout, nf])
+        if vpu_head:
+            dwfT, dbf = outs[2], outs[3]
+            dkernels.append(dwfT[:, :cout])           # already [nf, cout]
+            dbiases.append(dbf[:cout, 0])
+        else:
+            dwf = outs[2]
+            dkernels.append(dwf[:cout, :nf].T)        # [nf, cout]
+            dbiases.append(dwf[:cout, nf])
         return (tuple(dkernels), tuple(dbiases), dx8)
 
     trunk.defvjp(trunk_fwd, trunk_bwd)
