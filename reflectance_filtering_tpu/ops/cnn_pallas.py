@@ -135,7 +135,7 @@ def _stack6(v):
 
 def _kernel(x_ref, w0, b0, wm, bm, wfv, bfs, out_ref, *,
             srgb_input: bool, precise: bool):
-    x = x_ref[...]                        # [8, T]; rows 0..2 = RGB
+    x = x_ref[...]                        # [3, T] RGB planar
     if srgb_input:
         # shared gamma math (utils/image.py) — pure jnp, traces inside
         # the kernel; keeps the fused path pinned to the parity curve
@@ -157,8 +157,7 @@ def _kernel(x_ref, w0, b0, wm, bm, wfv, bfs, out_ref, *,
         h = jnp.maximum(h + bm[i], 0.0)
         acc = acc + h * wfv[i + 1]
     pre = jnp.sum(acc, axis=0, keepdims=True)            # [1, T]
-    out = 1.0 / (1.0 + jnp.exp(-(pre + bfs[0])))
-    out_ref[...] = jnp.broadcast_to(out, out_ref.shape)
+    out_ref[...] = 1.0 / (1.0 + jnp.exp(-(pre + bfs[0])))
 
 
 @functools.partial(jax.jit, static_argnames=("srgb_input", "tile",
@@ -166,12 +165,17 @@ def _kernel(x_ref, w0, b0, wm, bm, wfv, bfs, out_ref, *,
 def _run(xpad, w0, b0, wm, bm, wfv, bf, *, srgb_input: bool, tile: int,
          precise: bool = False):
     p = xpad.shape[1]
+    # sub-8 sublane blocks on the HBM boundary: Mosaic pads the VMEM
+    # tile to (8, 128) internally, but the HBM arrays stay 3 rows in /
+    # 1 row out — rows of zero padding here are pure HBM bandwidth
+    # (measured: the old (8, p) in+out layout cost ~0.2 ms of the
+    # 1.0 ms batch-32 forward in dead-row traffic + XLA pad/slice glue)
     out = pl.pallas_call(
         functools.partial(_kernel, srgb_input=srgb_input, precise=precise),
-        out_shape=jax.ShapeDtypeStruct((8, p), F32),
+        out_shape=jax.ShapeDtypeStruct((1, p), F32),
         grid=(p // tile,),
         in_specs=[
-            pl.BlockSpec((8, tile), lambda i: (0, i),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -180,7 +184,7 @@ def _run(xpad, w0, b0, wm, bm, wfv, bf, *, srgb_input: bool, tile: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
     )(xpad, w0, b0, wm, bm, wfv, jnp.reshape(bf, (1,)))
     return out
@@ -202,7 +206,7 @@ def reflectance_cnn_pallas(packed: Dict, images, *,
     p = int(np.prod(lead))
     x = jnp.moveaxis(images.reshape(p, 3), -1, 0)        # [3, P]
     ppad = -(-p // tile) * tile
-    xpad = jnp.zeros((8, ppad), F32).at[:3, :p].set(x)
+    xpad = jnp.pad(x, ((0, 0), (0, ppad - p)))
     sel = "6" if precise else "3"
     out = _run(xpad, packed["w0_" + sel], packed["b0"],
                packed["wmid" + sel], packed["bmid"], packed["wfv"],

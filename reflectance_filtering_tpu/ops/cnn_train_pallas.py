@@ -101,9 +101,7 @@ def _fuse_vpu(hs, wfv, n: int, cout: int):
         for i in range(1, n):
             acc = acc + hs[i] * wfv[i, :, c:c + 1]
         rows.append(jnp.sum(acc, axis=0, keepdims=True))
-    if cout < 8:
-        rows.append(jnp.zeros((8 - cout, hs[0].shape[1]), F32))
-    return jnp.concatenate(rows, axis=0)                 # [8, T]
+    return rows[0] if cout == 1 else jnp.concatenate(rows, axis=0)
 
 
 def _fwd_kernel(x_ref, w0, b0, wm, bm, wfv, bf, pre_ref, *,
@@ -112,7 +110,7 @@ def _fwd_kernel(x_ref, w0, b0, wm, bm, wfv, bf, pre_ref, *,
     pre_ref[...] = _fuse_vpu(hs, wfv[...], n, cout) + bf[...]
 
 
-def _dw_groups(n: int, f: int):
+def _dw_groups(n: int, f: int, ci: int):
     """Greedy packing of the per-layer dW_i = dz_i @ a_{i-1}^T dots into
     [<=128, T] @ [T, <=128] stacks.  Each 32-channel layer alone uses
     32 of the MXU's 128 rows AND 32 of its columns; stacking four layers'
@@ -120,9 +118,9 @@ def _dw_groups(n: int, f: int):
     diagonal 32x32 blocks of the packed product — in ONE pass per bf16x3
     term instead of four (the off-diagonal garbage is free: MXU pass cost
     scales with the contraction length, not M/N occupancy).  a_{-1} is
-    the 8-row input block x8.  Returns a list of lists of layer indices.
+    the ci-row input block.  Returns a list of lists of layer indices.
     """
-    arows = [8] + [f] * (n - 1)
+    arows = [ci] + [f] * (n - 1)
     groups, cur, curm, curn = [], [], 0, 0
     for i in range(n):
         if cur and (curm + f > 128 or curn + arows[i] > 128):
@@ -147,11 +145,11 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
         on the VPU — exact f32, and it deletes the 2-N-tile bf16x3 MXU
         A@B^T dot (6 K-tile passes) the generic path needs:
           dwfT_ref [nf, 128]  cols 0..cout-1 = dWf ([in, out] direct)
-          dbf_ref  [8, 128]   col 0 = dbf
+          dbf_ref  [cout, 128]  col 0 = dbf
         cout > 2 keeps the MXU form (VPU cost grows with cout, MXU
         cost does not):
-          dwf_ref [8, nfpad]  rows 0..C-1: cols 0..nf-1 = dWf, col nf = dbf
-      dx_ref  [8, T]          input cotangent (rows 0..ci-1) — REQUIRED
+          dwf_ref [cout, nfpad]  cols 0..nf-1 = dWf, col nf = dbf
+      dx_ref  [ci, T]         input cotangent — REQUIRED
                               for cascadeSkipLayers, whose level-1 input
                               is level-0's recovered reflectance: the
                               final loss must reach level-0's params
@@ -168,8 +166,8 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
         rest = out_refs[3:]
     dx_ref = rest[0] if input_grad else None
 
-    x = x_ref[...]
-    g = g_ref[...]                       # [8, T] cotangent wrt pre
+    x = x_ref[...]                       # [ci, T]
+    g = g_ref[...]                       # [cout, T] cotangent wrt pre
     hs = _fwd_tile(x, w0[...], b0[...], wm, bm, n, ci)
 
     # fuse head.  dcat = Wf^T g is a rank-cout broadcast — VPU mults
@@ -211,26 +209,23 @@ def _bwd_kernel(x_ref, g_ref, w0, b0, wm, bm, wfv, wmT, w0T,
         dz = jnp.where(hs[i] > 0.0, dh, 0.0)
         dzs[i] = dz
     if dx_ref is not None:
-        dx = _dot3(w0T[...], dz)             # [ci, T]
-        dx_ref[...] = jnp.pad(dx, ((0, 8 - ci), (0, 0)))
+        dx_ref[...] = _dot3(w0T[...], dz)    # [ci, T]
 
     # per-layer weight grads via packed A@B^T stacks (see _dw_groups)
-    aprevs = [x] + hs[:n - 1]            # a_{-1} = x8, 8 rows (ci real)
-    groups, arows = _dw_groups(n, f)
+    aprevs = [x] + hs[:n - 1]            # a_{-1} = the ci-row input
+    groups, arows = _dw_groups(n, f, ci)
     dws = [None] * n
     for grp in groups:
         if len(grp) == 1:
             i = grp[0]
-            dws[i] = _dotT3(dzs[i], aprevs[i][:ci] if i == 0
-                            else aprevs[i])
+            dws[i] = _dotT3(dzs[i], aprevs[i])
         else:
             packed = _dotT3(
                 jnp.concatenate([dzs[i] for i in grp], axis=0),
                 jnp.concatenate([aprevs[i] for i in grp], axis=0))
             ro = co = 0
             for i in grp:
-                blk = packed[ro:ro + f, co:co + arows[i]]
-                dws[i] = blk[:, :ci] if i == 0 else blk
+                dws[i] = packed[ro:ro + f, co:co + arows[i]]
                 ro += f
                 co += arows[i]
     dbs = [jnp.sum(dzs[i], axis=1, keepdims=True) for i in range(n)]
@@ -281,7 +276,7 @@ def _pack_head(kernels, biases, n, f, cout):
     never an MXU dot."""
     wfv = jnp.zeros((n, f, 8), F32).at[:, :, :cout].set(
         kernels[n].reshape(n, f, cout))
-    bf = jnp.zeros((8, 1), F32).at[:cout, 0].set(biases[n])
+    bf = biases[n].reshape(cout, 1)
     return wfv, bf
 
 
@@ -297,28 +292,34 @@ def _pack_bwd(kernels, n, f):
 @functools.lru_cache(maxsize=16)
 def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int,
                 input_grad: bool = True):
-    """Returns trunk(kernels, biases, x8) -> pre [8, P] with custom VJP.
+    """Returns trunk(kernels, biases, x8) -> pre [cout, P] with custom
+    VJP.
 
     kernels: tuple of n+1 [in, out] f32 (conv0..conv_{n-1}, fuse);
-    biases: tuple of n+1 [out]; x8: [8, P] (rows 0..ci-1 = input).
+    biases: tuple of n+1 [out]; x8: [ci, P] planar input.
     input_grad=False drops the dx output from the backward kernel (its
     w0T dot + a 32 B/px HBM write) and returns a zeros cotangent —
     correct whenever the input is a leaf (every non-cascade network).
     """
 
     def fwd_impl(kernels, biases, x8):
+        # sub-8 sublane HBM boundary (see cnn_pallas.py::_run): the
+        # input stays ci rows and pre cout rows in HBM — Mosaic pads
+        # the VMEM tiles; rows of zero padding would be pure HBM
+        # bandwidth AND a fully-materialized zero cotangent on the way
+        # back through the custom VJP.
         p = x8.shape[1]
         w0, b0, wm, bm = _pack_convs(kernels, biases, n, f)
         wfv, bf = _pack_head(kernels, biases, n, f, cout)
         return pl.pallas_call(
             functools.partial(_fwd_kernel, n=n, ci=ci, cout=cout),
-            out_shape=jax.ShapeDtypeStruct((8, p), F32),
+            out_shape=jax.ShapeDtypeStruct((cout, p), F32),
             grid=(p // tile,),
             in_specs=[
-                pl.BlockSpec((8, tile), lambda i: (0, i),
+                pl.BlockSpec((ci, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+            out_specs=pl.BlockSpec((cout, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -353,18 +354,18 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int,
         ]
         if vpu_head:   # see _bwd_kernel: dWf direct + dbf in its own ref
             out_shape += [jax.ShapeDtypeStruct((nf, 128), F32),
-                          jax.ShapeDtypeStruct((8, 128), F32)]
+                          jax.ShapeDtypeStruct((cout, 128), F32)]
             out_specs += [pl.BlockSpec((nf, 128), lambda i: (0, 0),
                                        memory_space=pltpu.VMEM),
-                          pl.BlockSpec((8, 128), lambda i: (0, 0),
+                          pl.BlockSpec((cout, 128), lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)]
         else:
-            out_shape.append(jax.ShapeDtypeStruct((8, nfpad), F32))
-            out_specs.append(pl.BlockSpec((8, nfpad), lambda i: (0, 0),
+            out_shape.append(jax.ShapeDtypeStruct((cout, nfpad), F32))
+            out_specs.append(pl.BlockSpec((cout, nfpad), lambda i: (0, 0),
                                           memory_space=pltpu.VMEM))
         if input_grad:
-            out_shape.append(jax.ShapeDtypeStruct((8, p), F32))
-            out_specs.append(pl.BlockSpec((8, tile), lambda i: (0, i),
+            out_shape.append(jax.ShapeDtypeStruct((ci, p), F32))
+            out_specs.append(pl.BlockSpec((ci, tile), lambda i: (0, i),
                                           memory_space=pltpu.VMEM))
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel, n=n, ci=ci, f=f, cout=cout,
@@ -372,9 +373,9 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int,
             out_shape=out_shape,
             grid=(p // tile,),
             in_specs=[
-                pl.BlockSpec((8, tile), lambda i: (0, i),
+                pl.BlockSpec((ci, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, tile), lambda i: (0, i),
+                pl.BlockSpec((cout, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
             out_specs=out_specs,
@@ -382,7 +383,7 @@ def _make_trunk(n: int, ci: int, f: int, cout: int, tile: int,
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(x8, g, w0, b0, wm, bm, wfv, wmT, w0T)
         dw0, dwm = outs[:2]
-        dx8 = outs[-1] if input_grad else jnp.zeros((8, p), F32)
+        dx8 = outs[-1] if input_grad else jnp.zeros((ci, p), F32)
 
         dkernels = [dw0[:, :ci].T]                    # back to [in, out]
         dbiases = [dw0[:, ci]]
@@ -427,11 +428,11 @@ def skip_trunk_pre(params: Dict, images, *, num_layers: int,
     lead = images.shape[:-1]
     p = int(np.prod(lead))
     ppad = -(-p // tile) * tile
-    x8 = jnp.zeros((8, ppad), F32).at[:ci, :p].set(
-        jnp.moveaxis(images.reshape(p, ci), -1, 0))
+    x8 = jnp.pad(jnp.moveaxis(images.reshape(p, ci), -1, 0),
+                 ((0, 0), (0, ppad - p)))
     pre = _make_trunk(n, ci, f, cout, tile,
                       input_grad)(kernels, biases, x8)
-    return jnp.moveaxis(pre[:cout, :p], 0, -1).reshape(lead + (cout,))
+    return jnp.moveaxis(pre[:, :p], 0, -1).reshape(lead + (cout,))
 
 
 def fits_fused_trunk(cfg, in_channels: int) -> bool:
