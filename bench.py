@@ -71,7 +71,12 @@ def _backend_ready():
     retries = max(int(os.environ.get("BENCH_INIT_RETRIES", "4")), 1)
     wait = float(os.environ.get("BENCH_INIT_WAIT", "30"))
     probe_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "180"))
-    code = "import jax; print(jax.devices()[0].platform)"
+    # the probe must run an actual op, not just list devices: in the
+    # DEGRADED tunnel mode (observed 2026-08-19) jax.devices() answers
+    # instantly while every dispatch hangs — a devices()-only probe
+    # passes and the bench then hangs uninterruptibly mid-_run
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.sum(jnp.ones((8, 128)))))")
     last = None
     for i in range(retries):
         try:
@@ -573,6 +578,40 @@ def _run(profile_dir=None):
     }
 
 
+def _arm_watchdog(record=None):
+    """Last-resort hang bound: if the bench has not finished after
+    BENCH_DEADLINE seconds, print the error JSON and hard-exit.
+
+    A tunnel that degrades MID-RUN (ops hang inside the PJRT C dispatch,
+    where neither SIGALRM nor exceptions can reach — the jax.devices()
+    hang note in _backend_ready applies to every op) would otherwise
+    hang bench forever and the driver would capture no artifact at all.
+    A daemon Timer THREAD still runs while the main thread is blocked in
+    C, so it can always emit the JSON line and os._exit.  Returns the
+    timer (cancel it on success) or None when disabled."""
+    deadline = float(os.environ.get("BENCH_DEADLINE", "5400"))
+    if deadline <= 0:
+        return None
+    import threading
+
+    def _fire():
+        err = ("bench watchdog: no result after %gs "
+               "(op hung through the tunnel?)" % deadline)
+        rec = dict(record) if record is not None else {
+            "metric": _HEADLINE, "value": None,
+            "unit": "MP/s/chip", "vs_baseline": None,
+            "parity_ok": False}
+        rec["error"] = err
+        print(json.dumps(rec), flush=True)
+        sys.stdout.flush()
+        os._exit(1)
+
+    t = threading.Timer(deadline, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main(profile_dir=None):
     """Outage-proof driver entry: ALWAYS prints exactly one JSON line.
 
@@ -581,7 +620,8 @@ def main(profile_dir=None):
     record with null metrics and an "error" field, then rc=1 — a tunnel
     blip must never again produce an artifact with no parseable JSON
     (BENCH_r03.json).  Per-stage failures inside _run stay contained as
-    nulls with rc=0."""
+    nulls with rc=0; a mid-run HANG is bounded by _arm_watchdog."""
+    dog = _arm_watchdog()
     try:
         _backend_ready()
         record = _run(profile_dir)
@@ -593,17 +633,22 @@ def main(profile_dir=None):
                   "parity_ok": False,
                   "error": repr(err)[:500]}
         rc = 1
+    if dog is not None:
+        dog.cancel()
     print(json.dumps(record))
     return rc
 
 
 if __name__ == "__main__":
     if "--gate" in sys.argv:
+        dog = _arm_watchdog({"parity_ok": False, "parity_max_diffs": {}})
         try:
             _backend_ready()
             ok, d = run_gate()
         except BaseException as err:  # noqa: BLE001
             ok, d = False, {"error": repr(err)[:500]}
+        if dog is not None:
+            dog.cancel()
         print(json.dumps({"parity_ok": ok, "parity_max_diffs": d}))
         sys.exit(0 if ok else 1)
     prof = None

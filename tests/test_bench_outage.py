@@ -62,3 +62,26 @@ def test_gate_emits_json_line_when_backend_unavailable():
     rec = json.loads(lines[0])
     assert rec["parity_ok"] is False
     assert "error" in rec["parity_max_diffs"]
+
+
+def test_watchdog_emits_json_line_when_bench_hangs():
+    """A tunnel that degrades MID-RUN leaves ops hung inside the PJRT C
+    dispatch, unreachable by exceptions or SIGALRM — the daemon-thread
+    watchdog must still emit the one JSON line and hard-exit.  Simulated
+    by giving the real bench (on the CPU backend, where it would take
+    minutes) a 2-second deadline: whatever it is doing at t=2s, the
+    watchdog fires from its own thread."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""   # see _run_bench: unlatch axon
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_DEADLINE"] = "2"
+    p = subprocess.run(
+        [sys.executable, BENCH], capture_output=True, text=True,
+        env=env, cwd=REPO, timeout=120)
+    assert p.returncode == 1, (p.stdout, p.stderr[-2000:])
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, p.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] is None
+    assert rec["parity_ok"] is False
+    assert "watchdog" in rec["error"]
