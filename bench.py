@@ -588,8 +588,16 @@ def _arm_watchdog(record=None):
     hang bench forever and the driver would capture no artifact at all.
     A daemon Timer THREAD still runs while the main thread is blocked in
     C, so it can always emit the JSON line and os._exit.  Returns the
-    timer (cancel it on success) or None when disabled."""
-    deadline = float(os.environ.get("BENCH_DEADLINE", "5400"))
+    timer (cancel it on success) or None when disabled.
+
+    Runs before main()'s try block, so it must never raise — a malformed
+    BENCH_DEADLINE falls back to the default instead of crashing bench
+    without its JSON line."""
+    try:
+        deadline = float(os.environ.get("BENCH_DEADLINE", "5400"))
+    except ValueError as err:
+        print("bad BENCH_DEADLINE, using 5400: %r" % err, file=sys.stderr)
+        deadline = 5400.0
     if deadline <= 0:
         return None
     import threading
@@ -597,11 +605,18 @@ def _arm_watchdog(record=None):
     def _fire():
         err = ("bench watchdog: no result after %gs "
                "(op hung through the tunnel?)" % deadline)
-        rec = dict(record) if record is not None else {
-            "metric": _HEADLINE, "value": None,
-            "unit": "MP/s/chip", "vs_baseline": None,
-            "parity_ok": False}
-        rec["error"] = err
+        if record is not None:
+            rec = dict(record)
+            if "parity_max_diffs" in rec:
+                # gate error contract: the reason lives INSIDE
+                # parity_max_diffs (what --gate consumers are tested on)
+                rec["parity_max_diffs"] = {"error": err}
+            else:
+                rec["error"] = err
+        else:
+            rec = {"metric": _HEADLINE, "value": None,
+                   "unit": "MP/s/chip", "vs_baseline": None,
+                   "parity_ok": False, "error": err}
         print(json.dumps(rec), flush=True)
         sys.stdout.flush()
         os._exit(1)

@@ -26,18 +26,27 @@ MP = P / 1e6
 
 
 def slope_time(fn, *args, iters=24):
-    @jax.jit
-    def loop(n, *a):
-        def body(i, y):
-            return y * (1.0 + 1e-12 * fn(*a))
-        return jax.lax.fori_loop(0, n, body, 1.0)
+    """Slope-timed per-iteration cost (two trip counts, one compile).
 
-    float(loop(iters, *args))
+    The LAST positional arg is the data array and is threaded through the
+    fori_loop carry — the body must DEPEND on the carry or XLA hoists the
+    work out of the loop and the sweep measures ~nothing (bench.py's
+    _timed_loop note; confirmed: a loop-invariant body slope-times ~0)."""
+    *closed, x0 = args
+
+    @jax.jit
+    def loop(n, x):
+        def body(i, y):
+            out = fn(*closed, y)
+            return y + 1e-12 * out
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    float(loop(iters, x0))
     lo = hi = None
     for _ in range(3):
-        t0 = time.time(); float(loop(iters, *args)); t1 = time.time() - t0
+        t0 = time.time(); float(loop(iters, x0)); t1 = time.time() - t0
         lo = t1 if lo is None else min(lo, t1)
-        t0 = time.time(); float(loop(3 * iters, *args)); t3 = time.time() - t0
+        t0 = time.time(); float(loop(3 * iters, x0)); t3 = time.time() - t0
         hi = t3 if hi is None else min(hi, t3)
     return (hi - lo) / (2 * iters)
 

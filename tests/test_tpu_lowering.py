@@ -52,6 +52,34 @@ def test_training_trunk_grad_lowers(input_grad):
     _lower(lambda pp, v: jax.grad(loss)(pp, v), params, im)
 
 
+def test_training_trunk_mxu_head_grad_lowers():
+    """cout>2 keeps the MXU fuse-head backward (the RS-mode trunk,
+    cout=6) and uses its own sub-8-row (cout, tile) g block and
+    (cout, nfpad) accumulator geometry — a different Mosaic shape class
+    from the cout=1 flagship, so it needs its own lowering check."""
+    import numpy as np
+    from reflectance_filtering_tpu.ops.cnn_train_pallas import (
+        skip_trunk_pre)
+    rng = np.random.RandomState(0)
+    n, ci, f, cout = 3, 3, 32, 6
+    params = {}
+    for i in range(n):
+        cin = ci if i == 0 else f
+        params["conv%d" % i] = {
+            "kernel": jnp.asarray(rng.randn(1, 1, cin, f), jnp.float32),
+            "bias": jnp.zeros((f,), jnp.float32)}
+    params["fuse_skip_layers"] = {
+        "kernel": jnp.asarray(rng.randn(1, 1, n * f, cout), jnp.float32),
+        "bias": jnp.zeros((cout,), jnp.float32)}
+    im = jnp.zeros((2, 64, 64, ci), jnp.float32)
+
+    def loss(pp, v):
+        return jnp.sum(skip_trunk_pre(pp, v, num_layers=n, tile=4096,
+                                      input_grad=False))
+
+    _lower(lambda pp, v: jax.grad(loss)(pp, v), params, im)
+
+
 def test_fused_gf_kernels_lower():
     from reflectance_filtering_tpu.ops.guided_pallas import (
         guided_filter_fused_iterated)
