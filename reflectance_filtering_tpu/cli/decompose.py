@@ -144,6 +144,8 @@ def main(argv=None):
                                 tensorboard --logdir).""")
     args = parser.parse_args(argv)
     if args.filename_in and args.path_out:
+        from ..utils.compile_cache import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         if args.profile_dir:
             from ..utils.profiling import device_trace
             with device_trace(args.profile_dir):

@@ -59,14 +59,20 @@ def main():
     imgs = jax.device_put(rng.rand(B, H, W, 3).astype(np.float32))
 
     print("== inference kernel (reflectance_cnn_pallas) ==", flush=True)
-    for tile in (4096, 8192, 16384, 32768, 65536):
+    # 65536 exceeds the 16 MB scoped-VMEM stack limit (the [96, T] K-concat
+    # stack alone is 25 MB) — measured-rejected 2026-08-19, not swept
+    for tile in (4096, 8192, 16384, 32768):
         if P % tile:
             continue
         def fn(x, _tile=tile):
             out = cnn_pallas.reflectance_cnn_pallas(
                 packed, x, srgb_input=True, tile=_tile)
             return jnp.sum(out[::4097])
-        dt = slope_time(fn, imgs)
+        try:
+            dt = slope_time(fn, imgs)
+        except Exception as err:  # noqa: BLE001 — sweep must not die
+            print("tile %6d: FAILED %r" % (tile, err), flush=True)
+            continue
         print("tile %6d: %.3f ms  %.0f MP/s" % (tile, dt * 1e3, MP / dt),
               flush=True)
 
@@ -98,7 +104,11 @@ def main():
 
         def fn(fl, xx, _g=g):
             return sum(jnp.sum(a) for a in _g(fl, xx))
-        dt = slope_time(fn, flat, x)
+        try:
+            dt = slope_time(fn, flat, x)
+        except Exception as err:  # noqa: BLE001 — sweep must not die
+            print("tile %6d: FAILED %r" % (tile, err), flush=True)
+            continue
         print("tile %6d: %.3f ms  %.0f imgs/s" % (tile, dt * 1e3, B / dt),
               flush=True)
 
