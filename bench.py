@@ -22,6 +22,7 @@ import contextlib
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -103,17 +104,55 @@ def _backend_ready():
 _HEADLINE = ("BF(CNN,CNN) end-to-end megapixels/sec/chip "
              "(CNN+u8-write+joint-bilateral c20 s22+WHDR)")
 
+_EMIT_LOCK = threading.Lock()
 
-def _timed_loop(fn, x, iters):
-    """Per-iteration device time by the SLOPE method.
+
+def _emit_once(record):
+    """Exactly-one-JSON-line guard shared by the watchdog thread and the
+    normal exit paths.  Timer.cancel() cannot stop a _fire that already
+    started, so cancel+print alone can double-emit; Lock.acquire(False)
+    is the atomic test-and-set — the first caller prints, the loser is
+    a no-op.  Returns whether this caller won."""
+    if _EMIT_LOCK.acquire(blocking=False):
+        print(json.dumps(record), flush=True)
+        return True
+    return False
+
+
+_SPREADS = {}
+
+
+def _slope2(run, iters, tag=None):
+    """Two-round slope timing with a spread record (VERDICT r4 item 5).
 
     One jit call through the axon tunnel carries a fixed ~29 ms RPC
     round-trip (measured 2026-08-17: T(n) is linear in n to <1% with
     intercept 29 ms), so (one call)/iters overstates small kernels by
     F/iters — 12% on the r2 bilateral headline, 28% on the 4K chain.
     Timing n and 3n iterations and taking the difference cancels the
-    intercept exactly; the trip count is a dynamic argument so both
-    calls share one compile."""
+    intercept exactly.  ``run(n)`` must execute n iterations and block.
+
+    The value is the slope of the per-span minima (best-of-2 jitter
+    guard, as before); additionally the two rounds' INDEPENDENT slope
+    estimates' relative disagreement is recorded in _SPREADS[tag] (in
+    percent) and reported in the bench JSON, so a reviewer can tell a
+    few-percent regression from tunnel jitter round-over-round."""
+    los, his = [], []
+    for _ in range(2):
+        t0 = time.time(); run(iters); los.append(time.time() - t0)
+        t0 = time.time(); run(3 * iters); his.append(time.time() - t0)
+    slope = (min(his) - min(los)) / (2 * iters)
+    if tag is not None:
+        per = [(h - l) / (2 * iters) for l, h in zip(los, his)]
+        _SPREADS[tag] = round(
+            100.0 * abs(per[0] - per[1]) / max(abs(slope), 1e-12), 1)
+    return slope
+
+
+def _timed_loop(fn, x, iters, tag=None):
+    """Per-iteration device time of fn by the slope method (_slope2),
+    with the work iterated inside one jitted fori_loop whose trip count
+    is a dynamic argument (both spans share one compile)."""
     @jax.jit
     def loop(x0, n):
         def body(i, y):
@@ -121,13 +160,7 @@ def _timed_loop(fn, x, iters):
             return y + 1e-12 * out  # chain dependence, keep shape
         return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
     float(loop(x, iters))  # compile + warm
-    lo = hi = None
-    for _ in range(2):  # best-of-2 per span: tunnel jitter guard
-        t0 = time.time(); float(loop(x, iters)); t1 = time.time() - t0
-        lo = t1 if lo is None else min(lo, t1)
-        t0 = time.time(); float(loop(x, 3 * iters)); t3 = time.time() - t0
-        hi = t3 if hi is None else min(hi, t3)
-    return (hi - lo) / (2 * iters)
+    return _slope2(lambda n: float(loop(x, n)), iters, tag)
 
 
 def run_gate():
@@ -141,17 +174,65 @@ def run_gate():
         — exercises the MXU band-matmul path at r in {3,45,52} and the
         gray XLA path;
       * bilateral gray-self (the BF(CNN,CNN) -r.png case): the REAL
-        cv2.bilateralFilter binary on the replicated-gray image;
+        cv2.bilateralFilter binary on the replicated-gray image — on a
+        sin-grating study image AND a 1/f pink-noise image (the
+        natural-image power spectrum; VERDICT r4 item 6);
       * CNN: an f64 numpy forward straight off the caffemodel blobs.
-    Returns (parity_ok, {check: max_uint8_diff}).
+
+    Beyond pixel levels, the gate now measures the literal BASELINE.json
+    fidelity criterion (VERDICT r4 item 1): for each gated pipeline it
+    scores OUR output and the ORACLE output with the exact Bell WHDR
+    (losses/whdr.py::whdr — math at /root/reference/training/layers/
+    whdr_layer.py:253-287) against a deterministic synthetic IIW-style
+    comparison blob (K=1181) and gates |dWHDR| <= 0.001 ("WHDR within
+    0.1% absolute").  The APPROXIMATE grid quality point (ss=8, sr=6)
+    is gated on WHDR only — its pixel error is by design ~1 u8 level,
+    and the WHDR gate is what lets it clear BASELINE config 2's >=500
+    MP/s target within the fidelity criterion.
+
+    Returns (parity_ok, diffs): integer entries are max uint8 levels
+    (gate <= 1), ``whdr_delta_*`` entries are |dWHDR| (gate <= 0.001).
     """
     import cv2
     from reflectance_filtering_tpu.ops.guided import guided_filter_u8
     from reflectance_filtering_tpu.ops.bilateral import (
         joint_bilateral_filter_u8)
     from reflectance_filtering_tpu.models.caffe_io import parse_caffemodel
+    from reflectance_filtering_tpu.losses.whdr import whdr as whdr_exact
 
     diffs = {}
+
+    def _mk_comps(seed, k=K_COMPS):
+        rr = np.random.RandomState(seed)
+        c = np.full((k + 1, 6), np.nan, np.float32)
+        c[:k, :4] = rr.rand(k, 4)
+        c[:k, 4] = rr.randint(0, 3, k)
+        c[:k, 5] = rr.rand(k)
+        c[k, 0] = k
+        c[k, 1] = 1.0
+        c[k, 2] = 0
+        return c
+
+    # 40x the IIW per-image row count: at K=1181 a SINGLE flipped
+    # comparison moves WHDR by ~0.085% — the same order as the 0.1%
+    # criterion itself — so a 1181-row blob measures quantization, not
+    # disagreement (measured: grid delta 0.0019 at K=1181 vs 1-4e-4 at
+    # K>=11810).  The criterion is defined over the full IIW test set
+    # (~1e5 comparisons); a 47k blob is the faithful estimator.
+    _comps = _mk_comps(11, 40 * K_COMPS)
+
+    def _whdr_u8(img):
+        # both sides of every delta go through this same path (uint8
+        # levels / 255, channel order preserved), so the delta is pure
+        # filter-output disagreement
+        a = np.asarray(img, np.float32) / 255.0
+        if a.ndim == 2:
+            a = a[..., None]
+        return float(whdr_exact(jnp.asarray(a), jnp.asarray(_comps)))
+
+    def _whdr_delta(key, ours, oracle):
+        diffs["whdr_delta_" + key] = round(
+            abs(_whdr_u8(ours) - _whdr_u8(oracle)), 6)
 
     fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tests", "fixtures", "guided_golden.npz")
@@ -171,6 +252,8 @@ def run_gate():
         exp = g["out_{}_{}".format(tag, kind)]
         diffs["gf_{}_{}".format(tag, kind)] = int(
             np.abs(got.astype(np.int32) - exp.astype(np.int32)).max())
+        if (tag, key, kind) == ("r45_e3", "big", "color"):
+            _whdr_delta("gf_r45_e3", got, exp)  # the README c3 s45 combo
 
     # bilateral gray-self at the product sigmas (c20 s22) vs the cv2
     # BINARY — -r.png decodes to 3 identical channels, for which
@@ -179,11 +262,31 @@ def run_gate():
     yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
     gray = np.clip(120 + 70 * np.sin(xx / 14.0) * np.cos(yy / 10.0)
                    + 12 * rngg.rand(96, 128), 0, 255).astype(np.uint8)
-    rep3 = np.repeat(gray[..., None], 3, axis=-1)
-    got_bf = joint_bilateral_filter_u8(rep3, rep3, -1, 20.0, 22.0)
-    exp_bf = cv2.bilateralFilter(rep3, -1, 20.0, 22.0)
-    diffs["bf_gray_self_cv2"] = int(
-        np.abs(got_bf.astype(np.int32) - exp_bf.astype(np.int32)).max())
+
+    # 1/f pink-noise class (natural-image power spectrum) — random phase
+    # over a 1/f amplitude spectrum, span-normalized to 0..255
+    fy = np.fft.fftfreq(96)[:, None]
+    fx = np.fft.fftfreq(128)[None, :]
+    rad = np.sqrt(fy * fy + fx * fx)
+    rad[0, 0] = 1.0
+    pk = np.real(np.fft.ifft2(
+        np.exp(2j * np.pi * rngg.rand(96, 128)) / rad))
+    pink = np.floor((pk - pk.min()) / (pk.max() - pk.min() + 1e-12)
+                    * 255.0).astype(np.uint8)
+
+    from reflectance_filtering_tpu.ops.bilateral_grid import (
+        bilateral_grid_u8)
+    for gname, gimg in (("cv2", gray), ("pink", pink)):
+        rep3 = np.repeat(gimg[..., None], 3, axis=-1)
+        got_bf = joint_bilateral_filter_u8(rep3, rep3, -1, 20.0, 22.0)
+        exp_bf = cv2.bilateralFilter(rep3, -1, 20.0, 22.0)
+        diffs["bf_gray_self_" + gname] = int(
+            np.abs(got_bf.astype(np.int32) - exp_bf.astype(np.int32)).max())
+        _whdr_delta("bf_" + gname, got_bf, exp_bf)
+        # grid quality operating point (ss=8, sr=6): approximate mode,
+        # gated on WHDR vs the cv2 oracle only (not pixel levels)
+        got_grid = bilateral_grid_u8(rep3, rep3, 20.0, 22.0, ss=8, sr=6)
+        _whdr_delta("grid_quality_" + gname, got_grid, exp_bf)
 
     # Band-tiled fused guided filter (the 4K/8K chain path) vs the
     # fixture-anchored whole-plane dispatch on the same input — the
@@ -195,8 +298,17 @@ def run_gate():
     from reflectance_filtering_tpu.ops.guided import guided_filter_planar
     from reflectance_filtering_tpu.ops.guided_pallas import (
         _fused_geometry, guided_filter_fused_iterated)
-    assert _fused_geometry(480, 512, 45)[0] == 240  # 2160-class tiling
-    assert _fused_geometry(512, 512, 45)[0] == 256  # 4320-class tiling
+    # pin the tile-class resolution (survives python -O, attributable):
+    # 480 rows must resolve to the 240-row 4K-class tiles, 512 to the
+    # 256-row 8K-class tiles, or the fused checks below test the wrong
+    # product path
+    for rows, want in ((480, 240), (512, 256)):
+        got_rows = _fused_geometry(rows, 512, 45)[0]
+        if got_rows != want:
+            raise RuntimeError(
+                "_fused_geometry(%d, 512, 45) resolved to %d-row tiles, "
+                "expected %d — gate would test the wrong tile class"
+                % (rows, got_rows, want))
     def interp_ctx():
         # one-shot context manager: build a fresh one per use
         if jax.default_backend() == "tpu":
@@ -242,8 +354,10 @@ def run_gate():
     exp_r = np.floor(
         (1.0 / (1.0 + np.exp(-(cat @ wf.T + bf))))[..., 0] * 255.0)
     diffs["cnn_r_png"] = int(np.abs(got_r - exp_r).max())
+    _whdr_delta("cnn", got_r, exp_r)
 
-    ok = all(d <= 1 for d in diffs.values())
+    ok = all((d <= 0.001 if k.startswith("whdr_delta_") else d <= 1)
+             for k, d in diffs.items())
     return ok, diffs
 
 
@@ -262,6 +376,7 @@ def _run(profile_dir=None):
     from reflectance_filtering_tpu.ops.guided import guided_filter_planar
     from reflectance_filtering_tpu.losses.whdr import whdr_batch
 
+    _SPREADS.clear()
     params = reference_params_from_caffe(load_reference_weights())
     packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
 
@@ -314,11 +429,14 @@ def _run(profile_dir=None):
         refl = cnn_stage(x)
         return x + 1e-12 * jnp.sum(refl)
 
-    t_cnn = _contained("cnn", lambda: _timed_loop(cnn_only, imgs, 50))
+    t_cnn = _contained("cnn",
+                       lambda: _timed_loop(cnn_only, imgs, 50, "cnn"))
     t_gf = _contained("gf_pipeline",
-                      lambda: _timed_loop(gf_pipeline, imgs, 40))
+                      lambda: _timed_loop(gf_pipeline, imgs, 40,
+                                          "gf_pipeline"))
     t_bf = _contained("bf_pipeline",
-                      lambda: _timed_loop(bf_pipeline, imgs, 8))
+                      lambda: _timed_loop(bf_pipeline, imgs, 8,
+                                          "bf_pipeline"))
 
     if profile_dir:
         # --profile <dir>: XLA-level trace of one BF and one GF pipeline
@@ -341,7 +459,8 @@ def _run(profile_dir=None):
         return x * (1.0 + 1e-12 * jnp.sum(out[:, :, 0, :2]))
 
     t_bfc = _contained("bf_color_self",
-                       lambda: _timed_loop(bf_color_self, imgs_u8p, 4))
+                       lambda: _timed_loop(bf_color_self, imgs_u8p, 4,
+                                           "bf_color_self"))
     bfc_mps = (8 * H * W / 1e6) / t_bfc
 
     # joint != src: BF(reflectance, color photo) — the CLI's 'filter the
@@ -358,7 +477,8 @@ def _run(profile_dir=None):
         return x * (1.0 + 1e-12 * jnp.sum(out[:, :, 0, :2]))
 
     t_bfj = _contained("bf_joint_photo",
-                       lambda: _timed_loop(bf_joint_photo, refl_u8p, 4))
+                       lambda: _timed_loop(bf_joint_photo, refl_u8p, 4,
+                                           "bf_joint_photo"))
     bfj_mps = (8 * H * W / 1e6) / t_bfj
 
     # OPTIONAL approximate fast mode (bilateral grid; p99 error ~2 u8
@@ -374,7 +494,8 @@ def _run(profile_dir=None):
         out = bilateral_grid_gray(x, gs, 20.0 / 3.0, 22.0)
         return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
 
-    t_grid = _contained("bf_grid", lambda: _timed_loop(bf_grid, gj, 20))
+    t_grid = _contained("bf_grid",
+                        lambda: _timed_loop(bf_grid, gj, 20, "bf_grid"))
     grid_mps = MP / t_grid
 
     # tuned fast operating point (ss=16, sr=1.5 sigma): measured v5e
@@ -387,7 +508,8 @@ def _run(profile_dir=None):
         return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
 
     t_gridf = _contained("bf_grid_fast",
-                         lambda: _timed_loop(bf_grid_fast, gj, 20))
+                         lambda: _timed_loop(bf_grid_fast, gj, 20,
+                                             "bf_grid_fast"))
     gridf_mps = MP / t_gridf
 
     # quality operating point (ss=8, sr=6): the finest grid that still
@@ -399,7 +521,8 @@ def _run(profile_dir=None):
         return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
 
     t_gridq = _contained("bf_grid_quality",
-                         lambda: _timed_loop(bf_grid_quality, gj, 20))
+                         lambda: _timed_loop(bf_grid_quality, gj, 20,
+                                             "bf_grid_quality"))
     gridq_mps = MP / t_gridq
 
     # config 4: 3x iterated GF chain (Zoran-style) on one 4K frame.
@@ -431,16 +554,10 @@ def _run(profile_dir=None):
         return jax.lax.fori_loop(0, n, body,
                                  (g, jnp.float32(0.0)))[1]
 
-    # slope method (see _timed_loop): cancels the ~29 ms tunnel RPC
-    # intercept, which at reps=8 overstated the chain by ~28%
     def _time_4k():
         float(chain_many(g4k, s4k, reps))  # compile+warm
-        t0 = time.time()
-        float(chain_many(g4k, s4k, reps))
-        t_lo = time.time() - t0
-        t0 = time.time()
-        float(chain_many(g4k, s4k, 3 * reps))
-        return (time.time() - t0 - t_lo) / (2 * reps)
+        return _slope2(lambda n: float(chain_many(g4k, s4k, n)),
+                       reps, "gf_3x_4k")
 
     t_4k = _contained("gf_3x_4k", _time_4k)
 
@@ -460,12 +577,8 @@ def _run(profile_dir=None):
             s8k = jax.device_put(np.floor(
                 rng.rand(1, 1, h8k, w8k) * 256).astype(np.float32))
             float(chain_many(g8k, s8k, reps8))  # compile+warm
-            t0 = time.time()
-            float(chain_many(g8k, s8k, reps8))
-            t_lo = time.time() - t0
-            t0 = time.time()
-            float(chain_many(g8k, s8k, 3 * reps8))
-            return (time.time() - t0 - t_lo) / (2 * reps8)
+            return _slope2(lambda n: float(chain_many(g8k, s8k, n)),
+                           reps8, "gf_3x_8k")
         finally:
             # device_put itself may fail (OOM): free whatever landed so
             # a contained 8K failure cannot leak ~380 MB into the
@@ -510,12 +623,9 @@ def _run(profile_dir=None):
         tp, to = train_many(tparams, tstate, timgs, tcomps, n)
         float(jnp.sum(jax.tree_util.tree_leaves(tp)[0]))
 
-    # slope method (see _timed_loop): cancels the tunnel RPC intercept
     def _time_train():
         _run_train(titers)  # compile+warm
-        t0 = time.time(); _run_train(titers); t_lo = time.time() - t0
-        t0 = time.time(); _run_train(3 * titers)
-        return (time.time() - t0 - t_lo) / (2 * titers)
+        return _slope2(_run_train, titers, "train_step")
 
     t_train = _contained("train_step", _time_train)
 
@@ -556,6 +666,13 @@ def _run(profile_dir=None):
     except Exception as err:  # fixture missing, compile failure, hang
         parity_ok, parity_diffs = False, {"error": repr(err)}
 
+    # the literal BASELINE.json fidelity criterion, surfaced as its own
+    # field: max |dWHDR| across all gated pipelines (None if the gate
+    # errored before scoring)
+    _wd = [v for k, v in parity_diffs.items()
+           if k.startswith("whdr_delta_") and isinstance(v, float)]
+    whdr_delta_max = max(_wd) if _wd else None
+
     return {
         "metric": _HEADLINE,
         "value": _r(bf_mps),
@@ -573,8 +690,13 @@ def _run(profile_dir=None):
         "train_imgs_per_s": _r(tb / t_train, 1),
         "batch": BATCH, "resolution": [H, W],
         "whdr_comparisons_per_image": K_COMPS,
+        # per-stage relative disagreement (%) between the two rounds'
+        # independent slope estimates — the jitter floor a regression
+        # must clear to be real (VERDICT r4 item 5)
+        "timing_spread_pct": dict(_SPREADS),
         "parity_ok": parity_ok,
         "parity_max_diffs": parity_diffs,
+        "whdr_delta_max": whdr_delta_max,
     }
 
 
@@ -600,7 +722,6 @@ def _arm_watchdog(record=None):
         deadline = 5400.0
     if deadline <= 0:
         return None
-    import threading
 
     def _fire():
         err = ("bench watchdog: no result after %gs "
@@ -617,7 +738,8 @@ def _arm_watchdog(record=None):
             rec = {"metric": _HEADLINE, "value": None,
                    "unit": "MP/s/chip", "vs_baseline": None,
                    "parity_ok": False, "error": err}
-        print(json.dumps(rec), flush=True)
+        if not _emit_once(rec):
+            return  # the normal exit path already printed — stand down
         sys.stdout.flush()
         os._exit(1)
 
@@ -650,7 +772,7 @@ def main(profile_dir=None):
         rc = 1
     if dog is not None:
         dog.cancel()
-    print(json.dumps(record))
+    _emit_once(record)
     return rc
 
 
@@ -664,7 +786,7 @@ if __name__ == "__main__":
             ok, d = False, {"error": repr(err)[:500]}
         if dog is not None:
             dog.cancel()
-        print(json.dumps({"parity_ok": ok, "parity_max_diffs": d}))
+        _emit_once({"parity_ok": ok, "parity_max_diffs": d})
         sys.exit(0 if ok else 1)
     prof = None
     if "--profile" in sys.argv:

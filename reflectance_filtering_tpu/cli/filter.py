@@ -135,6 +135,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     effective_argv = argv if argv is not None else sys.argv[1:]
     if len(effective_argv) > 0:
+        from ..utils.compile_cache import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         read_filter_write(args.filter_type,
                           args.filename_in, args.guidance_in,
                           args.sigma_color, args.sigma_spatial,

@@ -197,3 +197,87 @@ def sharded_guided_filter(guide, src, radius: int, eps, mesh: Mesh,
     out = sharded_apply_overlap(local, 2 * radius, mesh, axis,
                                 "reflect")(guide3, src3)
     return out[..., 0] if squeeze else out
+
+
+def sharded_guided_filter_iterated(guide, src, radius: int, eps,
+                                   iterations: int, mesh: Mesh,
+                                   axis: str = "data", impl: str = "auto",
+                                   guide_u8: bool = False):
+    """Width-sharded Zoran-style iterated GF chain — the flagship
+    big-frame capability (BASELINE config 4: 3x GF on 4K+) across chips.
+
+    ONE halo exchange of ``iterations * 2 * radius`` columns, then each
+    shard runs the full product chain locally
+    (``ops.guided.guided_filter_iterated``: per-tile stats reuse across
+    iterations via the fused banded kernels on TPU) and crops.  Per-
+    iteration re-exchange would move 3x fewer columns per hop but pay
+    ``iterations`` ppermute latencies and lose the fused chain's
+    stats-slot reuse across iterations — the single wide halo keeps the
+    per-shard compute identical to the measured single-chip path.
+
+    Correctness of the single exchange: one GF has a 2r receptive
+    field, so block-local reflect padding corrupts at most 2r columns
+    per iteration; after n iterations the corruption reaches exactly
+    the n*2r columns the crop removes.  At global borders the box-at-
+    mirrored-position identity makes the synthesized reflect halo
+    reproduce the whole chain's border behavior (each iteration's
+    intermediate q is itself reflect-symmetric about the global edge).
+
+    guide [H, W, 3] or [H, W]; src [H, W, C] or [H, W]; W divisible by
+    the mesh size and W/mesh >= iterations * 2 * radius (the edge
+    shards synthesize the global reflect border from their own
+    columns).  Reference use-case: full-size decompose + 3x GF chain,
+    /root/reference/training/train_with_barrista_helper.py:753 +
+    README.md:88."""
+    halo = 2 * radius * iterations
+    n_shards = mesh.shape[axis]
+    w_shard = guide.shape[1] // n_shards
+    if w_shard < halo:
+        raise ValueError(
+            "W/mesh = {} < iterations*2*radius = {} — shards too narrow "
+            "to carry the chain's halo (use fewer shards or fewer "
+            "iterations per exchange)".format(w_shard, halo))
+
+    gray_guide = guide.ndim == 2
+    squeeze = src.ndim == 2
+    guide3 = guide[..., None] if gray_guide else guide
+    src3 = src[..., None] if squeeze else src
+
+    use_pallas = (_use_pallas(impl) and not gray_guide
+                  and not isinstance(eps, jax.core.Tracer))
+
+    if use_pallas:
+        from ..ops.guided import guided_filter_planar_pallas
+        from ..ops.guided_mxu import fits_mxu_guided
+        from ..ops.guided_pallas import guided_filter_fused_iterated
+
+        def local(guide_blk, src_blk):
+            gp = jnp.moveaxis(guide_blk, -1, 0)[None]   # [1,3,H,Wb]
+            sp = jnp.moveaxis(src_blk, -1, 0)[None]     # [1,C,H,Wb]
+            # same size dispatch as guided_filter_iterated on TPU:
+            # big shards run the fused chain (stats reuse), small ones
+            # iterate the whole-plane MXU filter
+            if not fits_mxu_guided(sp.shape[2], sp.shape[3], radius,
+                                   sp.shape[1]):
+                q = guided_filter_fused_iterated(
+                    gp.astype(jnp.float32), sp.astype(jnp.float32),
+                    radius, float(eps), iterations, guide_u8=guide_u8)
+            else:
+                q = sp
+                for _ in range(iterations):
+                    q = guided_filter_planar_pallas(gp, q, radius, eps,
+                                                    guide_u8=guide_u8)
+            return jnp.moveaxis(q[0], 0, -1)
+    else:
+        from ..ops.guided import guided_filter
+
+        def local(guide_blk, src_blk):
+            g = guide_blk[..., 0] if gray_guide else guide_blk
+            q = src_blk
+            for _ in range(iterations):
+                q = guided_filter(g, q, radius, eps)
+            return q
+
+    out = sharded_apply_overlap(local, halo, mesh, axis,
+                                "reflect")(guide3, src3)
+    return out[..., 0] if squeeze else out

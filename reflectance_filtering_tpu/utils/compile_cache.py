@@ -39,6 +39,10 @@ def enable_persistent_compilation_cache() -> str:
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:  # noqa: BLE001 — cache is never load-bearing
+    except Exception as err:  # noqa: BLE001 — cache is never load-bearing
+        import sys
+
+        print("persistent compile cache disabled (%r)" % err,
+              file=sys.stderr)
         return ""
     return d

@@ -175,6 +175,63 @@ def test_sharded_guided_filter_pallas_impl(mesh8):
                                   np.rint(np.clip(exp, 0, 255)))
 
 
+def test_sharded_guided_iterated_matches_local(mesh8):
+    """8-device sharded 3x-GF chain == the single-device chain at the
+    PRODUCT radius (r=45; VERDICT r4 item 3).  One halo exchange of
+    iterations*2r = 270 columns, 320 columns/shard."""
+    from reflectance_filtering_tpu.ops.guided import guided_filter_iterated
+    from reflectance_filtering_tpu.parallel.spatial import (
+        sharded_guided_filter_iterated)
+    rng = np.random.RandomState(6)
+    h, w, r, iters = 64, 2560, 45, 3
+    guide = np.floor(rng.rand(h, w, 3) * 256).astype(np.float32)
+    src = np.floor(rng.rand(h, w) * 256).astype(np.float32)
+    got = np.asarray(sharded_guided_filter_iterated(
+        jnp.asarray(guide), jnp.asarray(src), r, 3.0, iters, mesh8))
+    exp = np.asarray(guided_filter_iterated(
+        jnp.asarray(guide), jnp.asarray(src), r, 3.0, iters))
+    # float op order differs (per-shard vs whole-row box accumulation):
+    # values agree to ~1e-3 on 0-255 data; a handful of pixels (<0.01%,
+    # observed 8/163840) straddle a rint .5 boundary by that epsilon
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=0.05)
+    d = np.abs(np.rint(np.clip(got, 0, 255)) - np.rint(np.clip(exp, 0, 255)))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-4, (d.max(), (d > 0).mean())
+
+
+def test_sharded_guided_iterated_pallas_impl(mesh8):
+    """impl='pallas' routes each shard's chain through the planar
+    MXU/fused kernels (the dispatch the real-TPU path takes).  Kept
+    tiny — interpret-mode Pallas inside an 8-way shard_map is slow."""
+    from jax.experimental.pallas import tpu as pltpu
+    from reflectance_filtering_tpu.ops.guided import guided_filter_iterated
+    from reflectance_filtering_tpu.parallel.spatial import (
+        sharded_guided_filter_iterated)
+    rng = np.random.RandomState(7)
+    h, w, r, iters = 8, 128, 2, 2   # halo 8 <= 16 columns/shard
+    guide = np.floor(rng.rand(h, w, 3) * 256).astype(np.float32)
+    src = np.floor(rng.rand(h, w) * 256).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sharded_guided_filter_iterated(
+            jnp.asarray(guide), jnp.asarray(src), r, 3.0, iters, mesh8,
+            impl="pallas"))
+    exp = np.asarray(guided_filter_iterated(
+        jnp.asarray(guide), jnp.asarray(src), r, 3.0, iters))
+    # MXU band-matmul boxes (bf16x3 split) vs the XLA f32 chain: ~1e-3
+    # agreement on 0-255 values; rare rint .5-boundary straddles
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=0.05)
+    d = np.abs(np.rint(np.clip(got, 0, 255)) - np.rint(np.clip(exp, 0, 255)))
+    assert d.max() <= 1 and (d > 0).mean() < 0.005, (d.max(), (d > 0).mean())
+
+
+def test_sharded_guided_iterated_narrow_shards_raise(mesh8):
+    from reflectance_filtering_tpu.parallel.spatial import (
+        sharded_guided_filter_iterated)
+    guide = jnp.zeros((16, 256, 3))   # 32 cols/shard < 3*2*45
+    src = jnp.zeros((16, 256))
+    with pytest.raises(ValueError, match="too narrow"):
+        sharded_guided_filter_iterated(guide, src, 45, 3.0, 3, mesh8)
+
+
 def test_score_whdr_per_image_matches_host_loop(data):
     """The product eval path (predict_and_score) scores WHDR as one
     sharded device program; values must match the per-image host loop it

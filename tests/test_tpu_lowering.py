@@ -134,11 +134,32 @@ def test_whdr_gather_lowers():
 
 def test_8k_product_chain_lowers():
     """The bench gf_3x_8k stage's EXACT geometry (4320x7680, r=45, 3
-    iterations, u8 guide) through the product dispatch — the path that
+    iterations, u8 guide) through the fused chain — the path that
     crashed at 8K until aef6c4f.  ~35 s, but it is the one geometry the
-    driver artifact pins that no smaller lowering covers."""
-    from reflectance_filtering_tpu.ops.guided import guided_filter_iterated
+    driver artifact pins that no smaller lowering covers.
+
+    Calls guided_filter_fused_iterated DIRECTLY: guided_filter_iterated's
+    dispatch gates on jax.default_backend() == 'tpu', which is 'cpu' in
+    this suite, so routing through the dispatcher here would silently
+    lower the XLA fallback instead of the product kernels (what this
+    test did until round 5)."""
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        guided_filter_fused_iterated)
     g = jnp.zeros((1, 3, 4320, 7680), jnp.float32)
     s = jnp.zeros((1, 1, 4320, 7680), jnp.float32)
-    _lower(lambda a, b: guided_filter_iterated(
-        a, b, 45, 3.0, 3, planar=True, guide_u8=True), g, s)
+    _lower(lambda a, b: guided_filter_fused_iterated(
+        a, b, 45, 3.0, 3, guide_u8=True), g, s)
+
+
+def test_sharded_chain_per_shard_geometry_lowers():
+    """The per-shard block of the 8-way sharded 4K 3x chain
+    (parallel.spatial.sharded_guided_filter_iterated: 2160 rows x
+    480-col shard + 2*270 halo = 1020 cols) through the fused kernels —
+    the tile schedule this width resolves to is not covered by the 4K/
+    8K whole-frame lowerings."""
+    from reflectance_filtering_tpu.ops.guided_pallas import (
+        guided_filter_fused_iterated)
+    g = jnp.zeros((1, 3, 2160, 1020), jnp.float32)
+    s = jnp.zeros((1, 1, 2160, 1020), jnp.float32)
+    _lower(lambda a, b: guided_filter_fused_iterated(
+        a, b, 45, 3.0, 3, guide_u8=True), g, s)
