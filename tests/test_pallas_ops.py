@@ -414,6 +414,27 @@ def test_cnn_pallas_matches_reference_forward(rng):
     assert flips < 0.005
 
 
+def test_cnn_pallas_planar_matches_hwc(rng):
+    """The channels-first entry (no [P,3]->[3,P] transpose) is the same
+    kernel math per pixel column — bitwise equal to the HWC entry."""
+    from reflectance_filtering_tpu.ops.cnn_pallas import (
+        reflectance_cnn_pallas_planar)
+    params = reference_params_from_caffe(load_reference_weights())
+    packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
+    img = rng.rand(2, 20, 24, 3).astype(np.float32)
+    exp = np.asarray(reflectance_cnn_pallas(packed, jnp.asarray(img),
+                                            srgb_input=True))
+    got = np.asarray(reflectance_cnn_pallas_planar(
+        packed, jnp.moveaxis(jnp.asarray(img), -1, 1), srgb_input=True))
+    np.testing.assert_array_equal(got, exp)
+    # precise scheme too
+    exp6 = np.asarray(reflectance_cnn_pallas(packed, jnp.asarray(img),
+                                             precise=True))
+    got6 = np.asarray(reflectance_cnn_pallas_planar(
+        packed, jnp.moveaxis(jnp.asarray(img), -1, 1), precise=True))
+    np.testing.assert_array_equal(got6, exp6)
+
+
 def test_cnn_pallas_srgb_fused(rng):
     from reflectance_filtering_tpu.utils.image import srgb_to_rgb
     params = reference_params_from_caffe(load_reference_weights())

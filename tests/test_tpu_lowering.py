@@ -28,7 +28,7 @@ def _lower(fn, *args):
 
 def test_cnn_inference_kernel_lowers():
     from reflectance_filtering_tpu.ops.cnn_pallas import (
-        pack_weights, reflectance_cnn_pallas)
+        pack_weights, reflectance_cnn_pallas, reflectance_cnn_pallas_planar)
     params = reference_params_from_caffe(load_reference_weights())
     packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -36,6 +36,9 @@ def test_cnn_inference_kernel_lowers():
                                             tile=4096), x)
     _lower(lambda v: reflectance_cnn_pallas(packed, v, precise=True,
                                             tile=4096), x)
+    xp = jnp.zeros((1, 3, 64, 64), jnp.float32)
+    _lower(lambda v: reflectance_cnn_pallas_planar(
+        packed, v, srgb_input=True, tile=4096), xp)
 
 
 @pytest.mark.parametrize("input_grad", [True, False])
