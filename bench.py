@@ -105,6 +105,7 @@ _HEADLINE = ("BF(CNN,CNN) end-to-end megapixels/sec/chip "
              "(CNN+u8-write+joint-bilateral c20 s22+WHDR)")
 
 _EMIT_LOCK = threading.Lock()
+_FINAL_RC = [1]  # set by the normal exit paths before _emit_once
 
 
 def _emit_once(record):
@@ -199,19 +200,10 @@ def run_gate():
         joint_bilateral_filter_u8)
     from reflectance_filtering_tpu.models.caffe_io import parse_caffemodel
     from reflectance_filtering_tpu.losses.whdr import whdr as whdr_exact
+    from reflectance_filtering_tpu.utils.testimages import (
+        make_synthetic_comps, pink_noise)
 
     diffs = {}
-
-    def _mk_comps(seed, k=K_COMPS):
-        rr = np.random.RandomState(seed)
-        c = np.full((k + 1, 6), np.nan, np.float32)
-        c[:k, :4] = rr.rand(k, 4)
-        c[:k, 4] = rr.randint(0, 3, k)
-        c[:k, 5] = rr.rand(k)
-        c[k, 0] = k
-        c[k, 1] = 1.0
-        c[k, 2] = 0
-        return c
 
     # 40x the IIW per-image row count: at K=1181 a SINGLE flipped
     # comparison moves WHDR by ~0.085% — the same order as the 0.1%
@@ -219,20 +211,28 @@ def run_gate():
     # disagreement (measured: grid delta 0.0019 at K=1181 vs 1-4e-4 at
     # K>=11810).  The criterion is defined over the full IIW test set
     # (~1e5 comparisons); a 47k blob is the faithful estimator.
-    _comps = _mk_comps(11, 40 * K_COMPS)
+    _comps_dev = jax.device_put(make_synthetic_comps(11, 40 * K_COMPS))
+    _score = jax.jit(lambda img: whdr_exact(img, _comps_dev))
 
     def _whdr_u8(img):
         # both sides of every delta go through this same path (uint8
         # levels / 255, channel order preserved), so the delta is pure
-        # filter-output disagreement
+        # filter-output disagreement.  One jitted call per image shape;
+        # the comps blob lives on the device once (per-call re-upload +
+        # eager whdr dispatch cost seconds through the tunnel).
         a = np.asarray(img, np.float32) / 255.0
         if a.ndim == 2:
             a = a[..., None]
-        return float(whdr_exact(jnp.asarray(a), jnp.asarray(_comps)))
+        return float(_score(jnp.asarray(a)))
 
     def _whdr_delta(key, ours, oracle):
-        diffs["whdr_delta_" + key] = round(
-            abs(_whdr_u8(ours) - _whdr_u8(oracle)), 6)
+        # gate on the RAW delta; round only the reported entry (rounding
+        # before the compare would loosen the 0.1% criterion by up to
+        # 5e-7 at the boundary)
+        d = abs(_whdr_u8(ours) - _whdr_u8(oracle))
+        diffs["whdr_delta_" + key] = round(d, 6)
+        if d > 0.001:
+            diffs["whdr_delta_" + key] = d  # unrounded for the report
 
     fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tests", "fixtures", "guided_golden.npz")
@@ -263,16 +263,9 @@ def run_gate():
     gray = np.clip(120 + 70 * np.sin(xx / 14.0) * np.cos(yy / 10.0)
                    + 12 * rngg.rand(96, 128), 0, 255).astype(np.uint8)
 
-    # 1/f pink-noise class (natural-image power spectrum) — random phase
-    # over a 1/f amplitude spectrum, span-normalized to 0..255
-    fy = np.fft.fftfreq(96)[:, None]
-    fx = np.fft.fftfreq(128)[None, :]
-    rad = np.sqrt(fy * fy + fx * fx)
-    rad[0, 0] = 1.0
-    pk = np.real(np.fft.ifft2(
-        np.exp(2j * np.pi * rngg.rand(96, 128)) / rad))
-    pink = np.floor((pk - pk.min()) / (pk.max() - pk.min() + 1e-12)
-                    * 255.0).astype(np.uint8)
+    # 1/f pink-noise class (natural-image power spectrum) — shared
+    # generator with the grid quality-set test (utils/testimages.py)
+    pink = pink_noise(rngg, 96, 128).astype(np.uint8)
 
     from reflectance_filtering_tpu.ops.bilateral_grid import (
         bilateral_grid_u8)
@@ -390,15 +383,9 @@ def _run(profile_dir=None):
     # wants (np.moveaxis before the one-time transfer).
     imgs = jax.device_put(np.ascontiguousarray(np.moveaxis(
         rng.rand(BATCH, H, W, 3).astype(np.float32), -1, 1)))  # sRGB
-    k = K_COMPS
-    comps = np.full((BATCH, k + 1, 6), np.nan, np.float32)
-    comps[:, :k, :4] = rng.rand(BATCH, k, 4)
-    comps[:, :k, 4] = rng.randint(0, 3, (BATCH, k))
-    comps[:, :k, 5] = rng.rand(BATCH, k)
-    comps[:, k, 0] = k
-    comps[:, k, 1] = 1.0
-    comps[:, k, 2] = 0
-    comps = jax.device_put(comps)
+    from reflectance_filtering_tpu.utils.testimages import (
+        make_synthetic_comps)
+    comps = jax.device_put(make_synthetic_comps(1, K_COMPS, batch=BATCH))
 
     def cnn_stage(x):
         # fused uint8-free path: sRGB [B,3,H,W] -> reflectance [B,H,W]
@@ -747,10 +734,16 @@ def _arm_watchdog(record=None):
             rec = {"metric": _HEADLINE, "value": None,
                    "unit": "MP/s/chip", "vs_baseline": None,
                    "parity_ok": False, "error": err}
-        if not _emit_once(rec):
-            return  # the normal exit path already printed — stand down
-        sys.stdout.flush()
-        os._exit(1)
+        if _emit_once(rec):
+            sys.stdout.flush()
+            os._exit(1)
+        # Lost the emit race: the normal path printed (or is printing)
+        # its record, so do NOT print — but the watchdog's other job
+        # stands: bound the EXIT.  Interpreter/PJRT teardown through a
+        # degraded tunnel can hang in C after the record is out; give
+        # the winner's flush a moment, then hard-exit with its rc.
+        time.sleep(10)
+        os._exit(_FINAL_RC[0])
 
     t = threading.Timer(deadline, _fire)
     t.daemon = True
@@ -781,6 +774,7 @@ def main(profile_dir=None):
         rc = 1
     if dog is not None:
         dog.cancel()
+    _FINAL_RC[0] = rc
     _emit_once(record)
     return rc
 
@@ -795,6 +789,7 @@ if __name__ == "__main__":
             ok, d = False, {"error": repr(err)[:500]}
         if dog is not None:
             dog.cancel()
+        _FINAL_RC[0] = 0 if ok else 1
         _emit_once({"parity_ok": ok, "parity_max_diffs": d})
         sys.exit(0 if ok else 1)
     prof = None

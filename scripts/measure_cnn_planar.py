@@ -45,14 +45,9 @@ def main():
     packed = {k: jnp.asarray(v) for k, v in pack_weights(params).items()}
     imgs = jax.device_put(rng.rand(B, H, W, 3).astype(np.float32))
     imgs_p = jax.device_put(np.moveaxis(np.asarray(imgs), -1, 1).copy())
-    comps = np.full((B, K + 1, 6), np.nan, np.float32)
-    comps[:, :K, :4] = rng.rand(B, K, 4)
-    comps[:, :K, 4] = rng.randint(0, 3, (B, K))
-    comps[:, :K, 5] = rng.rand(B, K)
-    comps[:, K, 0] = K
-    comps[:, K, 1] = 1.0
-    comps[:, K, 2] = 0
-    comps = jax.device_put(comps)
+    from reflectance_filtering_tpu.utils.testimages import (
+        make_synthetic_comps)
+    comps = jax.device_put(make_synthetic_comps(0, K, batch=B))
 
     for tile in (4096, 8192):
         def hwc(x, _t=tile):

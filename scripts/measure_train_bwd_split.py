@@ -4,15 +4,20 @@ r4 item 4: "bwd ~1.9 ms" was a single opaque number).
 Builds TIMING-ONLY variants of ops/cnn_train_pallas.py::_bwd_kernel with
 stages removed in dependency order and reports the deltas:
 
-  full            remat + dcat/dz chain + packed dW dots + head + stores
-  -dw             drop the packed dW A@B^T dots (keep db sums)
-  -dw-chain       also drop the wmT dz-chain dots (dz = masked dcat)
-  -dw-chain-head  also drop the VPU fuse-head dWf broadcast+reduce
-  remat-only      only the forward recompute + a cheap store
-  empty           DMA + grid overhead floor (touch inputs, store zeros)
+  full              remat + dcat/dz chain + packed dW dots + head + stores
+  -dw               drop the packed dW A@B^T dots (keep db sums)
+  -dw-chain         also drop the wmT dz-chain dots (dz = masked dcat)
+  -dw-chain-head    also drop the VPU fuse-head dWf broadcast+reduce
+                    (what remains: fwd remat dots + dcat/mask + db sums
+                    + accumulator stores — reported as one bundle)
+  empty(DMA floor)  no compute: touch one element of each input and
+                    accumulate it into one output ref, zeroing the rest
+                    (bounds the per-grid-step DMA + overhead floor)
 
 The variants write the same output refs (garbage values) so HBM traffic
-stays comparable; deltas between consecutive rows attribute one stage.
+stays comparable; the delta between consecutive rows attributes one
+stage.  Measured 2026-08-19 (B=20, tile 8192): full 1.534 ms = dW 0.773
++ chain 0.245 + head 0.063 + remat-bundle 0.446 + floor 0.008.
 Slope-timed (two trip counts, one compile) per CLAUDE.md tunnel rules.
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo \

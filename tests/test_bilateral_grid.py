@@ -47,17 +47,7 @@ def test_grid_joint_neq_src(rng):
     assert d.mean() <= 2.5 and np.percentile(d, 99) <= 12.0
 
 
-def _pink(rng, h, w):
-    """1/f pink noise — the natural-image power spectrum (VERDICT r4
-    item 6: the quality set was all-synthetic; this is the closest
-    acquirable stand-in for real photos in this environment)."""
-    fy = np.fft.fftfreq(h)[:, None]
-    fx = np.fft.fftfreq(w)[None, :]
-    rad = np.sqrt(fy * fy + fx * fx)
-    rad[0, 0] = 1.0
-    img = np.real(np.fft.ifft2(np.exp(2j * np.pi * rng.rand(h, w)) / rad))
-    return np.floor((img - img.min()) / (img.max() - img.min() + 1e-12)
-                    * 255.0)
+from reflectance_filtering_tpu.utils.testimages import pink_noise as _pink
 
 
 def test_grid_quality_point_p99(rng):

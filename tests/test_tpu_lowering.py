@@ -39,6 +39,8 @@ def test_cnn_inference_kernel_lowers():
     xp = jnp.zeros((1, 3, 64, 64), jnp.float32)
     _lower(lambda v: reflectance_cnn_pallas_planar(
         packed, v, srgb_input=True, tile=4096), xp)
+    _lower(lambda v: reflectance_cnn_pallas_planar(
+        packed, v, precise=True, tile=4096), xp)
 
 
 @pytest.mark.parametrize("input_grad", [True, False])
