@@ -159,6 +159,79 @@ def sharded_joint_bilateral(joint, src, mesh: Mesh, d: int = -1,
                                  "reflect101")(joint, src)
 
 
+def sharded_bilateral_gray_self(x, mesh: Mesh, d: int = -1,
+                                sigma_color: float = 20.0,
+                                sigma_space: float = 22.0,
+                                reps: int = 1, axis: str = "data",
+                                impl: str = "auto"):
+    """Width-sharded SELF-GUIDED gray bilateral — the BF(CNN,CNN)
+    -r.png case (a replicated-gray map filtered by itself) on a frame
+    too wide for one chip.
+
+    Routes each shard through the fastest single-chip kernel
+    (``bilateral_gray_self_batched``: 1 roll/tap, ~95 MP/s at the
+    product sigmas — ~7x the generic tap-loop kernel the joint API
+    uses), instead of the generic path: the joint==src structure is
+    static knowledge here, which the host-side u8 dispatch
+    (ops/bilateral.py:126-184) cannot discover inside shard_map.
+
+    x: [H, W] float gray in 0-255; ``reps`` = the replicated channel
+    count of the original image (3 for a decoded -r.png: cv2's range
+    argument sums |delta| over channels).  W divisible by the mesh;
+    W/mesh >= radius."""
+    radius, _, _, _ = opencv_bilateral_params(d, sigma_color, sigma_space)
+
+    if _use_pallas(impl):
+        from ..ops.bilateral_pallas import bilateral_gray_self_batched
+
+        def local(blk):
+            out = bilateral_gray_self_batched(blk[..., 0][None], d,
+                                              sigma_color, sigma_space,
+                                              reps=reps)
+            return jnp.moveaxis(out, 0, -1)
+    else:
+        from ..ops.bilateral import joint_bilateral_filter
+
+        def local(blk):
+            rep = jnp.repeat(blk, reps, axis=-1)
+            return joint_bilateral_filter(rep, rep, d, sigma_color,
+                                          sigma_space)[..., :1]
+
+    out = sharded_apply_overlap(local, radius, mesh, axis,
+                                "reflect101")(x[..., None])
+    return out[..., 0]
+
+
+def sharded_bilateral_color_self(img, mesh: Mesh, d: int = -1,
+                                 sigma_color: float = 20.0,
+                                 sigma_space: float = 22.0,
+                                 axis: str = "data", impl: str = "auto"):
+    """Width-sharded SELF-GUIDED color bilateral (cv2.bilateralFilter
+    semantics: the image filters itself) through the mantissa-packed
+    color-self kernel per shard (2 rolls/tap vs the generic kernel's
+    6).  img: [H, W, 3] float 0-255; W divisible by the mesh;
+    W/mesh >= radius."""
+    radius, _, _, _ = opencv_bilateral_params(d, sigma_color, sigma_space)
+
+    if _use_pallas(impl):
+        from ..ops.bilateral_pallas import bilateral_color_self_batched
+
+        def local(blk):
+            planar = jnp.moveaxis(blk, -1, 0)[None]     # [1,3,H,Wb]
+            out = bilateral_color_self_batched(planar, d, sigma_color,
+                                               sigma_space)
+            return jnp.moveaxis(out[0], 0, -1)
+    else:
+        from ..ops.bilateral import joint_bilateral_filter
+
+        def local(blk):
+            return joint_bilateral_filter(blk, blk, d, sigma_color,
+                                          sigma_space)
+
+    return sharded_apply_overlap(local, radius, mesh, axis,
+                                 "reflect101")(img)
+
+
 def sharded_guided_filter(guide, src, radius: int, eps, mesh: Mesh,
                           axis: str = "data", impl: str = "auto"):
     """Width-sharded guided filter, matching ops.guided.guided_filter.

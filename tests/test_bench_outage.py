@@ -64,6 +64,36 @@ def test_gate_emits_json_line_when_backend_unavailable():
     assert "error" in rec["parity_max_diffs"]
 
 
+def test_emit_once_single_writer(capsys):
+    """The exactly-one-JSON-line guard: Timer.cancel() cannot stop a
+    watchdog _fire that already started, so the emit is serialized
+    through an atomic test-and-set — the first caller prints, every
+    later caller (from any thread) is a no-op."""
+    import threading
+    import importlib.util
+    # fresh module instance: the shared _EMIT_LOCK must start unheld
+    spec = importlib.util.spec_from_file_location("bench_emit_test", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    results = []
+    barrier = threading.Barrier(8)
+
+    def worker(i):
+        barrier.wait()
+        results.append(bench._emit_once({"winner": i}))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(out) == 1, out
+    assert sum(results) == 1
+    json.loads(out[0])
+
+
 def test_watchdog_emits_json_line_when_bench_hangs():
     """A tunnel that degrades MID-RUN leaves ops hung inside the PJRT C
     dispatch, unreachable by exceptions or SIGALRM — the daemon-thread

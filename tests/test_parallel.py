@@ -175,6 +175,40 @@ def test_sharded_guided_filter_pallas_impl(mesh8):
                                   np.rint(np.clip(exp, 0, 255)))
 
 
+def test_sharded_bilateral_self_guided_fast_kernels(mesh8):
+    """The sharded SELF-GUIDED bilateral wrappers route each shard
+    through the specialized kernels (gray-self 1 roll/tap, packed
+    color-self) and match the single-device oracle path.  joint==src is
+    static knowledge the host-side u8 dispatch cannot discover inside
+    shard_map, hence the dedicated entry points."""
+    from jax.experimental.pallas import tpu as pltpu
+    from reflectance_filtering_tpu.parallel.spatial import (
+        sharded_bilateral_color_self, sharded_bilateral_gray_self)
+    rng = np.random.RandomState(8)
+    gray = np.floor(rng.rand(16, 64) * 256).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got_g = np.asarray(sharded_bilateral_gray_self(
+            jnp.asarray(gray), mesh8, sigma_color=20.0, sigma_space=2.0,
+            reps=3))
+    rep3 = np.repeat(gray[..., None], 3, -1)
+    exp_g = np.asarray(joint_bilateral_filter(rep3, rep3, -1, 20.0,
+                                              2.0))[..., 0]
+    np.testing.assert_allclose(got_g, exp_g, rtol=1e-4, atol=0.05)
+
+    col = np.floor(rng.rand(16, 64, 3) * 256).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got_c = np.asarray(sharded_bilateral_color_self(
+            jnp.asarray(col), mesh8, sigma_color=20.0, sigma_space=2.0))
+    exp_c = np.asarray(joint_bilateral_filter(col, col, -1, 20.0, 2.0))
+    np.testing.assert_allclose(got_c, exp_c, rtol=1e-4, atol=0.05)
+
+    # XLA fallback impl agrees too
+    got_gx = np.asarray(sharded_bilateral_gray_self(
+        jnp.asarray(gray), mesh8, sigma_color=20.0, sigma_space=2.0,
+        reps=3, impl="xla"))
+    np.testing.assert_allclose(got_gx, exp_g, rtol=1e-5, atol=1e-3)
+
+
 def test_sharded_guided_iterated_matches_local(mesh8):
     """8-device sharded 3x-GF chain == the single-device chain at the
     PRODUCT radius (r=45; VERDICT r4 item 3).  One halo exchange of
