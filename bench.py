@@ -349,6 +349,16 @@ def run_gate():
     diffs["cnn_r_png"] = int(np.abs(got_r - exp_r).max())
     _whdr_delta("cnn", got_r, exp_r)
 
+    # the batched-production forward (fused Pallas kernel, planar feed —
+    # what decompose_images runs on TPU) against the same f64 oracle
+    from reflectance_filtering_tpu.cli.decompose import (
+        _decompose_device_fused)
+    with interp_ctx():
+        got_rb = np.floor(np.asarray(_decompose_device_fused(
+            net.packed,
+            jnp.asarray(np.moveaxis(img[None], -1, 1).copy())))[0] * 255.0)
+    diffs["cnn_r_png_batched"] = int(np.abs(got_rb - exp_r).max())
+
     ok = all((d <= 0.001 if k.startswith("whdr_delta_") else d <= 1)
              for k, d in diffs.items())
     return ok, diffs

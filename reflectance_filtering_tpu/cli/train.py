@@ -418,6 +418,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
     print("Arguments:")
     print(vars(args))
+    # persistent XLA cache: the scan-chunked fit step is a ~4 min
+    # one-time compile through the dev tunnel; re-runs of the same
+    # config (incl. resume) reload it from disk
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
     results_dir = os.path.join(args.results_root, args.experiment_name)
     for d in RESULT_SUBDIRS:
