@@ -139,6 +139,18 @@ def _existing_snapshots(snapshot_dir: str, description: str):
 
 def fit_predict_net(args, results_dir: str):
     """The experiment lifecycle (helper:141-439)."""
+    if args.stage in FLAGS_PREDICT and args.predictCaffemodel:
+        # recover hyperparameters from the checkpoint filename FIRST
+        # (helper:369-392), so the description, the val-data resolution
+        # and the network config all match the checkpoint — parsing
+        # after the data load (as the reference orders it) makes a
+        # predict run fail on a missing default-resolution val blob
+        # even when the checkpoint encodes a different size (found by
+        # the round-5 on-chip fit->predict drive at h32w32)
+        parsed = parse_description(os.path.basename(args.predictCaffemodel))
+        for k, v in parsed.items():
+            setattr(args, k, v)
+        print("Inferred parameters:", parsed)
     net_params, description = get_description(args)
     snapshot_dir = os.path.join(results_dir, "snapshots")
     additional_info = "_{}_{}_{}".format(args.height, args.width,
@@ -199,17 +211,22 @@ def fit_predict_net(args, results_dir: str):
     # the training blob loads LAZILY: a --startOver=0 re-invocation whose
     # checkpoint already covers the requested iterations never touches it
     # (the augmented IIW blob is ~9 GB)
+    # a decompose-only predict never touches the dataset: a trained
+    # checkpoint must be usable to decompose arbitrary photos on a
+    # machine that has no IIW blobs at all
+    decompose_only = (args.stage in FLAGS_PREDICT and args.decompose)
     load_X = None
     X_val = None
     if not args.test:
         if args.stage in FLAGS_FIT:
             load_X = lambda: getData("trainValTest_train")  # noqa: E731
-        X_val = getData("trainValTest_val")
+        if not decompose_only:
+            X_val = getData("trainValTest_val")
     else:
         if args.stage in FLAGS_FIT:
             load_X = lambda: getData("bigTrainMiniValTest_train")  # noqa
             X_val = getData("bigTrainMiniValTest_val")
-        elif args.stage in FLAGS_PREDICT:
+        elif args.stage in FLAGS_PREDICT and not decompose_only:
             X_val = getData("trainValTest_test")
 
     if args.stage in FLAGS_FIT:
@@ -372,13 +389,9 @@ def fit_predict_net(args, results_dir: str):
         print(min(scores) if scores else score)
 
     if args.predictCaffemodel and args.stage in FLAGS_PREDICT:
-        # recover hyperparameters from the checkpoint filename
-        # (helper:369-392)
+        # hyperparameters were already recovered from the checkpoint
+        # filename at the top of this function (before the data load)
         ckpt_abs = args.predictCaffemodel
-        parsed = parse_description(os.path.basename(ckpt_abs))
-        for k, v in parsed.items():
-            setattr(args, k, v)
-        print("Inferred parameters:", parsed)
         net_cfg = net_config_from_args(args)
         params = _load_params_any(ckpt_abs, net_cfg)
 

@@ -10,6 +10,7 @@ self-describing, e.g.:
 """
 from __future__ import annotations
 
+import re
 from typing import Tuple
 
 import numpy as np
@@ -58,6 +59,14 @@ def parse_description(checkpoint_name: str):
 
     Accepts '<description>_barrista_iter_<N>.<ext>' (any extension).
     Returns a dict with the fields predict mode needs.
+
+    Beyond the reference's parse (network fields only), this also
+    recovers the solver, comparisons type and the data params
+    (height/width/dataset) — they are in the filename, and without them
+    a predict-and-score run loads val data at the CLI default
+    resolution and fails (or scores the wrong split) whenever the
+    checkpoint was trained at another size.  Found by the round-5
+    on-chip fit->predict drive at h32w32.
     """
     base = checkpoint_name
     if "." in base:
@@ -77,4 +86,16 @@ def parse_description(checkpoint_name: str):
                                           desc_split[10]),
         "iterations": int(desc_split[-1]),
     }
+    # tail layout (get_description): ..._<SOLVER><lr>_<comparisonsType>_
+    # h<H>w<W><dataset>_barrista_iter_<N>
+    m = re.match(r"^h(\d+)w(\d+)(.+)$", desc_split[-4])
+    if m:
+        out["height"] = int(m.group(1))
+        out["width"] = int(m.group(2))
+        out["dataset"] = m.group(3)
+    out["comparisonsType"] = desc_split[-5]
+    ms = re.match(r"^([A-Z]+)([0-9.eE+-]+)$", desc_split[-6])
+    if ms:
+        out["solverType"] = ms.group(1)
+        out["base_lr"] = float(ms.group(2))
     return out

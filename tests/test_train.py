@@ -57,6 +57,24 @@ def test_description_roundtrip():
     assert parsed["RS_est_mode"] == "rRelMax"
     assert parsed["whdr_delta_margin_ratio_dense"] == "0.1_0.05_1.0_1"
     assert parsed["iterations"] == 2000
+    # data/solver params recovered too (beyond the reference's parse):
+    # without them a predict run at a non-default training size loads
+    # the wrong-resolution val blob
+    assert parsed["height"] == 256 and parsed["width"] == 256
+    assert parsed["dataset"] == "iiw"
+    assert parsed["comparisonsType"] == "comparisons"
+    assert parsed["solverType"] == "ADAM"
+    assert parsed["base_lr"] == 0.001
+
+
+def test_description_roundtrip_nondefault_size():
+    args = _args(numLayers=2, num_filters_log=4, kernel_pad=1,
+                 RS_est_mode="rRelMax", height=32, width=48,
+                 solverType="SGD", base_lr=0.01)
+    _, desc = get_description(args)
+    parsed = parse_description(desc + "_barrista_iter_16.npz")
+    assert parsed["height"] == 32 and parsed["width"] == 48
+    assert parsed["solverType"] == "SGD" and parsed["base_lr"] == 0.01
 
 
 def test_checkpoint_roundtrip(tmp_path):
