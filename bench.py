@@ -228,11 +228,9 @@ def run_gate():
     def _whdr_delta(key, ours, oracle):
         # gate on the RAW delta; round only the reported entry (rounding
         # before the compare would loosen the 0.1% criterion by up to
-        # 5e-7 at the boundary)
+        # 5e-7 at the boundary); a failing delta is reported unrounded
         d = abs(_whdr_u8(ours) - _whdr_u8(oracle))
-        diffs["whdr_delta_" + key] = round(d, 6)
-        if d > 0.001:
-            diffs["whdr_delta_" + key] = d  # unrounded for the report
+        diffs["whdr_delta_" + key] = d if d > 0.001 else round(d, 6)
 
     fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tests", "fixtures", "guided_golden.npz")

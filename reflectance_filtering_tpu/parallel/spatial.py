@@ -175,10 +175,12 @@ def sharded_bilateral_gray_self(x, mesh: Mesh, d: int = -1,
     static knowledge here, which the host-side u8 dispatch
     (ops/bilateral.py:126-184) cannot discover inside shard_map.
 
-    x: [H, W] float gray in 0-255; ``reps`` = the replicated channel
-    count of the original image (3 for a decoded -r.png: cv2's range
-    argument sums |delta| over channels).  W divisible by the mesh;
-    W/mesh >= radius."""
+    x: [H, W] float gray in 0-255 (any float values — the gray kernel
+    does not pack); ``reps`` = the replicated channel count of the
+    original image (3 for a decoded -r.png: cv2's range argument sums
+    |delta| over channels).  W divisible by the mesh;
+    W/mesh >= radius + 1 (reflect-101 edge synthesis needs one column
+    beyond the halo)."""
     radius, _, _, _ = opencv_bilateral_params(d, sigma_color, sigma_space)
 
     if _use_pallas(impl):
@@ -209,8 +211,15 @@ def sharded_bilateral_color_self(img, mesh: Mesh, d: int = -1,
     """Width-sharded SELF-GUIDED color bilateral (cv2.bilateralFilter
     semantics: the image filters itself) through the mantissa-packed
     color-self kernel per shard (2 rolls/tap vs the generic kernel's
-    6).  img: [H, W, 3] float 0-255; W divisible by the mesh;
-    W/mesh >= radius."""
+    6).
+
+    img: [H, W, 3] float holding U8-VALUED data (integers 0-255 — every
+    decoded image).  The packed kernel's c0 + 512*c1 mantissa ride is
+    exact only for integer values (ops/bilateral_pallas.py); fractional
+    input silently corrupts the Pallas path while the XLA fallback
+    would handle it — same contract as the single-chip u8 dispatch,
+    which only ever routes decoded u8 frames here.  W divisible by the
+    mesh; W/mesh >= radius + 1."""
     radius, _, _, _ = opencv_bilateral_params(d, sigma_color, sigma_space)
 
     if _use_pallas(impl):

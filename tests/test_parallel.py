@@ -186,10 +186,13 @@ def test_sharded_bilateral_self_guided_fast_kernels(mesh8):
         sharded_bilateral_color_self, sharded_bilateral_gray_self)
     rng = np.random.RandomState(8)
     gray = np.floor(rng.rand(16, 64) * 256).astype(np.float32)
+    # impl='pallas' explicitly: 'auto' resolves to the XLA fallback on
+    # the CPU test mesh, which would leave the specialized-kernel
+    # branches (the whole point of these wrappers) uncovered
     with pltpu.force_tpu_interpret_mode():
         got_g = np.asarray(sharded_bilateral_gray_self(
             jnp.asarray(gray), mesh8, sigma_color=20.0, sigma_space=2.0,
-            reps=3))
+            reps=3, impl="pallas"))
     rep3 = np.repeat(gray[..., None], 3, -1)
     exp_g = np.asarray(joint_bilateral_filter(rep3, rep3, -1, 20.0,
                                               2.0))[..., 0]
@@ -198,7 +201,8 @@ def test_sharded_bilateral_self_guided_fast_kernels(mesh8):
     col = np.floor(rng.rand(16, 64, 3) * 256).astype(np.float32)
     with pltpu.force_tpu_interpret_mode():
         got_c = np.asarray(sharded_bilateral_color_self(
-            jnp.asarray(col), mesh8, sigma_color=20.0, sigma_space=2.0))
+            jnp.asarray(col), mesh8, sigma_color=20.0, sigma_space=2.0,
+            impl="pallas"))
     exp_c = np.asarray(joint_bilateral_filter(col, col, -1, 20.0, 2.0))
     np.testing.assert_allclose(got_c, exp_c, rtol=1e-4, atol=0.05)
 
