@@ -1,0 +1,112 @@
+"""AOT export of the flagship forward for serving (jax.export).
+
+A serving process should not need this repo's Python graph-construction
+code (or a caffemodel parse) at startup: ``export_flagship`` serializes
+the batched-production forward — uint8 BGR [B, 3, H, W] planar in,
+reflectance intensity [B, H, W] out, the exact pipeline
+``cli.decompose.decompose_images`` runs on TPU (fused Pallas kernel,
+precise f32 scheme, weights baked in as constants) — as a
+version-checked StableHLO artifact (``jax.export``).  A consumer calls
+``load_flagship(path)`` and gets a plain callable; only jax and the
+artifact file are needed.
+
+The reference has no serving story at all (its CLI rebuilds a caffe.Net
+per image, decompose_with_trained_CNN.py:100-106); this is the
+TPU-native equivalent of shipping a frozen prototxt+caffemodel pair
+(network_definition.prototxt — SURVEY C7) in compiled form.
+
+Build an artifact:
+    python -m reflectance_filtering_tpu.utils.serving \
+        --out flagship_b16_256.rfx --batch 16 --height 256 --width 256
+
+The artifact is platform-tagged (default: tpu).  Exporting for 'tpu'
+works from any host — lowering needs no device — and Mosaic verifies
+the kernels at export time, so a broken kernel fails the build, not the
+serving fleet.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def _flagship_fn(use_pallas: bool):
+    """The batched-production forward with weights closed over as
+    constants (they bake into the artifact).
+
+    use_pallas selects the fused kernel (TPU artifacts — what
+    decompose_images runs on chip); other platforms get the XLA HIGHEST
+    forward, the same dispatch the product uses off-TPU (Pallas has no
+    CPU/GPU lowering).  Both share the uint8-planar-BGR interface."""
+    from ..models.caffe_io import load_reference_weights
+    from ..models.networks import (reference_params_from_caffe,
+                                   reflectance_net_apply)
+
+    params = reference_params_from_caffe(load_reference_weights())
+
+    if use_pallas:
+        from ..ops.cnn_pallas import (pack_weights,
+                                      reflectance_cnn_pallas_planar)
+        packed = {k: jnp.asarray(v)
+                  for k, v in pack_weights(params).items()}
+
+        def forward(img_bgr_u8_planar):
+            x = img_bgr_u8_planar[:, ::-1].astype(jnp.float32) / 255.0
+            return reflectance_cnn_pallas_planar(
+                packed, x, srgb_input=True, precise=True)
+    else:
+        from .image import srgb_to_rgb_jnp
+
+        def forward(img_bgr_u8_planar):
+            x = img_bgr_u8_planar[:, ::-1].astype(jnp.float32) / 255.0
+            lin = srgb_to_rgb_jnp(jnp.moveaxis(x, 1, -1))
+            return reflectance_net_apply(params, lin)[..., 0]
+
+    return forward
+
+
+def export_flagship(path: str, batch: int, height: int, width: int,
+                    platforms=("tpu",)) -> int:
+    """Serialize the flagship forward at a fixed shape; returns the
+    artifact size in bytes.  Input spec: uint8 [batch, 3, height, width]
+    planar BGR (what the native batch decoder produces after the
+    host-side moveaxis)."""
+    spec = jax.ShapeDtypeStruct((batch, 3, height, width), jnp.uint8)
+    exp = jax_export.export(jax.jit(_flagship_fn("tpu" in platforms)),
+                            platforms=tuple(platforms))(spec)
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_flagship(path: str):
+    """Deserialize an exported artifact -> callable
+    (uint8 [B,3,H,W] planar BGR -> reflectance [B,H,W] float32)."""
+    with open(path, "rb") as f:
+        exp = jax_export.deserialize(f.read())
+    return exp.call
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Export the flagship reflectance forward as a "
+                    "serving artifact (jax.export / StableHLO).")
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--platforms", default="tpu",
+                   help="comma-separated lowering platforms")
+    args = p.parse_args(argv)
+    n = export_flagship(args.out, args.batch, args.height, args.width,
+                        platforms=tuple(args.platforms.split(",")))
+    print("wrote", args.out, "({} bytes, platforms: {})".format(
+        n, args.platforms))
+
+
+if __name__ == "__main__":
+    main()

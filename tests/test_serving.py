@@ -1,0 +1,44 @@
+"""Serving export (utils/serving.py): serialize -> deserialize -> run.
+
+The TPU-platform artifact cannot execute on the CPU suite, so the
+round-trip EXECUTION test exports for 'cpu' with the XLA forward
+equivalent; the TPU artifact is covered by (a) an export+deserialize
+structural test here (Mosaic verification runs at export) and (b) an
+on-chip run in the round's verify drive.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from reflectance_filtering_tpu.utils.serving import (
+    export_flagship, load_flagship)
+
+
+def test_export_tpu_artifact_roundtrips_structurally(tmp_path):
+    path = str(tmp_path / "flagship_tpu.rfx")
+    n = export_flagship(path, batch=2, height=32, width=32,
+                        platforms=("tpu",))
+    assert n > 10_000 and os.path.getsize(path) == n
+    fn = load_flagship(path)   # deserialize + calling convention checks
+    assert callable(fn)
+
+
+def test_export_cpu_artifact_executes(tmp_path, rng):
+    """A cpu-platform artifact must execute and match the XLA forward
+    (the cpu lowering takes the same dispatch the CPU backend runs)."""
+    from reflectance_filtering_tpu.cli.decompose import (
+        ReflectanceCNN, _decompose_device)
+    path = str(tmp_path / "flagship_cpu.rfx")
+    export_flagship(path, batch=2, height=24, width=32,
+                    platforms=("cpu",))
+    fn = load_flagship(path)
+    imgs = (rng.rand(2, 24, 32, 3) * 255).astype(np.uint8)
+    got = np.asarray(fn(jnp.asarray(
+        np.ascontiguousarray(np.moveaxis(imgs, -1, 1)))))
+    net = ReflectanceCNN()
+    exp = np.asarray(_decompose_device(net.params, jnp.asarray(imgs)))
+    d = np.abs(np.floor(got * 255.0) - np.floor(exp * 255.0))
+    assert d.max() <= 1 and (d > 0).mean() < 0.001, (
+        d.max(), (d > 0).mean())
