@@ -68,15 +68,60 @@ def _flagship_fn(use_pallas: bool):
     return forward
 
 
+def _pipeline_fn(kind: str, use_pallas: bool):
+    """'cnn' -> reflectance map; 'bf' -> BF(CNN,CNN) c20 s22; 'gf' ->
+    GF(CNN, image) r45 e3 — the paper's flagship filtered configs
+    (README.md:34,58), end to end from the uint8 planar BGR batch to
+    the filtered uint8-valued reflectance [B, H, W]."""
+    cnn = _flagship_fn(use_pallas)
+    if kind == "cnn":
+        return cnn
+
+    def pipeline(img_bgr_u8_planar):
+        refl = cnn(img_bgr_u8_planar)
+        # the -r.png byte path: floor(r*255) (sigmoid < 1 never triggers
+        # the percentile normalize — image_utils.py:60-92)
+        r_u8 = jnp.floor(refl * 255.0)
+        if kind == "bf":
+            if use_pallas:
+                from ..ops.bilateral_pallas import (
+                    bilateral_gray_self_batched)
+                # -r.png decodes to 3 identical channels (reps=3)
+                return bilateral_gray_self_batched(r_u8, -1, 20.0, 22.0)
+            from ..ops.bilateral import joint_bilateral_filter
+            rep = jnp.repeat(r_u8[..., None], 3, axis=-1)
+            out = jax.vmap(lambda j: joint_bilateral_filter(
+                j, j, -1, 20.0, 22.0))(rep)
+            return out[..., 0]
+        if kind == "gf":
+            # guidance = the original photo (RGB planar, 0-255)
+            guide = img_bgr_u8_planar[:, ::-1].astype(jnp.float32)
+            if use_pallas:
+                from ..ops.guided import guided_filter_planar_pallas
+                q = guided_filter_planar_pallas(guide, r_u8[:, None],
+                                                45, 3.0, guide_u8=True)
+                return q[:, 0]
+            # fully-XLA form (the "planar xla" path still uses Pallas
+            # box kernels, which have no CPU lowering)
+            from ..ops.guided import guided_filter
+            return guided_filter(jnp.moveaxis(guide, 1, -1), r_u8,
+                                 45, 3.0, batched=True)
+        raise ValueError("unknown pipeline '{}'".format(kind))
+
+    return pipeline
+
+
 def export_flagship(path: str, batch: int, height: int, width: int,
-                    platforms=("tpu",)) -> int:
-    """Serialize the flagship forward at a fixed shape; returns the
+                    platforms=("tpu",), pipeline: str = "cnn") -> int:
+    """Serialize a flagship pipeline at a fixed shape; returns the
     artifact size in bytes.  Input spec: uint8 [batch, 3, height, width]
     planar BGR (what the native batch decoder produces after the
-    host-side moveaxis)."""
+    host-side moveaxis).  pipeline: 'cnn' (reflectance map), 'bf'
+    (BF(CNN,CNN) c20 s22) or 'gf' (GF(CNN, image) r45 e3)."""
     spec = jax.ShapeDtypeStruct((batch, 3, height, width), jnp.uint8)
-    exp = jax_export.export(jax.jit(_flagship_fn("tpu" in platforms)),
-                            platforms=tuple(platforms))(spec)
+    exp = jax_export.export(
+        jax.jit(_pipeline_fn(pipeline, "tpu" in platforms)),
+        platforms=tuple(platforms))(spec)
     blob = exp.serialize()
     with open(path, "wb") as f:
         f.write(blob)
@@ -101,11 +146,16 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--platforms", default="tpu",
                    help="comma-separated lowering platforms")
+    p.add_argument("--pipeline", default="cnn",
+                   choices=("cnn", "bf", "gf"),
+                   help="cnn = reflectance map; bf = BF(CNN,CNN) c20 "
+                        "s22; gf = GF(CNN, image) r45 e3")
     args = p.parse_args(argv)
     n = export_flagship(args.out, args.batch, args.height, args.width,
-                        platforms=tuple(args.platforms.split(",")))
-    print("wrote", args.out, "({} bytes, platforms: {})".format(
-        n, args.platforms))
+                        platforms=tuple(args.platforms.split(",")),
+                        pipeline=args.pipeline)
+    print("wrote", args.out, "({} bytes, platforms: {}, pipeline: {})"
+          .format(n, args.platforms, args.pipeline))
 
 
 if __name__ == "__main__":

@@ -25,6 +25,34 @@ def test_export_tpu_artifact_roundtrips_structurally(tmp_path):
     assert callable(fn)
 
 
+def test_export_filter_pipelines_tpu_structural(tmp_path):
+    """BF(CNN,CNN) and GF(CNN, image) artifacts export for TPU (Mosaic
+    verifies the fused kernels at export) and deserialize."""
+    for kind in ("bf", "gf"):
+        path = str(tmp_path / ("flagship_%s.rfx" % kind))
+        n = export_flagship(path, batch=2, height=128, width=128,
+                            platforms=("tpu",), pipeline=kind)
+        assert n > 10_000
+        assert callable(load_flagship(path))
+
+
+def test_export_cpu_filter_pipelines_execute(tmp_path, rng):
+    """cpu-platform bf/gf artifacts execute and match the direct call
+    of the same pipeline function (serialization fidelity)."""
+    import jax
+    from reflectance_filtering_tpu.utils.serving import _pipeline_fn
+    imgs = (rng.rand(2, 72, 80, 3) * 255).astype(np.uint8)
+    planar = jnp.asarray(np.ascontiguousarray(np.moveaxis(imgs, -1, 1)))
+    for kind in ("bf", "gf"):
+        path = str(tmp_path / ("flagship_cpu_%s.rfx" % kind))
+        export_flagship(path, batch=2, height=72, width=80,
+                        platforms=("cpu",), pipeline=kind)
+        got = np.asarray(load_flagship(path)(planar))
+        exp = np.asarray(jax.jit(_pipeline_fn(kind, False))(planar))
+        np.testing.assert_array_equal(got, exp)
+        assert np.isfinite(got).all() and got.shape == (2, 72, 80)
+
+
 def test_export_cpu_artifact_executes(tmp_path, rng):
     """A cpu-platform artifact must execute and match the XLA forward
     (the cpu lowering takes the same dispatch the CPU backend runs)."""
