@@ -112,16 +112,34 @@ def _pipeline_fn(kind: str, use_pallas: bool):
 
 
 def export_flagship(path: str, batch: int, height: int, width: int,
-                    platforms=("tpu",), pipeline: str = "cnn") -> int:
-    """Serialize a flagship pipeline at a fixed shape; returns the
-    artifact size in bytes.  Input spec: uint8 [batch, 3, height, width]
-    planar BGR (what the native batch decoder produces after the
-    host-side moveaxis).  pipeline: 'cnn' (reflectance map), 'bf'
-    (BF(CNN,CNN) c20 s22) or 'gf' (GF(CNN, image) r45 e3)."""
-    spec = jax.ShapeDtypeStruct((batch, 3, height, width), jnp.uint8)
-    exp = jax_export.export(
-        jax.jit(_pipeline_fn(pipeline, "tpu" in platforms)),
-        platforms=tuple(platforms))(spec)
+                    platforms=("tpu",), pipeline: str = "cnn",
+                    symbolic: bool = False) -> int:
+    """Serialize a flagship pipeline; returns the artifact size in
+    bytes.  Input spec: uint8 [batch, 3, height, width] planar BGR
+    (what the native batch decoder produces after the host-side
+    moveaxis).  pipeline: 'cnn' (reflectance map), 'bf' (BF(CNN,CNN)
+    c20 s22) or 'gf' (GF(CNN, image) r45 e3).
+
+    symbolic=True exports ONE any-shape artifact (symbolic batch/H/W —
+    the compiled form of the reference's fully-convolutional
+    reshape-per-image trick, decompose_with_trained_CNN.py:86-87).
+    Only pipeline='cnn' and only the XLA forward: the Pallas kernels'
+    grids are computed from concrete shapes, so the fast fixed-shape
+    artifacts and the flexible symbolic one are complementary — serve
+    the common shapes from fixed artifacts, the long tail from the
+    symbolic one."""
+    if symbolic:
+        if pipeline != "cnn":
+            raise ValueError("symbolic export supports pipeline='cnn' "
+                             "only (filter kernels need static shapes)")
+        scope = jax_export.SymbolicScope()
+        b, h, w = jax_export.symbolic_shape("b, h, w", scope=scope)
+        spec = jax.ShapeDtypeStruct((b, 3, h, w), jnp.uint8)
+        fn = _pipeline_fn("cnn", False)
+    else:
+        spec = jax.ShapeDtypeStruct((batch, 3, height, width), jnp.uint8)
+        fn = _pipeline_fn(pipeline, "tpu" in platforms)
+    exp = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(spec)
     blob = exp.serialize()
     with open(path, "wb") as f:
         f.write(blob)
@@ -150,10 +168,12 @@ def main(argv=None):
                    choices=("cnn", "bf", "gf"),
                    help="cnn = reflectance map; bf = BF(CNN,CNN) c20 "
                         "s22; gf = GF(CNN, image) r45 e3")
+    p.add_argument("--symbolic", action="store_true",
+                   help="one any-shape artifact (cnn only, XLA forward)")
     args = p.parse_args(argv)
     n = export_flagship(args.out, args.batch, args.height, args.width,
                         platforms=tuple(args.platforms.split(",")),
-                        pipeline=args.pipeline)
+                        pipeline=args.pipeline, symbolic=args.symbolic)
     print("wrote", args.out, "({} bytes, platforms: {}, pipeline: {})"
           .format(n, args.platforms, args.pipeline))
 

@@ -53,6 +53,25 @@ def test_export_cpu_filter_pipelines_execute(tmp_path, rng):
         assert np.isfinite(got).all() and got.shape == (2, 72, 80)
 
 
+def test_symbolic_artifact_serves_any_shape(tmp_path, rng):
+    """One symbolic-shape artifact serves arbitrary sizes — the compiled
+    form of the reference's fully-conv reshape trick."""
+    path = str(tmp_path / "flagship_any.rfx")
+    export_flagship(path, batch=0, height=0, width=0,
+                    platforms=("cpu",), pipeline="cnn", symbolic=True)
+    fn = load_flagship(path)
+    for shape in ((1, 3, 24, 32), (2, 3, 40, 56)):
+        x = jnp.asarray((rng.rand(*shape) * 255).astype(np.uint8))
+        out = np.asarray(fn(x))
+        assert out.shape == (shape[0],) + shape[2:]
+        assert np.isfinite(out).all()
+
+    import pytest
+    with pytest.raises(ValueError, match="cnn"):
+        export_flagship(str(tmp_path / "nope.rfx"), 0, 0, 0,
+                        platforms=("cpu",), pipeline="bf", symbolic=True)
+
+
 def test_export_cpu_artifact_executes(tmp_path, rng):
     """A cpu-platform artifact must execute and match the XLA forward
     (the cpu lowering takes the same dispatch the CPU backend runs)."""
