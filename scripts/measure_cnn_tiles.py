@@ -1,8 +1,9 @@
 """Sweep the grid tile width of the fused CNN kernels on the real TPU.
 
-Both the inference kernel (ops/cnn_pallas.py, default tile=8192) and the
-training trunk (ops/cnn_train_pallas.py, same default) grid over the
-flattened pixel axis in `tile`-lane steps.  Larger tiles amortize per-grid-
+Both the inference kernel (ops/cnn_pallas.py — default tile 4096 since
+the round-5 sweep) and the training trunk (ops/cnn_train_pallas.py,
+default 8192; its sweep was flat) grid over the flattened pixel axis in
+`tile`-lane steps.  Larger tiles amortize per-grid-
 step overhead; smaller tiles pipeline DMA better under VMEM pressure.
 Slope-timed (two trip counts, one compile) per CLAUDE.md's tunnel rules.
 
