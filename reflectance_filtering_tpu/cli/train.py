@@ -69,8 +69,11 @@ def build_parser():
     add("--batch_size", "-b", dest="batch_size", type=int, default=20)
     add("--predictCaffemodel", "-pcm", dest="predictCaffemodel", default=None,
         help="to directly predict for a certain checkpoint")
-    add("--height", type=int, default=256)
-    add("--width", type=int, default=256)
+    # default None so predict mode can tell "user said 256" from "user
+    # said nothing" (an explicit flag beats the checkpoint-name parse;
+    # the reference default 256 is applied in fit_predict_net)
+    add("--height", type=int, default=None)
+    add("--width", type=int, default=None)
     add("--startOver", type=int, default=1)
     add("--alwaysComputeShadingLosses", type=int, default=0)
     add("--numLayers", dest="numLayers", type=int, default=2)
@@ -147,10 +150,29 @@ def fit_predict_net(args, results_dir: str):
         # predict run fail on a missing default-resolution val blob
         # even when the checkpoint encodes a different size (found by
         # the round-5 on-chip fit->predict drive at h32w32)
-        parsed = parse_description(os.path.basename(args.predictCaffemodel))
+        try:
+            parsed = parse_description(
+                os.path.basename(args.predictCaffemodel))
+        except (ValueError, IndexError):
+            # e.g. the raw reference 'learned_weights.caffemodel' —
+            # _load_params_any accepts it, but its name encodes no
+            # config; keep the CLI args
+            parsed = {}
+            print("Checkpoint name encodes no config; using CLI args.")
         for k, v in parsed.items():
+            if k in ("height", "width") and getattr(args, k) is not None:
+                continue  # an explicit CLI size beats the checkpoint's
+                # (the net is fully convolutional: scoring a different
+                # resolution than it was trained at is a valid ask)
             setattr(args, k, v)
-        print("Inferred parameters:", parsed)
+        if parsed:
+            print("Inferred parameters:", parsed)
+    # the reference's defaults, applied only where nothing was given
+    # explicitly and the checkpoint name supplied nothing
+    if args.height is None:
+        args.height = 256
+    if args.width is None:
+        args.width = 256
     net_params, description = get_description(args)
     snapshot_dir = os.path.join(results_dir, "snapshots")
     additional_info = "_{}_{}_{}".format(args.height, args.width,
@@ -390,9 +412,9 @@ def fit_predict_net(args, results_dir: str):
 
     if args.predictCaffemodel and args.stage in FLAGS_PREDICT:
         # hyperparameters were already recovered from the checkpoint
-        # filename at the top of this function (before the data load)
+        # filename at the top of this function (before the data load),
+        # so the net_cfg built above is already the checkpoint's
         ckpt_abs = args.predictCaffemodel
-        net_cfg = net_config_from_args(args)
         params = _load_params_any(ckpt_abs, net_cfg)
 
         if args.decompose:

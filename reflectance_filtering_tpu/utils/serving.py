@@ -41,24 +41,23 @@ def _flagship_fn(use_pallas: bool):
     decompose_images runs on chip); other platforms get the XLA HIGHEST
     forward, the same dispatch the product uses off-TPU (Pallas has no
     CPU/GPU lowering).  Both share the uint8-planar-BGR interface."""
-    from ..models.caffe_io import load_reference_weights
-    from ..models.networks import (reference_params_from_caffe,
-                                   reflectance_net_apply)
-
-    params = reference_params_from_caffe(load_reference_weights())
-
     if use_pallas:
-        from ..ops.cnn_pallas import (pack_weights,
-                                      reflectance_cnn_pallas_planar)
-        packed = {k: jnp.asarray(v)
-                  for k, v in pack_weights(params).items()}
+        # reuse the PRODUCT forward itself (not a re-implementation):
+        # bit-identity between artifacts and decompose_images holds by
+        # construction, and a product change cannot silently diverge
+        from ..cli.decompose import ReflectanceCNN, _decompose_device_fused
+
+        packed = ReflectanceCNN().packed
 
         def forward(img_bgr_u8_planar):
-            x = img_bgr_u8_planar[:, ::-1].astype(jnp.float32) / 255.0
-            return reflectance_cnn_pallas_planar(
-                packed, x, srgb_input=True, precise=True)
+            return _decompose_device_fused(packed, img_bgr_u8_planar)
     else:
+        from ..models.caffe_io import load_reference_weights
+        from ..models.networks import (reference_params_from_caffe,
+                                       reflectance_net_apply)
         from .image import srgb_to_rgb_jnp
+
+        params = reference_params_from_caffe(load_reference_weights())
 
         def forward(img_bgr_u8_planar):
             x = img_bgr_u8_planar[:, ::-1].astype(jnp.float32) / 255.0
@@ -72,7 +71,10 @@ def _pipeline_fn(kind: str, use_pallas: bool):
     """'cnn' -> reflectance map; 'bf' -> BF(CNN,CNN) c20 s22; 'gf' ->
     GF(CNN, image) r45 e3 — the paper's flagship filtered configs
     (README.md:34,58), end to end from the uint8 planar BGR batch to
-    the filtered uint8-valued reflectance [B, H, W]."""
+    the filtered reflectance [B, H, W].  Filter outputs go through the
+    product's uint8 byte path (clip(rint(q), 0, 255) — the CLI's write
+    contract, ops/bilateral.py:184 / ops/guided.py), returned as
+    uint8-VALUED float32; 'cnn' returns the raw intensity in (0, 1)."""
     cnn = _flagship_fn(use_pallas)
     if kind == "cnn":
         return cnn
@@ -87,26 +89,31 @@ def _pipeline_fn(kind: str, use_pallas: bool):
                 from ..ops.bilateral_pallas import (
                     bilateral_gray_self_batched)
                 # -r.png decodes to 3 identical channels (reps=3)
-                return bilateral_gray_self_batched(r_u8, -1, 20.0, 22.0)
-            from ..ops.bilateral import joint_bilateral_filter
-            rep = jnp.repeat(r_u8[..., None], 3, axis=-1)
-            out = jax.vmap(lambda j: joint_bilateral_filter(
-                j, j, -1, 20.0, 22.0))(rep)
-            return out[..., 0]
-        if kind == "gf":
+                q = bilateral_gray_self_batched(r_u8, -1, 20.0, 22.0)
+            else:
+                from ..ops.bilateral import joint_bilateral_filter
+                rep = jnp.repeat(r_u8[..., None], 3, axis=-1)
+                q = jax.vmap(lambda j: joint_bilateral_filter(
+                    j, j, -1, 20.0, 22.0))(rep)[..., 0]
+        elif kind == "gf":
             # guidance = the original photo (RGB planar, 0-255)
             guide = img_bgr_u8_planar[:, ::-1].astype(jnp.float32)
             if use_pallas:
                 from ..ops.guided import guided_filter_planar_pallas
                 q = guided_filter_planar_pallas(guide, r_u8[:, None],
-                                                45, 3.0, guide_u8=True)
-                return q[:, 0]
-            # fully-XLA form (the "planar xla" path still uses Pallas
-            # box kernels, which have no CPU lowering)
-            from ..ops.guided import guided_filter
-            return guided_filter(jnp.moveaxis(guide, 1, -1), r_u8,
-                                 45, 3.0, batched=True)
-        raise ValueError("unknown pipeline '{}'".format(kind))
+                                                45, 3.0, guide_u8=True)[:, 0]
+            else:
+                # fully-XLA form (the "planar xla" path still uses
+                # Pallas box kernels, which have no CPU lowering)
+                from ..ops.guided import guided_filter
+                q = guided_filter(jnp.moveaxis(guide, 1, -1), r_u8,
+                                  45, 3.0, batched=True)
+        else:
+            raise ValueError("unknown pipeline '{}'".format(kind))
+        # the product's uint8 write path: GF overshoots [0,255] (q =
+        # a*I + b is unbounded), so a consumer casting raw floats to
+        # uint8 would wrap around
+        return jnp.clip(jnp.round(q), 0.0, 255.0)
 
     return pipeline
 
@@ -128,6 +135,15 @@ def export_flagship(path: str, batch: int, height: int, width: int,
     artifacts and the flexible symbolic one are complementary — serve
     the common shapes from fixed artifacts, the long tail from the
     symbolic one."""
+    platforms = tuple(p.strip() for p in platforms if p.strip())
+    if not platforms:
+        raise ValueError("no lowering platforms given")
+    if "tpu" in platforms and len(platforms) > 1:
+        # the tpu artifact embeds Pallas kernels, which lower only for
+        # tpu — a combined artifact would fail (or worse, silently ship
+        # the slow XLA forward to the TPU fleet); export per platform
+        raise ValueError("export 'tpu' separately from other platforms "
+                         "(Pallas kernels lower only for tpu)")
     if symbolic:
         if pipeline != "cnn":
             raise ValueError("symbolic export supports pipeline='cnn' "

@@ -125,6 +125,55 @@ def test_predict_decompose_from_checkpoint(dataset, tmp_path):
                                        "0command.txt"))
 
 
+def test_predict_without_size_flags_uses_checkpoint_size(dataset, tmp_path):
+    """Predict-and-score with NO --height/--width: the sizes come from
+    the checkpoint filename (round-5 fix — previously the val blob
+    loaded at the 256x256 default and the run died)."""
+    from reflectance_filtering_tpu.cli.train import main
+    results_root = str(tmp_path / "results")
+    main(["--stage=fit", "--iterations=8", "--batch_size=4",
+          "--checkpoint_interval=8", "--networkType=convStaticSkipLayers",
+          "--numLayers=1", "--num_filters_log=2", "--kernel_pad=0",
+          "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+          "--experiment=t3", "--random_seed=0",
+          "--data_root", dataset, "--results_root", results_root])
+    exp = os.path.join(results_root, "t3")
+    snap = [s for s in os.listdir(os.path.join(exp, "snapshots"))
+            if s.endswith("_8.npz")][0]
+    main(["--stage=predict",
+          "--predictCaffemodel", os.path.join(exp, "snapshots", snap),
+          "--experiment=t3", "--data_root", dataset,
+          "--results_root", results_root])
+    scores = os.listdir(os.path.join(exp, "scores"))
+    assert any(snap.replace(".npz", "") in s for s in scores)
+
+
+def test_predict_decompose_accepts_raw_caffemodel_name(tmp_path):
+    """The reference's learned_weights.caffemodel has no config-encoding
+    name; predict must not crash on the parse — network args come from
+    the CLI flags (the reference contract for .caffemodel inputs), and
+    a decompose-only run needs no dataset at all."""
+    import cv2
+    from reflectance_filtering_tpu.cli.train import main
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    cv2.imwrite(str(img_dir / "b.png"),
+                (rng.rand(20, 20, 3) * 255).astype(np.uint8))
+    results_root = str(tmp_path / "results")
+    main(["--stage=predict",
+          "--predictCaffemodel", "/root/reference/learned_weights.caffemodel",
+          "--networkType=convStaticSkipLayers", "--numLayers=5",
+          "--num_filters_log=5", "--kernel_pad=0",
+          "--RS_est_mode=rDirectly",
+          "--decompose", str(img_dir),
+          "--experiment=cm", "--data_root", str(tmp_path / "nodata"),
+          "--results_root", results_root])
+    exp = os.path.join(results_root, "cm")
+    assert os.path.isfile(os.path.join(exp, "decompositions_linear",
+                                       "b-r.png"))
+
+
 def test_resume_matches_uninterrupted(dataset, tmp_path):
     """startOver=0 resume: train(8)+resume-to-16 must equal train(16) —
     params, optimizer state, data cursor, and RNG stream all continue."""
