@@ -61,9 +61,33 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(x, mesh: Mesh, axis: str = "data"):
-    """Shard the leading (batch) axis across the mesh."""
+    """Shard the leading (batch) axis across the mesh.
+
+    Single-process form: ``x`` is the full global batch and this process
+    can address every mesh device.  In a multi-host job each process
+    only holds its local slice — use shard_batch_multihost instead
+    (device_put of a global array onto non-addressable devices raises).
+    """
     sharding = NamedSharding(mesh, P(axis))
     return jax.device_put(x, sharding)
+
+
+def shard_batch_multihost(local_x, mesh: Mesh, axis: str = "data"):
+    """Assemble a globally-sharded batch from each process's LOCAL slice.
+
+    In a DCN job (initialize_multihost) every host loads 1/process_count
+    of the dataset; this stitches those slices into one global jax.Array
+    sharded on the batch axis — the multi-host twin of shard_batch.
+    Processes must pass equal-sized slices ordered by process_id (the
+    global batch is the process_id-ordered concatenation).  Works
+    unchanged (and is equivalent to shard_batch) when process_count==1.
+    """
+    local_x = np.asarray(local_x)
+    sharding = NamedSharding(mesh, P(axis))
+    global_shape = ((local_x.shape[0] * jax.process_count(),)
+                    + local_x.shape[1:])
+    return jax.make_array_from_process_local_data(sharding, local_x,
+                                                  global_shape)
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int):
