@@ -42,7 +42,10 @@ def apply_filter(filter_type, image, joint, sigma_color, sigma_spatial,
     (ops/bilateral_grid.py; grid_ss/grid_sr tune the cells), and
     subsample>1 with filter_type='guided' runs the Fast Guided Filter
     (He & Sun 2015) at 1/subsample coefficient resolution."""
-    if sigma_color <= 0 or sigma_spatial <= 0:
+    # None-safe: the sigma flags are optional (argparse default None) and
+    # 'None <= 0' would TypeError on exactly the input this guard reports
+    if (sigma_color is None or sigma_spatial is None
+            or sigma_color <= 0 or sigma_spatial <= 0):
         raise ValueError("Parameters are expected to be positive.")
     if filter_type == "bilateral":
         return joint_bilateral_filter_u8(joint, image, d=-1,

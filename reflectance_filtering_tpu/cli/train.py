@@ -142,6 +142,14 @@ def _existing_snapshots(snapshot_dir: str, description: str):
 
 def fit_predict_net(args, results_dir: str):
     """The experiment lifecycle (helper:141-439)."""
+    if args.stage in FLAGS_PREDICT and not args.predictCaffemodel:
+        # without a checkpoint the predict stage would fall through every
+        # branch and exit 0 having predicted/decomposed NOTHING (the
+        # reference crashes on parsing a None filename, helper:369-375 —
+        # fail with an actionable message instead)
+        raise ValueError(
+            "--stage=predict requires --predictCaffemodel "
+            "(the checkpoint to predict with)")
     if args.stage in FLAGS_PREDICT and args.predictCaffemodel:
         # recover hyperparameters from the checkpoint filename FIRST
         # (helper:369-392), so the description, the val-data resolution

@@ -91,18 +91,29 @@ class Checkpointer:
 
     _path = path  # backwards-compatible alias
 
-    def would_save(self, samples: int) -> bool:
-        """True if maybe_save(samples) would write (modulo the dedup
-        list).  fit()'s scan-chunked trainer aligns chunk boundaries on
-        this so saved params are exact — keep the rule HERE, in one
-        place."""
-        return samples % self.interval == 0
+    def would_save(self, samples: int, prev: Optional[int] = None) -> bool:
+        """True if maybe_save would write (modulo the dedup list).
+
+        With ``prev`` (the previous step's sample count) a save fires
+        when the count CROSSES an interval boundary — equal to the
+        exact-multiple rule whenever the step size divides the interval,
+        but still firing when a --startOver=0 resume with a DIFFERENT
+        batch size walks off the old sample grid (base + k*new_bs can
+        never hit samples %% interval == 0 there, which silently
+        disabled every intermediate snapshot).  Without ``prev``, the
+        exact-multiple rule.  fit()'s scan-chunked trainer aligns chunk
+        boundaries on this so saved params are exact — keep the rule
+        HERE, in one place."""
+        if prev is None:
+            return samples % self.interval == 0
+        return samples // self.interval > prev // self.interval
 
     def maybe_save(self, samples: int, params, opt_state=None,
-                   metadata=None, finalize: bool = False):
+                   metadata=None, finalize: bool = False,
+                   prev: Optional[int] = None):
         if samples in self.created:
             return None
-        if self.would_save(samples) or finalize:
+        if self.would_save(samples, prev) or finalize:
             path = self._path(samples)
             save_checkpoint(path, params, opt_state, metadata)
             self.created.append(samples)

@@ -69,7 +69,11 @@ def parse_description(checkpoint_name: str):
     on-chip fit->predict drive at h32w32.
     """
     base = checkpoint_name
-    if "." in base:
+    # strip the extension only when the last dot follows the last
+    # underscore (i.e. it sits in the '..._iter_<N>.<ext>' tail) — a
+    # name passed WITHOUT an extension contains dots inside the lr
+    # digits ('ADAM0.001') and rfind('.') would truncate mid-field
+    if "." in base and base.rfind(".") > base.rfind("_"):
         base = base[:base.rfind(".")]
     desc_split = base.split("_")
     out = {

@@ -67,6 +67,11 @@ class TrainState:
 # has 16 GB HBM; leave headroom for params/activations/compiler scratch.
 DEVICE_FEED_BUDGET_BYTES = 8 * 1024 ** 3
 
+# Device-residency cap for the live-validation split pinned by
+# make_val_whdr_fn for the whole fit (it shares HBM with the training
+# feed above plus params/activations/compiler scratch).
+VAL_FEED_BUDGET_BYTES = 2 * 1024 ** 3
+
 # Steps per jitted scan chunk in fit()'s device-resident trainer.  Large
 # enough to amortize the per-dispatch host round trip, small enough that
 # checkpoint-boundary remainder chunks stay few (one compile per
@@ -103,6 +108,12 @@ def make_val_whdr_fn(net_cfg: NetworkConfig, X_val: Dict,
 
     Returns ``params -> float`` (WHDR fraction), or None for an empty
     split.
+
+    The split is pinned in HBM for the whole fit only when it fits a
+    budget (VAL_FEED_BUDGET_BYTES — the training feed separately budgets
+    up to DEVICE_FEED_BUDGET_BYTES, and both plus params/activations
+    must share the chip); larger splits fall back to a host-fed
+    per-batch eval, slower per checkpoint but never OOMing the run.
     """
     from ..losses.whdr import whdr_per_image
     images = np.asarray(X_val["images"], np.float32)
@@ -116,26 +127,41 @@ def make_val_whdr_fn(net_cfg: NetworkConfig, X_val: Dict,
         images = np.concatenate([images, images[:pad]], axis=0)
         comps = np.concatenate([comps, comps[:pad]], axis=0)
     nb = images.shape[0] // bs
-    im_d = jnp.asarray(images.reshape((nb, bs) + images.shape[1:]))
-    cp_d = jnp.asarray(comps.reshape((nb, bs) + comps.shape[1:]))
     mode = net_cfg.rs_est_mode.split("-")[0]
 
-    @jax.jit
-    def _eval(params):
-        def body(carry, xs):
-            im, cp = xs
-            blobs = apply_network(params, im, net_cfg, train=False)
-            if mode == "rDirectly":
-                refl = jax.nn.relu(blobs["RS_est"])
-            else:
-                refl, _ = recover_reflectance_shading(
-                    blobs["RS_est"], im, net_cfg.rs_est_mode)
-            return carry, whdr_per_image(refl, cp, 0.1)
-        _, w = jax.lax.scan(body, jnp.float32(0.0), (im_d, cp_d))
-        return jnp.mean(w.reshape(-1)[:n])
+    def _batch_whdr(params, im, cp):
+        blobs = apply_network(params, im, net_cfg, train=False)
+        if mode == "rDirectly":
+            refl = jax.nn.relu(blobs["RS_est"])
+        else:
+            refl, _ = recover_reflectance_shading(
+                blobs["RS_est"], im, net_cfg.rs_est_mode)
+        return whdr_per_image(refl, cp, 0.1)
 
-    def val_whdr(params) -> float:
-        return float(_eval(params))
+    if images.nbytes + comps.nbytes <= VAL_FEED_BUDGET_BYTES:
+        im_d = jnp.asarray(images.reshape((nb, bs) + images.shape[1:]))
+        cp_d = jnp.asarray(comps.reshape((nb, bs) + comps.shape[1:]))
+
+        @jax.jit
+        def _eval(params):
+            def body(carry, xs):
+                im, cp = xs
+                return carry, _batch_whdr(params, im, cp)
+            _, w = jax.lax.scan(body, jnp.float32(0.0), (im_d, cp_d))
+            return jnp.mean(w.reshape(-1)[:n])
+
+        def val_whdr(params) -> float:
+            return float(_eval(params))
+    else:
+        im_h = images.reshape((nb, bs) + images.shape[1:])
+        cp_h = comps.reshape((nb, bs) + comps.shape[1:])
+        batch_eval = jax.jit(_batch_whdr)
+
+        def val_whdr(params) -> float:
+            ws = np.concatenate([np.asarray(batch_eval(params, im_h[i],
+                                                       cp_h[i]))
+                                 for i in range(nb)])
+            return float(np.mean(ws[:n]))
 
     return val_whdr
 
@@ -452,8 +478,12 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
 
     def maybe_checkpoint(st):
         if checkpointer is not None:
+            # crossing-based rule (prev = the step before): keeps saving
+            # on resumes whose batch size differs from the run that laid
+            # down the original sample grid
             saved = checkpointer.maybe_save(st.samples, st.params,
-                                            st.opt_state)
+                                            st.opt_state,
+                                            prev=st.samples - batch_size)
             if saved:
                 on_saved(st)
 
@@ -473,7 +503,8 @@ def fit(net_cfg: NetworkConfig, loss_cfg: LossConfig, X: Dict,
             if checkpointer is not None:
                 for j in range(s, limit):
                     if checkpointer.would_save(
-                            base_samples + (j + 1) * batch_size):
+                            base_samples + (j + 1) * batch_size,
+                            prev=base_samples + j * batch_size):
                         return j - s + 1
             return limit - s
 

@@ -35,7 +35,7 @@ import numpy as np
 from ..models.networks import NetworkConfig, apply_network
 from ..models.recover import recover_reflectance_shading
 from ..losses.whdr import whdr_per_image
-from ..utils.image import srgb_to_rgb, rgb_to_srgb
+from ..utils.image import srgb_to_rgb, rgb_to_srgb, rgb_uint8_to_linear
 
 EPS = np.float32(np.finfo(np.float32).eps)
 
@@ -156,8 +156,14 @@ def predict_and_score(X_val: Dict, params, net_cfg: NetworkConfig,
     score_filename = os.path.join(results_dir, "scores",
                                   description + ".txt")
     if os.path.isfile(score_filename):
-        with open(score_filename) as f:
-            result = float(f.readline())
+        try:
+            with open(score_filename) as f:
+                result = float(f.readline())
+        except ValueError:
+            # an interrupted eval can leave an empty/garbled cache file;
+            # treat it as a miss and recompute (helper:511-521 guards the
+            # sentinel the same defensive way)
+            result = 100.0
         if result < 100:
             return result
 
@@ -198,8 +204,12 @@ def predict_and_score(X_val: Dict, params, net_cfg: NetworkConfig,
           "\t mean", percent(mean_whdr))
 
     os.makedirs(os.path.join(results_dir, "scores"), exist_ok=True)
-    with open(score_filename, "w") as f:
+    # atomic publish (like checkpoint.py): a kill mid-write must not
+    # leave an empty cache file that poisons every later run
+    tmp = score_filename + ".tmp"
+    with open(tmp, "w") as f:
         f.write(str(score))
+    os.replace(tmp, score_filename)
     return score
 
 
@@ -232,8 +242,7 @@ def _read_img_linear_hwc(full_path: str) -> np.ndarray:
     img = cv2.imread(full_path)
     if img is None:
         raise IOError("Could not read {}".format(full_path))
-    img = img[:, :, ::-1].astype(np.float64) / 255.0
-    return srgb_to_rgb(img).astype(np.float32)
+    return rgb_uint8_to_linear(img[:, :, ::-1])
 
 
 def _save_img(full_path: str, img_hwc: np.ndarray,
@@ -303,8 +312,7 @@ def decompose_images_batched(paths: Sequence[str], params,
     groups: Dict = {}
     for p, rgb in raw:
         # helper:653-662 linearization, minus the cv2 BGR round-trip
-        img = srgb_to_rgb(rgb.astype(np.float64) / 255.0).astype(
-            np.float32)
+        img = rgb_uint8_to_linear(rgb)
         groups.setdefault(img.shape[:2], []).append((p, img))
     if predict_fn is None:
         predict_fn = make_predict_fn(net_cfg)

@@ -147,10 +147,25 @@ def bgr_uint8_to_linear_rgb(img_bgr_u8):
     """uint8 BGR HWC -> float32 linear RGB HWC in [0,1].
 
     Mirrors imgCV2_to_caffeBlob (decompose_with_trained_CNN.py:57-69) minus
-    the NCHW transpose (device layout here is NHWC).
+    the NCHW transpose (device layout here is NHWC).  Computes in float32
+    (gate-pinned); the predict/decompose family linearizes in float64 like
+    the reference's numpy path — see rgb_uint8_to_linear.
     """
     img = img_bgr_u8[:, :, ::-1].astype(np.float32) / 255.0
     return srgb_to_rgb(img).astype(np.float32)
+
+
+def rgb_uint8_to_linear(rgb_u8):
+    """uint8 RGB HWC -> float32 linear RGB, computed in float64.
+
+    The ONE linearization used by the predict/decompose family
+    (train_with_barrista_helper.py:653-662 runs numpy default float64
+    before the blob's float32 cast).  Deliberately distinct from
+    bgr_uint8_to_linear_rgb's float32 compute (the inference-CLI parity
+    anchor): keep each entry point on its gate-tested dtype.
+    """
+    return srgb_to_rgb(rgb_u8.astype(np.float64) / 255.0).astype(
+        np.float32)
 
 
 def nchw_to_nhwc(x):

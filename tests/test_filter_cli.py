@@ -122,3 +122,16 @@ def test_cli_guided_subsample_fast_mode(smooth_images, tmp_path, capsys):
     # subsample=1 must remain byte-identical to the parity path
     same = apply_filter("guided", img, guide, 9.0, 8.0, subsample=1)
     np.testing.assert_array_equal(same, exact)
+
+
+def test_missing_sigmas_raise_value_error():
+    """Omitted sigma flags (argparse default None) must hit the same
+    ValueError as non-positive ones, not a TypeError on None <= 0."""
+    import numpy as np
+    import pytest
+    from reflectance_filtering_tpu.cli.filter import apply_filter
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    for sc, ss in ((None, 22.0), (20.0, None), (None, None)):
+        with pytest.raises(ValueError, match="positive"):
+            apply_filter("bilateral", img, img, sc, ss)

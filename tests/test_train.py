@@ -482,3 +482,73 @@ def test_make_val_whdr_matches_direct_whdr(tiny_data):
     exp = float(jnp.mean(whdr_per_image(
         refl, jnp.asarray(val["comparisons"]), 0.1)))
     assert got == pytest.approx(exp, rel=1e-5, abs=1e-6)
+
+
+def test_checkpointer_crossing_rule(tmp_path):
+    """would_save with prev fires on interval-boundary CROSSINGS, so a
+    resume whose batch size walks off the old sample grid still
+    snapshots (plain modulo never fires at base + k*new_bs there)."""
+    cfg = NetworkConfig(network_type="convStatic", num_layers=1,
+                        num_filters_log=2, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    ck = Checkpointer(str(tmp_path), "desc", interval=40)
+    # back-compat exact-multiple rule without prev
+    assert ck.would_save(40) and not ck.would_save(50)
+    # crossing rule
+    assert ck.would_save(50, prev=18)        # crosses 40
+    assert not ck.would_save(30, prev=18)    # no boundary in (18, 30]
+    assert ck.would_save(80, prev=79)        # exact multiple still fires
+    assert not ck.would_save(81, prev=80)    # boundary already behind
+    p = ck.maybe_save(50, params, prev=18)
+    assert p and p.endswith("desc_barrista_iter_50.npz")
+
+
+def test_parse_description_extensionless_checkpoint_name():
+    """A checkpoint name passed WITHOUT its extension must not be
+    truncated at the dot inside the lr digits ('ADAM0.001')."""
+    args = _args()
+    _, desc = get_description(args)
+    parsed = parse_description(desc + "_barrista_iter_10000")
+    assert parsed["iterations"] == 10000
+    assert parsed["networkType"] == args.networkType
+    assert parsed["base_lr"] == args.base_lr
+    assert parsed["height"] == 256 and parsed["dataset"] == "iiw"
+
+
+def test_predict_and_score_tolerates_poisoned_cache(tiny_data, tmp_path):
+    """An interrupted eval can leave an empty scores/*.txt; the next run
+    must recompute instead of crashing on float('')."""
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    results_dir = str(tmp_path)
+    n = tiny_data["images"].shape[0]
+    os.makedirs(os.path.join(results_dir, "scores"))
+    score_file = os.path.join(results_dir, "scores",
+                              "desc_imgs{}.txt".format(n))
+    with open(score_file, "w"):
+        pass  # empty (killed mid-write)
+    score = predict_and_score(tiny_data, params, cfg, results_dir, "desc",
+                              batch_size=4)
+    assert 0 <= score <= 100
+    with open(score_file) as f:  # cache was repaired by the recompute
+        assert float(f.readline()) == score
+
+
+def test_make_val_whdr_host_fed_fallback(tiny_data, monkeypatch):
+    """A val split over the HBM budget falls back to host-fed batches
+    with the same value (up to reduction-order last bits)."""
+    from reflectance_filtering_tpu.train import loop as L
+
+    cfg = NetworkConfig(network_type="convStaticSkipLayers", num_layers=2,
+                        num_filters_log=3, kernel_pad=0,
+                        rs_est_mode="rDirectly")
+    params = init_network(jax.random.PRNGKey(1), cfg)
+    val = {"images": tiny_data["images"][:5],
+           "comparisons": tiny_data["comparisons"][:5]}
+    resident = L.make_val_whdr_fn(cfg, val, batch_size=2)(params)
+    monkeypatch.setattr(L, "VAL_FEED_BUDGET_BYTES", 0)
+    hosted = L.make_val_whdr_fn(cfg, val, batch_size=2)(params)
+    assert hosted == pytest.approx(resident, rel=1e-6, abs=1e-7)

@@ -349,3 +349,36 @@ def test_resume_with_different_batch_size_evals_real_snapshots(
              for f in os.listdir(os.path.join(root, "rb", "snapshots"))}
     assert evaluated, "eval sweep produced no entries"
     assert evaluated <= snaps  # only real snapshots were evaluated
+
+
+def test_resume_off_grid_batch_size_still_snapshots(dataset, tmp_path):
+    """The review scenario: resume with a batch size whose sample counts
+    never hit the interval grid (base=12, bs=5 -> 17, 22, 27; old
+    modulo rule wrote NO intermediate snapshot until finalize)."""
+    from reflectance_filtering_tpu.cli.train import main
+    common = ["--networkType=convStaticSkipLayers", "--numLayers=1",
+              "--num_filters_log=2", "--kernel_pad=0",
+              "--RS_est_mode=rDirectly", "--height=32", "--width=32",
+              "--random_seed=0", "--data_root", dataset]
+    root = str(tmp_path / "og")
+    main(["--stage=fit", "--iterations=12", "--batch_size=4",
+          "--checkpoint_interval=12", "--experiment=og",
+          "--results_root", root] + common)
+    main(["--stage=fit", "--iterations=27", "--batch_size=5",
+          "--checkpoint_interval=5", "--startOver=0",
+          "--experiment=og", "--results_root", root] + common)
+    snaps = {int(f.rsplit("_", 1)[1][:-4])
+             for f in os.listdir(os.path.join(root, "og", "snapshots"))}
+    # every resumed step crosses a 5-boundary: 17, 22 intermediate
+    # (off-grid!) plus the finalize at 27
+    assert {17, 22, 27} <= snaps, snaps
+
+
+def test_predict_stage_without_checkpoint_fails_loudly(dataset, tmp_path):
+    """--stage=predict with no --predictCaffemodel used to be a silent
+    no-op (exit 0, nothing predicted)."""
+    from reflectance_filtering_tpu.cli.train import main
+    with pytest.raises(ValueError, match="predictCaffemodel"):
+        main(["--stage=predict", "--experiment=np",
+              "--results_root", str(tmp_path / "np"),
+              "--height=32", "--width=32", "--data_root", dataset])
