@@ -34,6 +34,7 @@ finite differences and the reference formulas).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional
 
 import jax
@@ -226,6 +227,16 @@ def _eval_selection_mask(valid, num, ratio: float, eval_dense: bool,
     mask = jnp.arange(k) < num_eval[..., None]
     if k > MAX_EVALUATED_COMPARISONS:
         if key is None:
+            # trace-time warning: a fixed key freezes the >cap subsample
+            # to ONE subset forever, where the reference draws a fresh
+            # np.random.choice per step (whdr_hinge_loss_layer.py:142).
+            # The training paths always thread per-step keys; this
+            # fallback exists for ad-hoc/metric calls only.
+            warnings.warn(
+                "comparisons exceed MAX_EVALUATED_COMPARISONS but no key "
+                "was passed: the capped subsample is deterministic "
+                "(PRNGKey(0)) — pass a per-step key for training",
+                stacklevel=2)
             key = jax.random.PRNGKey(0)
         # rank the first num_eval rows by random keys; keep the MAX smallest
         r = jax.random.uniform(key, jnp.shape(num_eval) + (k,))

@@ -236,8 +236,11 @@ def update_bn_stats(params: Params, bn_stats: Dict[str, Any],
 # (params, images NHWC) -> dict of named blobs ending in 'RS_est'.
 # ---------------------------------------------------------------------------
 
-def _init_conv_static_like(key, cfg: NetworkConfig, with_head_1x1: bool) -> Params:
-    """Shared init for convStatic / convStaticWithSigmoid (networks.py:556-719)."""
+def _init_conv_static_like(key, cfg: NetworkConfig) -> Params:
+    """Shared init for convStatic / convStaticWithSigmoid
+    (networks.py:556-719).  The head is always a 1x1 conv — both
+    reference factories append a kernel-1 head regardless of the trunk
+    kernel, and _apply_conv_static applies it with pad 0."""
     params: Params = {}
     k = cfg.kernel
     keys = jax.random.split(key, max(cfg.num_layers, 1) + 1)
@@ -250,12 +253,8 @@ def _init_conv_static_like(key, cfg: NetworkConfig, with_head_1x1: bool) -> Para
                 params["bn{}".format(i)] = bn_init(cfg.num_filters)
             ci = cfg.num_filters
         head_name = "conv{}".format(cfg.num_layers)
-        if with_head_1x1:
-            params[head_name] = conv_init(
-                keys[-1], 1, 1, ci, cfg.num_output_final)
-        else:
-            params[head_name] = conv_init(
-                keys[-1], k, k, ci, cfg.num_output_final)
+        params[head_name] = conv_init(
+            keys[-1], 1, 1, ci, cfg.num_output_final)
     else:
         params["conv0"] = conv_init(keys[-1], k, k, 3, cfg.num_output_final)
     return params
@@ -546,11 +545,9 @@ def _force_bn_off(cfg: NetworkConfig) -> NetworkConfig:
 def init_network(key, cfg: NetworkConfig) -> Params:
     t = cfg.network_type
     if t == "convStatic":
-        return _init_conv_static_like(key, _force_bn_off(cfg),
-                                      with_head_1x1=True)
+        return _init_conv_static_like(key, _force_bn_off(cfg))
     if t == "convStaticWithSigmoid":
-        return _init_conv_static_like(key, _force_bn_off(cfg),
-                                      with_head_1x1=True)
+        return _init_conv_static_like(key, _force_bn_off(cfg))
     if t == "convStaticSkipLayers":
         return _init_skip_layers(key, cfg)
     if t == "cascadeSkipLayers":

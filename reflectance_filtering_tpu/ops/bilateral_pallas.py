@@ -89,10 +89,9 @@ def _pad_tiles(x, radius: int, th: int, h: int, wid: int,
 
 def _kernel(joint_hbm, src_hbm, out_ref, jscr, sscr, sem,
             *, radius: int, th: int, wout: int, rows: int,
-            gcc: float, gsc: float):
+            gcc: float, gsc: float, cs: int = 3):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    d = 2 * radius + 1
 
     cp = pltpu.make_async_copy(
         joint_hbm.at[b, :, pl.ds(i * th, rows), :], jscr, sem)
@@ -117,10 +116,11 @@ def _kernel(joint_hbm, src_hbm, out_ref, jscr, sscr, sem,
             jy = [pltpu.roll(jscr[c], rows - dy, 0)[:th, :]
                   for c in range(3)]
             sy = [pltpu.roll(sscr[c], rows - dy, 0)[:th, :]
-                  for c in range(3)]
+                  for c in range(cs)]
             fy = (dy - radius).astype(jnp.float32)
             fy2 = fy * fy
-            a0, a1, a2, wsum = carry
+            acc = list(carry[:cs])
+            wsum = carry[cs]
 
             # static dx unroll with incremental roll-by-1.  Tap dx reads
             # plane[l + dx - radius] at center lane l.  (Independent
@@ -139,22 +139,19 @@ def _kernel(joint_hbm, src_hbm, out_ref, jscr, sscr, sem,
                 diff = (jnp.abs(cur[0] - c0) + jnp.abs(cur[1] - c1) +
                         jnp.abs(cur[2] - c2))
                 w = jnp.exp(diff * diff * gcc + cc)
-                a0 = a0 + w * cur[3]
-                a1 = a1 + w * cur[4]
-                a2 = a2 + w * cur[5]
+                for c in range(cs):
+                    acc[c] = acc[c] + w * cur[3 + c]
                 wsum = wsum + w
                 if dx + 1 < radius + dxmax + 1:
                     cur = [pltpu.roll(p, wpad - 1, 1) for p in cur]
-            return a0, a1, a2, wsum
+            return (*acc, wsum)
         return dy_body
 
     zero = jnp.zeros((th, wpad), jnp.float32)
-    a0, a1, a2, wsum = _banded_dy_sweep(radius, make_dy_body,
-                                        (zero, zero, zero, zero))
-    inv = 1.0 / wsum
-    out_ref[0, 0] = (a0 * inv)[:, radius:radius + wout]
-    out_ref[0, 1] = (a1 * inv)[:, radius:radius + wout]
-    out_ref[0, 2] = (a2 * inv)[:, radius:radius + wout]
+    out = _banded_dy_sweep(radius, make_dy_body, (zero,) * (cs + 1))
+    inv = 1.0 / out[cs]
+    for c in range(cs):
+        out_ref[0, c] = (out[c] * inv)[:, radius:radius + wout]
 
 
 @functools.partial(jax.jit, static_argnames=("d", "sigma_color",
@@ -163,13 +160,17 @@ def joint_bilateral_planar_batched(joint, src, d: int = -1,
                                    sigma_color: float = 20.0,
                                    sigma_space: float = 22.0,
                                    th: int = 64):
-    """Planar joint bilateral: joint/src [N, 3, H, W] float32 (0-255
-    units) -> [N, 3, H, W] float32.  Batch is a grid dimension (vmap of
-    pallas_call trips a JAX lowering bug and would also re-pad per
-    image)."""
+    """Planar joint bilateral: joint [N, 3, H, W], src [N, cs, H, W]
+    float32 (0-255 units) -> [N, cs, H, W], cs in {1, 3}.  Batch is a
+    grid dimension (vmap of pallas_call trips a JAX lowering bug and
+    would also re-pad per image).  A gray src rides ONE plane (1
+    src-roll/tap instead of 3) — the weights come from the joint
+    planes either way."""
     radius, gcc, gsc, _taps = opencv_bilateral_params(
         d, sigma_color, sigma_space)
     n, _, h, wid = joint.shape
+    cs = src.shape[1]
+    assert joint.shape[1] == 3 and cs in (1, 3), (joint.shape, src.shape)
 
     hp_tiles, hpad, rows, wpad = _tile_geometry(h, wid, radius, th)
     jp = _pad_tiles(joint, radius, th, h, wid, hpad, rows, wpad)
@@ -177,16 +178,17 @@ def joint_bilateral_planar_batched(joint, src, d: int = -1,
 
     out = pl.pallas_call(
         functools.partial(_kernel, radius=radius, th=th, wout=wid,
-                          rows=rows, gcc=float(gcc), gsc=float(gsc)),
-        out_shape=jax.ShapeDtypeStruct((n, 3, hpad, wid), jnp.float32),
+                          rows=rows, gcc=float(gcc), gsc=float(gsc),
+                          cs=cs),
+        out_shape=jax.ShapeDtypeStruct((n, cs, hpad, wid), jnp.float32),
         grid=(n, hp_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 3, th, wid), lambda b, i: (b, 0, i, 0),
+        out_specs=pl.BlockSpec((1, cs, th, wid), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((3, rows, wpad), jnp.float32),
-            pltpu.VMEM((3, rows, wpad), jnp.float32),
+            pltpu.VMEM((cs, rows, wpad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(jp, sp)
@@ -212,7 +214,6 @@ def _kernel_gray_self(x_hbm, out_ref, xscr, sem,
     genuinely single-channel joint (diff = |dx|, cv2's 1-channel rule)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
-    d = 2 * radius + 1
 
     cp = pltpu.make_async_copy(
         x_hbm.at[b, pl.ds(i * th, rows), :], xscr, sem)
@@ -954,7 +955,9 @@ def joint_bilateral_filter_fast(joint, src, d: int = -1,
     else:
         joint = jnp.moveaxis(joint, -1, 0)
     if src.ndim == 2:
-        srcp = jnp.stack([src] * 3, axis=0)
+        # gray src rides a single kernel plane: the replicated-3 form
+        # would pay 3 identical src rolls per tap for the same output
+        srcp = src[None]
     else:
         srcp = jnp.moveaxis(src, -1, 0)
     out = joint_bilateral_planar(joint, srcp, d, sigma_color, sigma_space)

@@ -67,8 +67,13 @@ def fits_mxu_guided(h: int, w: int, radius: int, c_src: int = 1,
     mI 3 + mII 6 + per-channel (mp, mIp*3, cov*3, a*3, b) + temps."""
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    if min(h, w) <= radius:       # degenerate windows: let the XLA path
-        return False              # handle tiny images
+    if min(h, w) <= radius:
+        # degenerate windows (radius >= a dimension): the banded/fused
+        # kernels handle these via multi-fold reflect pads and are
+        # oracle-exact there (tests/test_guided_golden.py degenerate-
+        # radius cases); this whole-plane path's band matrices assume
+        # radius < dimension, so opt out
+        return False
     planes = 18 + 12 * c_src
     vmem = planes * hp * wp * 4 + 2 * (wp * wp + hp * hp)
     return vmem <= budget_bytes

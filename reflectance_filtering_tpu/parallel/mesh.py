@@ -104,17 +104,19 @@ def make_sharded_eval(net_cfg: NetworkConfig, mesh: Mesh,
                       delta: float = 0.1, axis: str = "data"):
     """Build a jitted data-parallel evaluator.
 
-    Returns eval_fn(params, images [N,H,W,3], comparisons [N,K+1,6]) ->
-    (mean_whdr scalar, per_image_whdr [N]).  N must divide by mesh size
-    (use pad_to_multiple + mask host-side).  The mean reduction rides ICI
-    — the pmean of SURVEY.md §5.8 expressed through shardings.
+    Returns eval_fn(params, images [N,H,W,3], comparisons [N,K+1,6],
+    valid [N] float 0/1) -> (mean_whdr scalar, per_image_whdr [N]).
+    N must divide by mesh size (use pad_to_multiple; mark the pad rows
+    0 in ``valid`` — the mean is masked on device, so pad duplicates
+    cannot bias it).  The mean reduction rides ICI — the pmean of
+    SURVEY.md §5.8 expressed through shardings.
     """
     from ..losses.whdr import whdr_per_image
 
     batch_sharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
-    def _eval(params, images, comparisons):
+    def _eval(params, images, comparisons, valid):
         blobs = apply_network(params, images, net_cfg, train=False)
         mode = net_cfg.rs_est_mode.split("-")[0]
         if mode == "rDirectly":
@@ -127,15 +129,18 @@ def make_sharded_eval(net_cfg: NetworkConfig, mesh: Mesh,
         # losses/whdr.py deliberately abandoned as pathologically slow
         # to compile)
         per_image = whdr_per_image(refl, comparisons, delta)
-        return jnp.mean(per_image), per_image
+        mean = jnp.sum(per_image * valid) / jnp.sum(valid)
+        return mean, per_image
 
     return jax.jit(_eval,
-                   in_shardings=(rep, batch_sharding, batch_sharding),
+                   in_shardings=(rep, batch_sharding, batch_sharding,
+                                 batch_sharding),
                    out_shardings=(rep, batch_sharding))
 
 
 def make_sharded_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
-                            optimizer, mesh: Mesh, axis: str = "data"):
+                            optimizer, mesh: Mesh, axis: str = "data",
+                            preselected: bool = False):
     """Build the data-parallel jitted train step.
 
     Params/opt-state replicated, batch sharded on 'data'; XLA inserts the
@@ -144,7 +149,10 @@ def make_sharded_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
     metric_comparisons=None) -> (params, opt_state, metrics) — the step
     body is the SAME _make_step_body the single-device trainer jits, so
     augmented-comparisons training keeps the whdr_original metric wired
-    to the plain comparisons blob (networks.py:243-254).
+    to the plain comparisons blob (networks.py:243-254).  ``preselected``
+    mirrors make_train_step: set it when feeding host-compacted blobs
+    (select_comparisons_host) so dense-skip/ratio/cap selection is not
+    re-applied on device.
     """
     from ..train.loop import _make_step_body
 
@@ -152,7 +160,8 @@ def make_sharded_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
     rep = NamedSharding(mesh, P())
 
     _step = jax.jit(
-        _make_step_body(net_cfg, loss_cfg, optimizer),
+        _make_step_body(net_cfg, loss_cfg, optimizer,
+                        preselected=preselected),
         in_shardings=(rep, rep, batch_sharding, batch_sharding,
                       batch_sharding, rep),
         out_shardings=(rep, rep, rep))
@@ -169,17 +178,19 @@ def make_sharded_train_step(net_cfg: NetworkConfig, loss_cfg: LossConfig,
 
 # jit caches by function identity, so rebuilding the evaluator closure
 # per call would recompile every time (seconds per compile through the
-# axon tunnel); cache per logical config instead.
+# axon tunnel); cache per logical config instead.  Insertion-ordered
+# dict: evict the OLDEST entry past the cap (clearing everything would
+# throw away hot compiled evaluators with it).
 _EVAL_CACHE: Dict = {}
 
 
 def _cached_sharded_eval(net_cfg: NetworkConfig, mesh: Mesh, delta: float):
-    key = (tuple(sorted(net_cfg.__dict__.items())), mesh, float(delta))
+    key = (net_cfg, mesh, float(delta))  # NetworkConfig is frozen/hashable
     fn = _EVAL_CACHE.get(key)
     if fn is None:
         fn = make_sharded_eval(net_cfg, mesh, delta)
         if len(_EVAL_CACHE) > 16:
-            _EVAL_CACHE.clear()
+            _EVAL_CACHE.pop(next(iter(_EVAL_CACHE)))
         _EVAL_CACHE[key] = fn
     return fn
 
@@ -187,17 +198,34 @@ def _cached_sharded_eval(net_cfg: NetworkConfig, mesh: Mesh, delta: float):
 def eval_dataset_sharded(params, X: Dict, net_cfg: NetworkConfig,
                          mesh: Mesh, delta: float = 0.1,
                          batch_size: Optional[int] = None):
-    """Data-parallel WHDR over a whole dataset dict; returns (mean, [N])."""
+    """Data-parallel WHDR over a whole dataset dict; returns (mean, [N]).
+
+    ``batch_size`` (per device) chunks the sweep into programs of
+    batch_size * n_devices images — bounding HBM residency for splits
+    too large to evaluate as one batch.  None evaluates the whole set
+    in a single program (fastest when it fits)."""
     n_dev = len(mesh.devices.flatten())
     images = np.asarray(X["images"], np.float32)
     comps = np.asarray(X["comparisons"], np.float32)
-    images_p, n = pad_to_multiple(images, n_dev)
-    comps_p, _ = pad_to_multiple(comps, n_dev)
+    n = images.shape[0]
 
     eval_fn = _cached_sharded_eval(net_cfg, mesh, delta)
     params_r = replicate(params, mesh)
-    _, per_image = eval_fn(params_r,
-                           shard_batch(jnp.asarray(images_p), mesh),
-                           shard_batch(jnp.asarray(comps_p), mesh))
-    per_image = np.asarray(per_image)[:n]
+
+    # chunk must divide by the mesh so every slice pads to a shardable
+    # length; batch_size=None = one whole-set program (padded to n_dev)
+    chunk = (-(-n // n_dev) * n_dev if batch_size is None
+             else batch_size * n_dev)
+    outs = []
+    for s in range(0, n, chunk):
+        im, _ = pad_to_multiple(images[s:s + chunk], chunk)
+        cp, k = pad_to_multiple(comps[s:s + chunk], chunk)
+        valid = np.zeros(im.shape[0], np.float32)
+        valid[:k] = 1.0
+        _, per_image = eval_fn(params_r,
+                               shard_batch(jnp.asarray(im), mesh),
+                               shard_batch(jnp.asarray(cp), mesh),
+                               shard_batch(jnp.asarray(valid), mesh))
+        outs.append(np.asarray(per_image)[:k])
+    per_image = np.concatenate(outs)
     return float(np.mean(per_image)), per_image

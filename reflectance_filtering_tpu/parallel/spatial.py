@@ -86,6 +86,22 @@ def sharded_apply_overlap(fn: Callable, halo: int, mesh: Mesh,
     w_shard = P(None, axis, None)
 
     def wrapper(*arrays):
+        # validate the shard geometry HERE with a clear message — too
+        # narrow a shard would otherwise surface as an opaque
+        # concatenate-shape mismatch inside _exchange_halos_w's traced
+        # border synthesis
+        n_shards = mesh.shape[axis]
+        w = arrays[0].shape[1]
+        if w % n_shards:
+            raise ValueError(
+                "W = {} not divisible by the mesh size {}".format(
+                    w, n_shards))
+        need = halo + 1 if border == "reflect101" else halo
+        if halo and w // n_shards < need:
+            raise ValueError(
+                "W/mesh = {} < {} — shards too narrow to synthesize the "
+                "halo-{} {} border (use fewer shards)".format(
+                    w // n_shards, need, halo, border))
         specs = tuple(w_shard for _ in arrays)
         # check_vma=False: the wrapped kernels create fresh (unvarying)
         # scan carries internally, which the varying-axis checker rejects

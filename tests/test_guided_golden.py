@@ -107,3 +107,32 @@ def test_regen_script_import_guard():
     else:
         assert p.returncode == 2, p.stdout + p.stderr
         assert "ximgproc" in p.stderr
+
+
+@pytest.mark.parametrize("shape", [(40, 512), (20, 512), (12, 40)])
+def test_degenerate_radius_matches_oracle(shape):
+    """radius >= a dimension (tiny strips/thumbnails at the product
+    r=45): the whole-plane MXU path opts out (its band matrices assume
+    radius < dim) and the banded/fused dispatch must reproduce the
+    oracle via multi-fold reflect pads — both the Pallas dispatch and
+    the XLA fallback, byte-exact."""
+    from reflectance_filtering_tpu.ops.guided import (
+        guided_filter_planar_pallas, _guided_filter_planar_xla)
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = shape
+    rng = np.random.RandomState(3)
+    g8 = np.floor(rng.rand(H, W, 3) * 256).astype(np.uint8)
+    s8 = np.floor(rng.rand(H, W) * 256).astype(np.uint8)
+    want = guided_filter_cpp_color(g8, s8, 45, 3.0)
+    g = jnp.asarray(np.moveaxis(g8.astype(np.float32), -1, 0)[None])
+    s = jnp.asarray(s8.astype(np.float32)[None, None])
+    # interpret mode: both paths run Pallas box/fused kernels on CPU
+    for name, fn in (("pallas", guided_filter_planar_pallas),
+                     ("xla", _guided_filter_planar_xla)):
+        with pltpu.force_tpu_interpret_mode():
+            q = np.asarray(fn(g, s, 45, 3.0))[0, 0]
+        got = np.clip(np.rint(q), 0, 255).astype(np.uint8)
+        d = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert d.max() <= 1, (name, shape, int(d.max()))

@@ -97,8 +97,9 @@ gi = shard_batch_multihost(imgs[loc], mesh)
 gc = shard_batch_multihost(comps[loc], mesh)
 assert gi.shape == (4, 16, 16, 3)
 
+gv = shard_batch_multihost(np.ones(2, np.float32), mesh)
 fn = make_sharded_eval(cfg, mesh)
-mean, per = fn(replicate(params, mesh), gi, gc)
+mean, per = fn(replicate(params, mesh), gi, gc, gv)
 got = float(mean)
 
 # single-device reference on the full set (local devices only)

@@ -556,3 +556,19 @@ def test_bilateral_u8_true_gray_self_dispatch(rng, monkeypatch):
     got = B.joint_bilateral_filter_u8(g, g, -1, 15.0, 3.0)
     assert got.shape == exp.shape
     assert np.abs(got.astype(int) - exp.astype(int)).max() <= 1
+
+
+def test_bilateral_planar_gray_src_single_plane(rng):
+    """A 2-D src rides ONE kernel plane (cs=1) and must equal both the
+    replicated-3 planar form and the XLA oracle's first channel."""
+    joint = (rng.rand(30, 40, 3) * 255).astype(np.float32)
+    src = (rng.rand(30, 40) * 255).astype(np.float32)
+    got = np.asarray(joint_bilateral_filter_fast(joint, src, -1,
+                                                 20.0, 3.0))
+    assert got.shape == (30, 40)
+    rep3 = np.asarray(joint_bilateral_filter_fast(
+        joint, np.repeat(src[..., None], 3, axis=-1), -1, 20.0, 3.0))
+    np.testing.assert_array_equal(got, rep3[..., 0])
+    exp = np.asarray(joint_bilateral_filter(
+        joint, np.repeat(src[..., None], 3, axis=-1), -1, 20.0, 3.0))
+    np.testing.assert_allclose(got, exp[..., 0], rtol=1e-4, atol=2e-3)

@@ -307,3 +307,33 @@ def test_predict_batched_sharded_matches_unsharded(mesh8, cfg):
     out_8 = predict_batched(fn, params, images, batch_size=4, mesh=mesh8)
     for k in out_1:
         np.testing.assert_allclose(out_8[k], out_1[k], atol=1e-6)
+
+
+def test_sharded_wrappers_narrow_shards_raise(mesh8):
+    """Every halo-exchange wrapper must reject too-narrow shards with a
+    clear message (not an opaque concatenate-shape mismatch)."""
+    from reflectance_filtering_tpu.parallel.spatial import (
+        sharded_joint_bilateral, sharded_box_filter)
+    img = jnp.zeros((16, 8 * 16, 3), jnp.float32)  # 16 cols/shard
+    with pytest.raises(ValueError, match="too narrow"):
+        # radius 33 at the product sigmas >> 16-col shards
+        sharded_joint_bilateral(img, img, mesh8, -1, 20.0, 22.0,
+                                impl="xla")
+    with pytest.raises(ValueError, match="too narrow"):
+        sharded_box_filter(img, 20, mesh8, impl="xla")
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_box_filter(jnp.zeros((16, 100, 3), jnp.float32), 2,
+                           mesh8, impl="xla")
+
+
+def test_eval_dataset_sharded_chunked_matches_whole(mesh8, cfg, data):
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    mean_w, per_w = eval_dataset_sharded(params, data, cfg, mesh8)
+    # batch_size=1 -> chunks of 8 images; pad rows of the ragged final
+    # chunk are masked on device
+    sub = {"images": data["images"][:13],
+           "comparisons": data["comparisons"][:13]}
+    mean_c, per_c = eval_dataset_sharded(params, sub, cfg, mesh8,
+                                         batch_size=1)
+    np.testing.assert_allclose(per_c, per_w[:13], atol=1e-6)
+    assert abs(mean_c - np.mean(per_w[:13])) < 1e-6

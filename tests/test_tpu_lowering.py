@@ -116,6 +116,15 @@ def test_bilateral_kernels_lower():
     s1 = jnp.zeros((2, 1, 96, 128), jnp.float32)
     _lower(lambda j, v: bilateral_packed_joint_batched(j, v, -1, 20.0,
                                                        22.0), c, s1)
+    # generic planar kernel at cs=1 (gray src through the float API —
+    # the sharded joint wrapper's path)
+    from reflectance_filtering_tpu.ops.bilateral_pallas import (
+        joint_bilateral_planar_batched)
+    _lower(lambda j, v: joint_bilateral_planar_batched(j, v, -1, 20.0,
+                                                       22.0), c, s1)
+    s3 = jnp.zeros((2, 3, 96, 128), jnp.float32)
+    _lower(lambda j, v: joint_bilateral_planar_batched(j, v, -1, 20.0,
+                                                       22.0), c, s3)
 
 
 def test_whole_plane_guided_and_grid_lower():
