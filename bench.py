@@ -668,7 +668,7 @@ def _run(profile_dir=None):
     try:
         parity_ok, parity_diffs = _alarmed("gate", run_gate, 1800)()
     except Exception as err:  # fixture missing, compile failure, hang
-        parity_ok, parity_diffs = False, {"error": repr(err)}
+        parity_ok, parity_diffs = False, {"error": repr(err)[:500]}
 
     # the literal BASELINE.json fidelity criterion, surfaced as its own
     # field: max |dWHDR| across all gated pipelines (None if the gate

@@ -174,9 +174,16 @@ int probe_png(FILE* f, int* h, int* w) {
   }
   png_init_io(png, f);
   png_read_info(png, info);
-  *h = static_cast<int>(png_get_image_height(png, info));
-  *w = static_cast<int>(png_get_image_width(png, info));
+  png_uint_32 ph = png_get_image_height(png, info);
+  png_uint_32 pw = png_get_image_width(png, info);
   png_destroy_read_struct(&png, &info, nullptr);
+  // Same sanity gate as the decode path: a corrupt header claiming
+  // terapixel dims would otherwise drive a huge np.empty in the Python
+  // batch loader (which allocates from probed sizes before decoding).
+  if (static_cast<size_t>(ph) * pw > kMaxPixels || ph == 0 || pw == 0)
+    return kErrDecode;
+  *h = static_cast<int>(ph);
+  *w = static_cast<int>(pw);
   return 0;
 }
 
@@ -192,9 +199,11 @@ int probe_jpeg(FILE* f, int* h, int* w) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-  *h = static_cast<int>(cinfo.image_height);
-  *w = static_cast<int>(cinfo.image_width);
+  size_t ph = cinfo.image_height, pw = cinfo.image_width;
   jpeg_destroy_decompress(&cinfo);
+  if (ph * pw > kMaxPixels || ph == 0 || pw == 0) return kErrDecode;
+  *h = static_cast<int>(ph);
+  *w = static_cast<int>(pw);
   return 0;
 }
 
@@ -328,8 +337,16 @@ int rio_load_batch_rgb(const char** paths, int n, unsigned char* out,
     }
   };
 
+  // The calling thread always runs the work-stealing loop too, so thread
+  // creation failure (EAGAIN under pid limits) degrades gracefully: catch
+  // std::system_error instead of letting it terminate() across the C ABI,
+  // and whatever threads did start (possibly zero) share the queue.
   std::vector<std::thread> pool;
-  for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+  try {
+    for (int t = 0; t < nthreads - 1; ++t) pool.emplace_back(worker);
+  } catch (const std::exception&) {
+  }
+  worker();
   for (auto& th : pool) th.join();
 
   int fail = first_fail.load();

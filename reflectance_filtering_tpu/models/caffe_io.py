@@ -15,6 +15,7 @@ Field numbers used (from caffe.proto, stable public schema):
   LayerParameter.name       = 1
   LayerParameter.type       = 2
   LayerParameter.blobs      = 7
+  V1LayerParameter.name     = 4  (field 1 is the embedded V0LayerParameter)
   V1LayerParameter.blobs    = 6
   BlobProto.shape           = 7  (BlobShape, .dim = 1)
   BlobProto.data            = 5  (packed float)
@@ -115,8 +116,9 @@ def parse_caffemodel(path: str) -> Dict[str, List[np.ndarray]]:
             name = None
             blobs: List[np.ndarray] = []
             blob_field = 7 if fnum == 100 else 6
+            name_field = 1 if fnum == 100 else 4
             for lf, lwt, lval in _iter_fields(val):
-                if lf == 1 and lwt == _WIRE_LEN:
+                if lf == name_field and lwt == _WIRE_LEN:
                     name = lval.decode("utf-8", errors="replace")
                 elif lf == blob_field and lwt == _WIRE_LEN:
                     blobs.append(_parse_blob(lval))

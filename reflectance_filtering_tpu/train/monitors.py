@@ -65,10 +65,16 @@ class JsonlLogger:
 
     def __call__(self, step: int, metrics: Dict[str, float]):
         import json
+        import math
 
+        # json.dumps emits bare NaN/Infinity tokens (invalid JSON) for
+        # non-finite floats — a diverged step would corrupt the artifact
+        # for strict jsonl consumers. Serialize those as null.
         rec = {"step": step}
-        rec.update({k: v for k, v in metrics.items()
-                    if isinstance(v, (int, float))})
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                rec[k] = None if (isinstance(v, float)
+                                  and not math.isfinite(v)) else v
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
 

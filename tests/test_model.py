@@ -57,6 +57,49 @@ def test_converter_against_raw_blobs(ref_weights, raw_blobs):
                                   raw_blobs["conv0"][1].reshape(-1))
 
 
+def _pb_key(fnum, wtype):
+    return bytes([(fnum << 3) | wtype]) if fnum < 16 else _pb_varint(
+        (fnum << 3) | wtype)
+
+
+def _pb_varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _pb_len(fnum, payload):
+    return _pb_key(fnum, 2) + _pb_varint(len(payload)) + payload
+
+
+def test_parse_caffemodel_old_format(tmp_path):
+    """V1LayerParameter (NetParameter.layers=2): name is field 4, blobs 6.
+
+    Field 1 of V1LayerParameter is the embedded V0LayerParameter message —
+    a parser reading field 1 as the name would extract garbage (regression
+    for exactly that bug).
+    """
+    data = np.arange(8, dtype="<f4")
+    blob = (_pb_len(7, _pb_key(1, 0) + _pb_varint(2)      # BlobShape.dim: 2,4
+                    + _pb_key(1, 0) + _pb_varint(4))
+            + _pb_len(5, data.tobytes()))                 # packed float data
+    v0 = _pb_len(1, b"legacy-v0-name")                    # V0LayerParameter
+    layer = (v0
+             + _pb_len(4, b"convX")                       # V1.name = 4
+             + _pb_len(6, blob))                          # V1.blobs = 6
+    net = _pb_len(2, layer)                               # NetParameter.layers
+    path = tmp_path / "old_format.caffemodel"
+    path.write_bytes(net)
+    parsed = caffe_io.parse_caffemodel(str(path))
+    assert list(parsed.keys()) == ["convX"]
+    np.testing.assert_array_equal(parsed["convX"][0],
+                                  data.reshape(2, 4))
+
+
 def _numpy_reference_forward(raw_blobs, img_hwc):
     """Frozen-graph oracle in numpy, straight off the OIHW blobs."""
     x = img_hwc  # [H,W,3]

@@ -92,6 +92,22 @@ def test_empty_batch_returns_empty_array():
     assert out.shape == (0, 8, 8, 3) and out.dtype == np.uint8
 
 
+def test_probe_rejects_absurd_header(tmp_path):
+    """A corrupt PNG header claiming terapixel dims must fail the probe
+    (not feed a ~TB np.empty in the batch loader's size grouping)."""
+    import struct
+    import zlib
+    ihdr = struct.pack(">II5B", 200000, 200000, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", len(ihdr)) + chunk
+           + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
+    p = tmp_path / "huge.png"
+    p.write_bytes(png)
+    with pytest.raises(IOError):
+        nl.image_size(str(p))
+
+
 def test_bad_dimensions_raise_value_error(images):
     import pytest
     from reflectance_filtering_tpu.data.native_loader import load_batch_rgb

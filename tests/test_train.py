@@ -18,7 +18,7 @@ from reflectance_filtering_tpu.train.checkpoint import (
 from reflectance_filtering_tpu.train.loop import (
     LossConfig, compute_losses, fit, make_optimizer)
 from reflectance_filtering_tpu.train.monitors import (
-    CombineLosses, RunningAverage)
+    CombineLosses, JsonlLogger, RunningAverage)
 from reflectance_filtering_tpu.train.predict import (
     make_predict_fn, predict_and_score, predict_batched)
 from tests.test_whdr import make_blob, random_comps
@@ -119,6 +119,22 @@ def test_combine_losses_and_running_average():
         m = ra(step, {"whdr_original": v})
     assert abs(m["running_average"] - np.nanmean([0.4, 0.2, np.nan, 0.6])) \
         < 1e-9
+
+
+def test_jsonl_logger_nonfinite_metrics_stay_valid_json(tmp_path):
+    """A diverged step (NaN/inf loss) must not corrupt the jsonl artifact:
+    json.dumps would emit bare NaN/Infinity tokens that strict parsers
+    reject; the logger serializes them as null."""
+    lg = JsonlLogger(str(tmp_path), "t")
+    lg(0, {"loss": float("nan"), "lr": 0.1, "extra": float("inf"),
+           "skipme": "string"})
+    lg(1, {"loss": 0.5})
+    lg.close()
+    lines = open(lg.path).read().splitlines()
+    recs = [json.loads(l, parse_constant=lambda s: pytest.fail(
+        "non-strict token {} in jsonl".format(s))) for l in lines]
+    assert recs[0] == {"step": 0, "loss": None, "lr": 0.1, "extra": None}
+    assert recs[1] == {"step": 1, "loss": 0.5}
 
 
 @pytest.fixture(scope="module")
